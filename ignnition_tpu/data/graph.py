@@ -1,0 +1,357 @@
+"""GraphBatch: merged, padded, statically-shaped device representation.
+
+The reference framework feeds one ragged python-dict graph at a time and
+"batches" by tracing a python loop over graphs (generate_model.py:712-726).
+On TPU that is the wrong shape: XLA wants one statically-shaped program.
+
+Here a batch of B graphs becomes ONE merged graph:
+  * per-entity node arrays are concatenated with contiguous offsets, padded to
+    a bucket size, with a node mask and per-node graph id;
+  * per-adjacency COO edge arrays (src, dst, seq) are concatenated with node
+    offsets applied and padded with masked edges;
+  * per-destination ordered-message sequences keep their per-sample `seq`
+    positions (message passing on a disjoint union of graphs is numerically
+    identical to per-graph execution);
+  * graph-level readout (pooling) becomes a segment reduction over graph ids.
+
+Bucketed padding keeps the set of compiled shapes small so jit caches stay
+warm across steps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .dataset import GraphSample
+
+# --------------------------------------------------------------------------
+# Padding policy
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PaddingConfig:
+    """How to round dynamic sizes up to static buckets.
+
+    mode "pow2": next power of two (fewest distinct compiled shapes);
+    mode "multiple": round up to `multiple`.
+    """
+
+    mode: str = "pow2"
+    multiple: int = 64
+    min_size: int = 8
+    seq_multiple: int = 4  # bucket for max_len (RNN time axis)
+
+    def pad_size(self, n: int) -> int:
+        n = max(int(n), 1)
+        if self.mode == "pow2":
+            p = self.min_size
+            while p < n:
+                p *= 2
+            return p
+        m = self.multiple
+        return max(self.min_size, ((n + m - 1) // m) * m)
+
+    def pad_len(self, n: int) -> int:
+        n = max(int(n), 1)
+        m = self.seq_multiple
+        return ((n + m - 1) // m) * m
+
+
+# --------------------------------------------------------------------------
+# Static batch metadata (part of the jit cache key)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BatchMeta:
+    num_graphs: int
+    node_pad: Tuple[Tuple[str, int], ...]  # entity -> padded node count
+    edge_pad: Tuple[Tuple[str, int], ...]  # adj name -> padded edge count
+    max_len: Tuple[Tuple[str, int], ...]  # adj name -> padded max sequence length
+    interleave_len: Tuple[Tuple[str, int], ...] = ()  # dst entity -> T_out
+    label_pad: int = 0
+
+    def nodes(self, entity: str) -> int:
+        return dict(self.node_pad)[entity]
+
+    def edges(self, adj: str) -> int:
+        return dict(self.edge_pad)[adj]
+
+    def maxlen(self, adj: str) -> int:
+        return dict(self.max_len)[adj]
+
+    def ilv_len(self, dst: str) -> int:
+        return dict(self.interleave_len)[dst]
+
+
+# --------------------------------------------------------------------------
+# Label domain inference
+# --------------------------------------------------------------------------
+
+
+def infer_readout_domains(model_ir) -> Dict[str, Tuple[str, str]]:
+    """Map every readout tensor name (entities + output_names) to its domain:
+    ('entity', name) | ('graph', '') | ('edge', adj_name).
+
+    Needed to lay out labels in the padded batch and to broadcast graph-level
+    intermediates back over nodes.
+    """
+    domains: Dict[str, Tuple[str, str]] = {
+        e.name: ("entity", e.name) for e in model_ir.entities
+    }
+    for op in model_ir.readout:
+        if op.kind == "pooling":
+            domains[op.output_name] = ("graph", "")
+        elif op.kind == "neural_network":
+            domains[op.output_name] = domains.get(op.inputs[0], ("entity", op.inputs[0]))
+        elif op.kind == "product":
+            d1 = domains.get(op.inputs[0])
+            d2 = domains.get(op.inputs[1])
+            # a product of a graph-level and node-level tensor is node-level
+            pick = d1 if (d1 and d1[0] != "graph") else (d2 or d1)
+            domains[op.output_name] = pick or ("graph", "")
+        elif op.kind == "extend_adjacencies":
+            domains[op.output_names[0]] = ("edge", op.adj_name)
+            domains[op.output_names[1]] = ("edge", op.adj_name)
+    return domains
+
+
+def infer_label_domain(model_ir) -> Tuple[str, str]:
+    """Domain of the predict op's output rows (where labels align)."""
+    domains = infer_readout_domains(model_ir)
+    op = model_ir.predict_op()
+    return domains.get(op.inputs[0], ("entity", op.inputs[0]))
+
+
+# --------------------------------------------------------------------------
+# Batch building
+# --------------------------------------------------------------------------
+
+
+def build_batch(
+    samples: Sequence[GraphSample],
+    model_ir,
+    padding: Optional[PaddingConfig] = None,
+    training: bool = True,
+    normalizations: Optional[Mapping[str, object]] = None,
+) -> Tuple[Dict[str, np.ndarray], BatchMeta]:
+    """Merge samples into one padded batch.
+
+    Returns (arrays, meta). Arrays are numpy; move to device with jnp.asarray
+    or feed directly to a jitted function.
+
+    `normalizations` maps normalization names to callables `(value, key) ->
+    value`; feature and label normalizations declared in the IR are applied
+    here, host-side (the reference applies them in a tf.data map,
+    generate_model.py:179-186 — preprocessing, not model).
+    """
+    padding = padding or PaddingConfig()
+    if normalizations is None:
+        from ..utils.registry import normalizations as _global_registry
+
+        normalizations = _global_registry()
+    num_graphs = len(samples)
+    entities = model_ir.entities
+    adj_info = model_ir.adjacency_info()
+
+    feature_entities = {}
+    feature_norm = {}
+    for e in entities:
+        for f in e.features:
+            feature_entities[f.name] = e.name
+            feature_norm[f.name] = f.normalization
+
+    def normalize(name, value, norm_key):
+        if norm_key is None or str(norm_key) == "None":
+            return value
+        fn = normalizations.get(norm_key)
+        if fn is None:
+            raise KeyError(
+                f"the normalization function '{norm_key}' is not registered; "
+                f"pass it via the normalizations registry"
+            )
+        return np.asarray(fn(value, name), dtype=np.float32)
+
+    # ---- node counts and offsets ----
+    node_offsets: Dict[str, List[int]] = {e.name: [] for e in entities}
+    node_totals: Dict[str, int] = {e.name: 0 for e in entities}
+    for s in samples:
+        for e in entities:
+            node_offsets[e.name].append(node_totals[e.name])
+            node_totals[e.name] += s.num_nodes.get(e.name, 0)
+    node_pad = {e.name: padding.pad_size(node_totals[e.name]) for e in entities}
+
+    arrays: Dict[str, np.ndarray] = {}
+
+    for e in entities:
+        n_real, n_pad = node_totals[e.name], node_pad[e.name]
+        mask = np.zeros(n_pad, dtype=np.float32)
+        mask[:n_real] = 1.0
+        gid = np.zeros(n_pad, dtype=np.int32)
+        pos = 0
+        for g, s in enumerate(samples):
+            n = s.num_nodes.get(e.name, 0)
+            gid[pos : pos + n] = g
+            pos += n
+        # padding nodes belong to a sentinel graph slot (last graph) but are
+        # masked everywhere it matters
+        gid[n_real:] = max(num_graphs - 1, 0)
+        arrays[f"node_mask_{e.name}"] = mask
+        arrays[f"graph_id_{e.name}"] = gid
+        arrays[f"num_{e.name}"] = np.asarray(n_real, dtype=np.int32)
+
+        for f in e.features:
+            buf = np.zeros((n_pad, f.size), dtype=np.float32)
+            pos = 0
+            for s in samples:
+                v = s.features[f.name]
+                v = normalize(f.name, v, feature_norm[f.name])
+                buf[pos : pos + v.shape[0]] = v
+                pos += v.shape[0]
+            arrays[f.name] = buf
+
+    # ---- adjacencies ----
+    edge_pad: Dict[str, int] = {}
+    max_len: Dict[str, int] = {}
+    for a in adj_info:
+        e_total = sum(len(s.adjacencies[a.name].src_idx) for s in samples)
+        e_pad = padding.pad_size(e_total)
+        ml = 1
+        for s in samples:
+            seq = s.adjacencies[a.name].seq
+            if len(seq):
+                ml = max(ml, int(seq.max()) + 1)
+        ml_pad = padding.pad_len(ml)
+        edge_pad[a.name] = e_pad
+        max_len[a.name] = ml_pad
+
+        src = np.zeros(e_pad, dtype=np.int32)
+        dst = np.zeros(e_pad, dtype=np.int32)
+        seq_arr = np.zeros(e_pad, dtype=np.int32)
+        emask = np.zeros(e_pad, dtype=np.float32)
+        params = (
+            np.zeros((e_pad, a.edge_param_dim), dtype=np.float32)
+            if a.has_params
+            else None
+        )
+        pos = 0
+        for g, s in enumerate(samples):
+            arrs = s.adjacencies[a.name]
+            n = len(arrs.src_idx)
+            src[pos : pos + n] = arrs.src_idx + node_offsets[a.src][g]
+            dst[pos : pos + n] = arrs.dst_idx + node_offsets[a.dst][g]
+            seq_arr[pos : pos + n] = arrs.seq
+            emask[pos : pos + n] = 1.0
+            if params is not None and arrs.params is not None:
+                params[pos : pos + n] = arrs.params
+            pos += n
+        arrays[f"src_{a.name}"] = src
+        arrays[f"dst_{a.name}"] = dst
+        arrays[f"seq_{a.name}"] = seq_arr
+        arrays[f"edge_mask_{a.name}"] = emask
+        if params is not None:
+            arrays[f"params_{a.name}"] = params
+
+    # ---- interleave permutations ----
+    # For each interleave destination, a per-graph permutation of the merged
+    # message time axis: out_slot -> in_slot, where the input axis is the
+    # concatenation of per-source padded blocks in the order the sources
+    # appear in the message passing (see model/aggregations.py).
+    interleave_len: Dict[str, int] = {}
+    for mp in model_ir.all_passes():
+        if mp.aggregation.kind != "interleave":
+            continue
+        dst = mp.destination
+        block_lens = [max_len[src.adj_name] for src in mp.sources]
+        offsets = np.concatenate([[0], np.cumsum(block_lens)])[:-1]
+        t_out = int(sum(block_lens))
+        interleave_len[dst] = t_out
+        perm = np.zeros((num_graphs, t_out), dtype=np.int32)
+        for g, s in enumerate(samples):
+            p = np.full(t_out, -1, dtype=np.int32)
+            used_out = np.zeros(t_out, dtype=bool)
+            for src, off in zip(mp.sources, offsets):
+                idx = s.interleave.get((src.entity, dst))
+                if idx is None:
+                    raise KeyError(
+                        f"sample {g} lacks an interleave index vector for "
+                        f"({src.entity} -> {dst})"
+                    )
+                k = min(len(idx), max_len[src.adj_name])
+                p[idx[:k]] = off + np.arange(k, dtype=np.int32)
+                used_out[idx[:k]] = True
+            # route padding input slots to the unused output slots
+            free_out = np.where(~used_out)[0]
+            used_in = set(int(v) for v in p[p >= 0])
+            free_in = np.asarray(
+                [i for i in range(t_out) if i not in used_in], dtype=np.int32
+            )
+            p[free_out] = free_in[: len(free_out)]
+            perm[g] = p
+        arrays[f"interleave_perm_{dst}"] = perm
+    # ---- labels ----
+    label_pad = 0
+    if training and any(s.label is not None for s in samples):
+        domain = infer_label_domain(model_ir)
+        _, norm_key, _ = model_ir.output_info()
+        label_name = model_ir.output_info()[0]
+        if domain[0] == "entity":
+            n_pad = node_pad[domain[1]]
+            label = np.zeros(n_pad, dtype=np.float32)
+            lmask = np.zeros(n_pad, dtype=np.float32)
+            pos = 0
+            for s in samples:
+                v = s.label
+                label[pos : pos + len(v)] = v
+                lmask[pos : pos + len(v)] = 1.0
+                pos += len(v)
+            label_pad = n_pad
+        elif domain[0] == "graph":
+            label = np.zeros(num_graphs, dtype=np.float32)
+            lmask = np.ones(num_graphs, dtype=np.float32)
+            for g, s in enumerate(samples):
+                label[g] = float(np.asarray(s.label).reshape(-1)[0])
+            label_pad = num_graphs
+        else:  # edge domain
+            adj = domain[1]
+            e_pad = edge_pad[adj]
+            label = np.zeros(e_pad, dtype=np.float32)
+            lmask = np.zeros(e_pad, dtype=np.float32)
+            pos = 0
+            for s in samples:
+                v = s.label
+                label[pos : pos + len(v)] = v
+                lmask[pos : pos + len(v)] = 1.0
+                pos += len(v)
+            label_pad = e_pad
+        safe = np.where(lmask > 0, label, 1.0)  # keep norm fns off padding zeros
+        label = np.where(
+            lmask > 0,
+            normalize(label_name, safe, norm_key),
+            label,
+        ).astype(np.float32)
+        arrays["label"] = label
+        arrays["label_mask"] = lmask
+
+    # ---- additional readout inputs ----
+    for name in model_ir.additional_inputs():
+        vals = [s.extras[name] for s in samples]
+        flat = np.concatenate([np.asarray(v).reshape(len(v), -1) for v in vals], axis=0)
+        pad_n = padding.pad_size(flat.shape[0])
+        buf = np.zeros((pad_n,) + flat.shape[1:], dtype=flat.dtype)
+        buf[: flat.shape[0]] = flat
+        arrays[name] = np.squeeze(buf, axis=-1) if buf.shape[-1] == 1 else buf
+
+    meta = BatchMeta(
+        num_graphs=num_graphs,
+        node_pad=tuple(sorted(node_pad.items())),
+        edge_pad=tuple(sorted(edge_pad.items())),
+        max_len=tuple(sorted(max_len.items())),
+        interleave_len=tuple(sorted(interleave_len.items())),
+        label_pad=label_pad,
+    )
+    return arrays, meta

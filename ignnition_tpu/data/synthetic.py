@@ -1,0 +1,130 @@
+"""Synthetic RouteNet-style dataset generation.
+
+The reference ships with subsets of the KDN NSFNET/GEANT datasets
+(readme.md:36-44) which are not redistributable here. This module produces
+format-identical datasets (tar.gz archives of `data.json` sample lists, see
+data/dataset.py) with a queueing-flavoured delay label so end-to-end training
+has real signal:
+
+    load(l)   = sum of traffic of paths crossing link l
+    delay(p)  = sum over links l in p of 1 / (capacity_l - load_l)  (M/M/1-ish)
+
+Used by the test-suite, the benchmark harness, and the quickstart examples.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tarfile
+from io import BytesIO
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def make_routenet_sample(
+    rng: np.random.Generator,
+    n_links: int = 20,
+    n_paths: int = 15,
+    max_path_len: int = 6,
+    with_nodes: bool = False,
+) -> dict:
+    """One synthetic sample in the reference dataset format.
+
+    with_nodes=True adds a `node` entity, node adjacencies, and a
+    `path_interleave` pattern — exercising the Q-size style model (reference
+    examples/Q-size/model_description.json).
+    """
+    entities: Dict[str, str] = {}
+    for i in range(n_links):
+        entities[f"l{i}"] = "link"
+    n_nodes = n_links if with_nodes else 0
+    for i in range(n_nodes):
+        entities[f"n{i}"] = "node"
+    for i in range(n_paths):
+        entities[f"p{i}"] = "path"
+
+    capacity = rng.uniform(20.0, 40.0, n_links)
+    traffic = rng.uniform(0.2, 0.8, n_paths)
+    queue_sizes = rng.uniform(2.0, 32.0, n_nodes) if with_nodes else None
+
+    paths: List[List[int]] = []
+    for _ in range(n_paths):
+        length = int(rng.integers(2, max_path_len + 1))
+        paths.append(list(rng.choice(n_links, size=length, replace=False)))
+
+    load = np.zeros(n_links)
+    for p, links in enumerate(paths):
+        for l in links:
+            load[l] += traffic[p]
+
+    delay = []
+    for p, links in enumerate(paths):
+        d = 0.0
+        for l in links:
+            d += 1.0 / max(capacity[l] - load[l], 1.0)
+        if with_nodes:
+            d += sum(0.01 * queue_sizes[l % n_nodes] for l in links)
+        delay.append(d)
+
+    adj_links_paths = {f"p{p}": [f"l{l}" for l in links] for p, links in enumerate(paths)}
+    adj_paths_links: Dict[str, List[str]] = {f"l{l}": [] for l in range(n_links)}
+    for p, links in enumerate(paths):
+        for l in links:
+            adj_paths_links[f"l{l}"].append(f"p{p}")
+    # drop links with no paths from the adjacency dict (the reference format
+    # simply omits destinations with no sources)
+    adj_paths_links = {k: v for k, v in adj_paths_links.items() if v}
+
+    sample = {
+        "entities": entities,
+        "link_capacity": capacity.tolist(),
+        "traffic": traffic.tolist(),
+        "delay": delay,
+        "adj_links_paths": adj_links_paths,
+        "adj_paths_links": adj_paths_links,
+    }
+
+    if with_nodes:
+        # each path visits one node per link (so link/node blocks interleave
+        # evenly and the tiled ['link','node'] pattern matches per-source
+        # sequence lengths, as the Q-size datasets do)
+        adj_nodes_paths = {}
+        adj_paths_nodes: Dict[str, List[str]] = {}
+        for p, links in enumerate(paths):
+            nodes = [int(l) % n_nodes for l in links]
+            adj_nodes_paths[f"p{p}"] = [f"n{n}" for n in nodes]
+            for n in nodes:
+                adj_paths_nodes.setdefault(f"n{n}", []).append(f"p{p}")
+        sample["queue_sizes"] = queue_sizes.tolist()
+        sample["adj_nodes_paths"] = adj_nodes_paths
+        sample["adj_paths_nodes"] = adj_paths_nodes
+        sample["path_interleave"] = ["link", "node"]
+    return sample
+
+
+def write_dataset(
+    directory: str,
+    num_archives: int = 2,
+    samples_per_archive: int = 10,
+    seed: int = 0,
+    with_nodes: bool = False,
+    **sample_kw,
+) -> None:
+    """Write `num_archives` tar.gz files of `samples_per_archive` samples each
+    (the migration tooling batches 100 samples per archive,
+    reference migrate.py:119-127)."""
+    os.makedirs(directory, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for a in range(num_archives):
+        samples = [
+            make_routenet_sample(rng, with_nodes=with_nodes, **sample_kw)
+            for _ in range(samples_per_archive)
+        ]
+        payload = json.dumps(samples).encode()
+        path = os.path.join(directory, f"sample_{a}.tar.gz")
+        with tarfile.open(path, "w:gz") as tar:
+            info = tarfile.TarInfo("data.json")
+            info.size = len(payload)
+            tar.addfile(info, BytesIO(payload))

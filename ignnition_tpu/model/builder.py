@@ -1,0 +1,608 @@
+"""Compiler back-end: ModelIR -> pure, jittable init/apply functions.
+
+The reference builds a `tf.keras.Model` whose `call` reflectively walks the
+IR and a `setattr` registry of submodels (generate_model.py:219-694), python-
+unrolling the MP iterations and the graph batch into one TF graph. Here the
+IR is walked ONCE at trace time to emit:
+
+  * `init(rng, extra_dims)` -> parameter pytree (plain nested dicts keyed by
+    stable string paths, mirroring the reference's variable registry
+    generate_model.py:676-694);
+  * `apply(params, batch, meta)` -> outputs, a pure function of statically
+    shaped arrays: hidden-state init, `lax.scan` over MP iterations
+    (NOT unrolled — reference unrolls at generate_model.py:406), stages/MPs
+    unrolled (static model structure), readout pipeline.
+
+Aggregation lowering is shape-driven:
+  * single-vector aggregations (sum / attention / convolution) never build the
+    padded [num_dst, max_len, D] tensor the reference always materializes
+    (generate_model.py:477-491) — they lower straight to masked segment ops;
+  * sequence aggregations (ordered / concat / interleave) scatter into the
+    padded sequence tensor and update via a masked `lax.scan` GRU/LSTM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..frontend import ir as IR
+from ..nn import mlp as MLP
+from ..nn import rnn as RNN
+from ..nn.layers import activation
+from ..ops import segment as seg
+from ..data.graph import BatchMeta, infer_readout_domains
+
+_SEQUENCE_AGGS = ("ordered", "concat", "interleave")
+_VECTOR_AGGS = ("sum", "attention", "convolution")
+
+
+class BuildError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class _MessageDims:
+    """Static dimension bookkeeping resolved at build time (the reference
+    resolves the same quantities while constructing submodels,
+    generate_model.py:245-346)."""
+
+    final_message_dim: Mapping[str, int]  # adj name -> message width
+    named_output_dims: Mapping[str, int]  # message-op output_name -> width
+    aggregated_dim: Mapping[Tuple[int, int], int]  # (stage, mp) -> update input width
+
+
+def _resolve_dims(model_ir: IR.ModelIR) -> _MessageDims:
+    state_dims = model_ir.state_dims()
+    final_message_dim: Dict[str, int] = {}
+    named: Dict[str, int] = {}
+    aggregated: Dict[Tuple[int, int], int] = {}
+
+    for si, stage in enumerate(model_ir.stages):
+        for mi, mp in enumerate(stage.passes):
+            dst_dim = state_dims[mp.destination]
+            per_source_dims = []
+            for src in mp.sources:
+                out_dim = state_dims[src.entity]  # direct assignation default
+                for op in src.ops:
+                    if op.kind == "mlp":
+                        in_dim = 0
+                        for name in op.inputs:
+                            if name == "hs_source":
+                                in_dim += state_dims[src.entity]
+                            elif name == "hs_dest":
+                                in_dim += dst_dim
+                            elif name == "edge_params":
+                                in_dim += src.edge_param_dim
+                            else:
+                                if name not in named:
+                                    raise BuildError(
+                                        f"message op input '{name}' has unknown width"
+                                    )
+                                in_dim += named[name]
+                        out_dim = MLP.output_dim(op.mlp, in_dim)
+                        if op.output_name:
+                            named[op.output_name] = out_dim
+                final_message_dim[src.adj_name] = out_dim
+                per_source_dims.append(out_dim)
+
+            agg = mp.aggregation
+            if agg.kind == "convolution":
+                if per_source_dims[0] != dst_dim:
+                    raise BuildError(
+                        f"convolution aggregation requires message dim "
+                        f"({per_source_dims[0]}) == destination state dim ({dst_dim})"
+                    )
+                aggregated[(si, mi)] = dst_dim
+            elif agg.kind == "concat" and agg.concat_axis == 2:
+                aggregated[(si, mi)] = sum(per_source_dims)
+            else:
+                aggregated[(si, mi)] = per_source_dims[0]
+
+            if mp.update.kind == "mlp" and agg.kind in _SEQUENCE_AGGS:
+                raise BuildError(
+                    f"a feed-forward update requires a single-vector aggregation "
+                    f"(sum/attention/convolution), got '{agg.kind}' for "
+                    f"destination '{mp.destination}'"
+                )
+
+    return _MessageDims(final_message_dim, named, aggregated)
+
+
+# ==========================================================================
+# The compiled model
+# ==========================================================================
+
+
+class GnnModel:
+    """A model compiled from IR. Stateless; all state lives in the params
+    pytree and the GraphBatch."""
+
+    def __init__(self, model_ir: IR.ModelIR):
+        self.ir = model_ir
+        self.dims = _resolve_dims(model_ir)
+        self.state_dims = model_ir.state_dims()
+        self.domains = infer_readout_domains(model_ir)
+
+    # ------------------------------------------------------------------
+    # init
+    # ------------------------------------------------------------------
+
+    def init(
+        self,
+        rng: jax.Array,
+        extra_dims: Optional[Mapping[str, int]] = None,
+    ) -> Dict[str, Any]:
+        """Initialize all parameters.
+
+        extra_dims: widths of additional readout inputs coming straight from
+        the dataset (rarely needed; entities and produced outputs cover the
+        usual cases).
+        """
+        model_ir = self.ir
+        state_dims = self.state_dims
+        extra_dims = dict(extra_dims or {})
+        params: Dict[str, Any] = {"message": {}, "aggregation": {}, "update": {}, "readout": {}}
+
+        for si, stage in enumerate(model_ir.stages):
+            for mi, mp in enumerate(stage.passes):
+                dst_dim = state_dims[mp.destination]
+                for ki, src in enumerate(mp.sources):
+                    cur_dim = state_dims[src.entity]
+                    for oi, op in enumerate(src.ops):
+                        if op.kind != "mlp":
+                            continue
+                        in_dim = 0
+                        for name in op.inputs:
+                            if name == "hs_source":
+                                in_dim += state_dims[src.entity]
+                            elif name == "hs_dest":
+                                in_dim += dst_dim
+                            elif name == "edge_params":
+                                in_dim += src.edge_param_dim
+                            else:
+                                in_dim += self.dims.named_output_dims[name]
+                        rng, key = jax.random.split(rng)
+                        p, _ = MLP.init(key, op.mlp, in_dim)
+                        params["message"][f"s{si}/m{mi}/src{ki}/op{oi}"] = p
+
+                agg = mp.aggregation
+                msg_dim = self.dims.final_message_dim[mp.sources[0].adj_name]
+                if agg.kind == "attention":
+                    rng, k1, k2, k3 = jax.random.split(rng, 4)
+                    from ..nn.layers import glorot_uniform
+
+                    params["aggregation"][f"s{si}/m{mi}"] = {
+                        "kernel1": glorot_uniform(k1, (msg_dim, msg_dim)),
+                        "kernel2": glorot_uniform(k2, (dst_dim, msg_dim)),
+                        "attn_kernel": glorot_uniform(k3, (2 * msg_dim, 1)),
+                    }
+                elif agg.kind == "convolution":
+                    rng, k1 = jax.random.split(rng)
+                    from ..nn.layers import glorot_uniform
+
+                    params["aggregation"][f"s{si}/m{mi}"] = {
+                        "kernel": glorot_uniform(k1, (dst_dim, dst_dim)),
+                    }
+
+                upd = mp.update
+                agg_dim = self.dims.aggregated_dim[(si, mi)]
+                if upd.kind == "recurrent":
+                    key_name = f"{mp.destination}_update"
+                    if key_name not in params["update"]:
+                        rng, key = jax.random.split(rng)
+                        params["update"][key_name] = RNN.init(
+                            key, upd.rnn, in_dim=agg_dim, units=dst_dim
+                        )
+                else:
+                    key_name = f"{mp.destination}_ff_update"
+                    if key_name not in params["update"]:
+                        rng, key = jax.random.split(rng)
+                        p, _ = MLP.init(
+                            key, upd.mlp, in_dim=agg_dim + dst_dim, last_units=dst_dim
+                        )
+                        params["update"][key_name] = p
+
+        # readout models (reference generate_model.py:350-382)
+        ro_dims: Dict[str, int] = dict(state_dims)
+        ro_dims.update(self.dims.named_output_dims)
+        ro_dims.update(extra_dims)
+        for i, op in enumerate(model_ir.readout):
+            if op.kind in ("predict", "neural_network"):
+                in_dim = sum(ro_dims[name] for name in op.inputs)
+                rng, key = jax.random.split(rng)
+                p, out_dim = MLP.init(key, op.mlp, in_dim)
+                params["readout"][f"op{i}"] = p
+                if op.kind == "neural_network":
+                    ro_dims[op.output_name] = out_dim
+            elif op.kind == "pooling":
+                ro_dims[op.output_name] = ro_dims[op.inputs[0]]
+            elif op.kind == "product":
+                ro_dims[op.output_name] = (
+                    1 if op.product == "dot_product" else ro_dims[op.inputs[0]]
+                )
+            elif op.kind == "extend_adjacencies":
+                ro_dims[op.output_names[0]] = ro_dims[op.inputs[0]]
+                ro_dims[op.output_names[1]] = ro_dims[op.inputs[1]]
+        return params
+
+    # ------------------------------------------------------------------
+    # regularization
+    # ------------------------------------------------------------------
+
+    def regularization_loss(self, params) -> jnp.ndarray:
+        """Sum of all layers' l2 kernel penalties (the reference's
+        `sum(model.losses)`, generate_model.py:749)."""
+        total = jnp.float32(0.0)
+        for si, stage in enumerate(self.ir.stages):
+            for mi, mp in enumerate(stage.passes):
+                for ki, src in enumerate(mp.sources):
+                    for oi, op in enumerate(src.ops):
+                        if op.kind == "mlp":
+                            total += MLP.l2_loss(
+                                op.mlp, params["message"][f"s{si}/m{mi}/src{ki}/op{oi}"]
+                            )
+                if mp.update.kind == "mlp":
+                    key = f"{mp.destination}_ff_update"
+                    total += MLP.l2_loss(mp.update.mlp, params["update"][key])
+        for i, op in enumerate(self.ir.readout):
+            if op.kind in ("predict", "neural_network"):
+                total += MLP.l2_loss(op.mlp, params["readout"][f"op{i}"])
+        return total
+
+    # ------------------------------------------------------------------
+    # apply
+    # ------------------------------------------------------------------
+
+    def apply(
+        self,
+        params,
+        batch: Mapping[str, jnp.ndarray],
+        meta: BatchMeta,
+        *,
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+        return_states: bool = False,
+        return_iteration_states: bool = False,
+    ):
+        """Run the GNN forward. Returns predictions [rows] (last dim squeezed
+        when 1), plus entity states if requested."""
+        model_ir = self.ir
+
+        # ---- hidden state initialization (reference a_c.py:128-160) ----
+        states: Dict[str, jnp.ndarray] = {}
+        for e in model_ir.entities:
+            n = meta.nodes(e.name)
+            mask = batch[f"node_mask_{e.name}"]
+            parts = [batch[f.name].reshape(n, f.size) for f in e.features]
+            total = sum(f.size for f in e.features)
+            if total > e.state_dim:
+                raise BuildError(
+                    f"features of entity '{e.name}' ({total}) exceed its "
+                    f"hidden_state_dimension ({e.state_dim})"
+                )
+            parts.append(jnp.zeros((n, e.state_dim - total), jnp.float32))
+            states[e.name] = jnp.concatenate(parts, axis=1) * mask[:, None]
+
+        entity_order = list(states.keys())
+
+        def one_iteration(state_tuple, _):
+            st = dict(zip(entity_order, state_tuple))
+            st = self._message_passing_iteration(params, batch, meta, st)
+            return tuple(st[k] for k in entity_order), (
+                tuple(st[k] for k in entity_order) if return_iteration_states else None
+            )
+
+        init_tuple = tuple(states[k] for k in entity_order)
+        final_tuple, per_iter = jax.lax.scan(
+            one_iteration, init_tuple, None, length=model_ir.num_iterations
+        )
+        states = dict(zip(entity_order, final_tuple))
+
+        # ---- readout ----
+        predictions = self._readout(
+            params, batch, meta, states, training=training, rng=rng
+        )
+
+        if return_iteration_states:
+            iters = {
+                k: per_iter[i] for i, k in enumerate(entity_order)
+            }  # each [num_iterations, N, D]
+            return predictions, states, iters
+        if return_states:
+            return predictions, states
+        return predictions
+
+    # ------------------------------------------------------------------
+
+    def _message_passing_iteration(self, params, batch, meta, states):
+        model_ir = self.ir
+        new_states = dict(states)
+        edge_vars: Dict[str, jnp.ndarray] = {}
+
+        for si, stage in enumerate(model_ir.stages):
+            for mi, mp in enumerate(stage.passes):
+                dst = mp.destination
+                n_dst = meta.nodes(dst)
+                dst_states = new_states[dst]
+                agg = mp.aggregation
+
+                # ---- per-source message creation ----
+                per_source = []
+                for ki, src in enumerate(mp.sources):
+                    a = src.adj_name
+                    src_idx = batch[f"src_{a}"]
+                    dst_idx = batch[f"dst_{a}"]
+                    seq_pos = batch[f"seq_{a}"]
+                    emask = batch[f"edge_mask_{a}"]
+                    gathered_src = new_states[src.entity][src_idx]
+                    gathered_dst = dst_states[dst_idx]
+
+                    messages = gathered_src
+                    for oi, op in enumerate(src.ops):
+                        if op.kind == "direct":
+                            messages = gathered_src
+                        else:
+                            inputs = []
+                            for name in op.inputs:
+                                if name == "hs_source":
+                                    inputs.append(gathered_src)
+                                elif name == "hs_dest":
+                                    inputs.append(gathered_dst)
+                                elif name == "edge_params":
+                                    inputs.append(
+                                        batch[f"params_{a}"].astype(jnp.float32)
+                                    )
+                                else:
+                                    inputs.append(edge_vars[name])
+                            x = jnp.concatenate(inputs, axis=1)
+                            messages = MLP.apply(
+                                op.mlp,
+                                params["message"][f"s{si}/m{mi}/src{ki}/op{oi}"],
+                                x,
+                            )
+                            if op.output_name:
+                                edge_vars[op.output_name] = messages
+
+                    messages = messages * emask[:, None]  # neutralize padding edges
+                    per_source.append(
+                        dict(
+                            messages=messages,
+                            src_idx=src_idx,
+                            dst_idx=dst_idx,
+                            seq=seq_pos,
+                            mask=emask,
+                            adj=a,
+                            entity=src.entity,
+                        )
+                    )
+
+                lens = [
+                    seg.segment_count(s["dst_idx"], n_dst, s["mask"])
+                    for s in per_source
+                ]
+
+                # ---- aggregation ----
+                if agg.kind in _VECTOR_AGGS:
+                    comb_msg = jnp.concatenate([s["messages"] for s in per_source], 0)
+                    comb_dst = jnp.concatenate([s["dst_idx"] for s in per_source], 0)
+                    comb_mask = jnp.concatenate([s["mask"] for s in per_source], 0)
+                    if agg.kind == "sum":
+                        aggregated = seg.segment_sum(comb_msg, comb_dst, n_dst)
+                    elif agg.kind == "attention":
+                        aggregated = self._attention(
+                            params["aggregation"][f"s{si}/m{mi}"],
+                            agg,
+                            comb_msg,
+                            comb_dst,
+                            comb_mask,
+                            dst_states,
+                            per_source,
+                            lens,
+                            n_dst,
+                            meta,
+                        )
+                    else:  # convolution
+                        ap = params["aggregation"][f"s{si}/m{mi}"]
+                        weighted = comb_msg @ ap["kernel"]
+                        nsum = seg.segment_sum(weighted, comb_dst, n_dst)
+                        total = nsum + dst_states
+                        deg = seg.segment_count(comb_dst, n_dst, comb_mask)
+                        normalized = total / jnp.maximum(deg, 1.0)[:, None]
+                        aggregated = activation(agg.activation)(normalized)
+                    final_len = None
+                else:
+                    # sequence aggregations: padded per-source blocks
+                    blocks = [
+                        seg.scatter_to_sequences(
+                            s["messages"],
+                            s["dst_idx"],
+                            s["seq"],
+                            n_dst,
+                            meta.maxlen(s["adj"]),
+                        )
+                        for s in per_source
+                    ]
+                    if agg.kind == "concat" and agg.concat_axis == 2:
+                        aggregated = jnp.concatenate(blocks, axis=2)
+                        final_len = lens[0]
+                    else:
+                        aggregated = jnp.concatenate(blocks, axis=1)
+                        final_len = sum(lens)
+                        if agg.kind == "interleave":
+                            perm = batch[f"interleave_perm_{dst}"]
+                            rows = perm[batch[f"graph_id_{dst}"]]  # [n_dst, T_out]
+                            aggregated = jnp.take_along_axis(
+                                aggregated, rows[:, :, None], axis=1
+                            )
+
+                # ---- update ----
+                node_mask = batch[f"node_mask_{dst}"]
+                if mp.update.kind == "recurrent":
+                    up = params["update"][f"{dst}_update"]
+                    if agg.kind in _VECTOR_AGGS:
+                        new_state = RNN.cell_step(
+                            mp.update.rnn, up, aggregated, dst_states
+                        )
+                    else:
+                        new_state = RNN.masked_update(
+                            mp.update.rnn,
+                            up,
+                            aggregated,
+                            final_len.astype(jnp.int32),
+                            dst_states,
+                        )
+                else:
+                    up = params["update"][f"{dst}_ff_update"]
+                    x = jnp.concatenate([aggregated, dst_states], axis=1)
+                    new_state = MLP.apply(mp.update.mlp, up, x)
+
+                new_states[dst] = new_state * node_mask[:, None]
+
+        return new_states
+
+    # ------------------------------------------------------------------
+
+    def _attention(
+        self,
+        ap,
+        agg,
+        comb_msg,
+        comb_dst,
+        comb_mask,
+        dst_states,
+        per_source,
+        lens,
+        n_dst,
+        meta,
+    ):
+        """GAT-style attention (reference Attention_aggr.calculate_input,
+        auxilary_classes.py:278-344).
+
+        Default mode 'per_destination' computes a numerically-stable softmax
+        over each destination's incoming edges (the standard GAT semantics).
+        Mode 'reference' reproduces the reference's softmax over axis 0 of the
+        scattered [num_dst, max_len, 1] tensor (a_c.py:336), including the
+        exp(0) contributions of empty slots.
+        """
+        t_src = comb_msg @ ap["kernel1"]
+        t_dst = dst_states[comb_dst] @ ap["kernel2"]
+        scores = jnp.concatenate([t_src, t_dst], axis=1) @ ap["attn_kernel"]
+        scores = jax.nn.leaky_relu(scores, negative_slope=0.2).reshape(-1)
+
+        if agg.attention_softmax == "reference":
+            # per-source seq offsets (reference generate_model.py:538-541)
+            seqs = []
+            offset = jnp.zeros((n_dst,), jnp.float32)
+            for s, l in zip(per_source, lens):
+                seqs.append(s["seq"] + offset[s["dst_idx"]].astype(s["seq"].dtype))
+                offset = offset + l
+            comb_seq = jnp.concatenate(seqs, 0)
+            max_len = sum(meta.maxlen(s["adj"]) for s in per_source)
+            scattered = seg.scatter_to_sequences(
+                (scores * comb_mask)[:, None], comb_dst, comb_seq, n_dst, max_len
+            )
+            coeff = jax.nn.softmax(scattered, axis=0)
+            flat = coeff.reshape(n_dst * max_len)
+            picked = flat[comb_dst * max_len + comb_seq]
+            weights = picked * comb_mask
+        else:
+            weights = seg.segment_softmax(scores, comb_dst, n_dst, comb_mask)
+
+        weighted = comb_msg * weights[:, None]
+        return seg.segment_sum(weighted, comb_dst, n_dst)
+
+    # ------------------------------------------------------------------
+
+    def _readout(self, params, batch, meta, states, *, training, rng):
+        """Execute the readout pipeline (reference generate_model.py:607-658).
+
+        Intermediates live in `ro`; tensors are domain-tagged so graph-level
+        results broadcast back over nodes when combined with node-level ones.
+        """
+        model_ir = self.ir
+        ro: Dict[str, jnp.ndarray] = {}
+        domains = self.domains
+
+        def domain_of(name):
+            return domains.get(name, ("entity", name))
+
+        def fetch(name):
+            if name in ro:
+                return ro[name]
+            if name in states:
+                return states[name]
+            if name in batch:
+                v = batch[name]
+                return v.astype(jnp.float32) if v.ndim > 1 else v.astype(jnp.float32)[:, None]
+            raise BuildError(f"readout input '{name}' is not available")
+
+        def broadcast_to(x, from_dom, to_dom):
+            if from_dom == to_dom or from_dom[0] != "graph" or to_dom[0] != "entity":
+                return x
+            gid = batch[f"graph_id_{to_dom[1]}"]
+            return x[gid]
+
+        result = None
+        for i, op in enumerate(model_ir.readout):
+            if op.kind in ("predict", "neural_network"):
+                doms = [domain_of(n) for n in op.inputs]
+                target = next((d for d in doms if d[0] != "graph"), doms[0])
+                xs = [
+                    broadcast_to(fetch(n), d, target) for n, d in zip(op.inputs, doms)
+                ]
+                x = jnp.concatenate(xs, axis=1) if len(xs) > 1 else xs[0]
+                out = MLP.apply(
+                    op.mlp,
+                    params["readout"][f"op{i}"],
+                    x,
+                    deterministic=not training,
+                    rng=rng,
+                )
+                if op.kind == "predict":
+                    result = out[:, 0] if out.shape[-1] == 1 else out
+                else:
+                    ro[op.output_name] = out
+            elif op.kind == "pooling":
+                name = op.inputs[0]
+                dom = domain_of(name)
+                x = fetch(name)
+                if dom[0] == "entity":
+                    ro[op.output_name] = seg.graph_pool(
+                        x,
+                        batch[f"graph_id_{dom[1]}"],
+                        meta.num_graphs,
+                        batch[f"node_mask_{dom[1]}"],
+                        op.pooling,
+                    )
+                else:
+                    raise BuildError(
+                        f"pooling over domain {dom} is not supported (input '{name}')"
+                    )
+            elif op.kind == "product":
+                d1, d2 = domain_of(op.inputs[0]), domain_of(op.inputs[1])
+                target = d1 if d1[0] != "graph" else d2
+                x1 = broadcast_to(fetch(op.inputs[0]), d1, target)
+                x2 = broadcast_to(fetch(op.inputs[1]), d2, target)
+                if op.product == "dot_product":
+                    # NOTE: the reference calls tf.tensordot(axes=0) — an OUTER
+                    # product (a_c.py:1082-1083) — while its dimension
+                    # bookkeeping records width 1 (generate_model.py:375-376).
+                    # We implement the recorded intent: a row-wise dot product.
+                    ro[op.output_name] = jnp.sum(x1 * x2, axis=-1, keepdims=True)
+                else:
+                    ro[op.output_name] = x1 * x2
+            elif op.kind == "extend_adjacencies":
+                adj = op.adj_name
+                src_states = fetch(op.inputs[0])
+                dst_states_ = fetch(op.inputs[1])
+                ro[op.output_names[0]] = src_states[batch[f"src_{adj}"]]
+                ro[op.output_names[1]] = dst_states_[batch[f"dst_{adj}"]]
+        return result
+
+
+def build(model_ir: IR.ModelIR) -> GnnModel:
+    return GnnModel(model_ir)

@@ -1,0 +1,102 @@
+"""Feed-forward model: init/apply from an MLPSpec.
+
+Functional equivalent of the reference's `Feed_forward_model.construct_tf_model`
+(auxilary_classes.py:918-975): a chain of layers built from the spec, with an
+optional last-layer unit override (used for update networks, whose output must
+match the destination state dim — generate_model.py:343-346).
+
+Params are a plain pytree: {"layers": ({"kernel": ..., "bias": ...} | {}, ...)}.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..frontend.ir import MLPSpec
+from .layers import activation, glorot_uniform
+
+
+def init(
+    rng: jax.Array,
+    spec: MLPSpec,
+    in_dim: int,
+    last_units: Optional[int] = None,
+) -> Tuple[Dict[str, Any], int]:
+    """Initialize parameters. Returns (params, output_dim)."""
+    params = []
+    dim = in_dim
+    n = len(spec.layers)
+    for j, layer in enumerate(spec.layers):
+        if layer.kind == "Dense":
+            units = layer.units
+            if j == n - 1 and last_units is not None:
+                units = last_units
+            if units is None:
+                raise ValueError(
+                    f"Dense layer '{layer.name}' of network '{spec.name}' has no units"
+                )
+            rng, key = jax.random.split(rng)
+            p = {"kernel": glorot_uniform(key, (dim, int(units)))}
+            if layer.use_bias:
+                p["bias"] = jnp.zeros((int(units),), jnp.float32)
+            params.append(p)
+            dim = int(units)
+        elif layer.kind in ("Dropout", "Activation"):
+            params.append({})
+        else:
+            raise ValueError(
+                f"unsupported layer type '{layer.kind}' in network '{spec.name}'; "
+                f"supported: Dense, Dropout, Activation"
+            )
+    return {"layers": tuple(params)}, dim
+
+
+def apply(
+    spec: MLPSpec,
+    params: Dict[str, Any],
+    x: jnp.ndarray,
+    *,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    for layer, p in zip(spec.layers, params["layers"]):
+        if layer.kind == "Dense":
+            x = x @ p["kernel"]
+            if layer.use_bias:
+                x = x + p["bias"]
+            x = activation(layer.activation)(x)
+        elif layer.kind == "Activation":
+            x = activation(layer.activation or layer.extra.get("activation"))(x)
+        elif layer.kind == "Dropout":
+            if not deterministic and layer.rate > 0.0:
+                if rng is None:
+                    raise ValueError("dropout requires an rng in training mode")
+                rng, key = jax.random.split(rng)
+                keep = jax.random.bernoulli(key, 1.0 - layer.rate, x.shape)
+                x = jnp.where(keep, x / (1.0 - layer.rate), 0.0)
+    return x
+
+
+def l2_loss(spec: MLPSpec, params: Dict[str, Any]) -> jnp.ndarray:
+    """Sum of kernel_regularizer * sum(kernel**2), matching keras
+    `regularizers.l2` semantics (reference auxilary_classes.py:833-834)."""
+    total = jnp.float32(0.0)
+    for layer, p in zip(spec.layers, params["layers"]):
+        if layer.kind == "Dense" and layer.kernel_regularizer > 0.0:
+            total = total + layer.kernel_regularizer * jnp.sum(p["kernel"] ** 2)
+    return total
+
+
+def output_dim(spec: MLPSpec, in_dim: int, last_units: Optional[int] = None) -> int:
+    dim = in_dim
+    n = len(spec.layers)
+    for j, layer in enumerate(spec.layers):
+        if layer.kind == "Dense":
+            units = layer.units
+            if j == n - 1 and last_units is not None:
+                units = last_units
+            dim = int(units)
+    return dim

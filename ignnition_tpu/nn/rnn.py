@@ -1,0 +1,140 @@
+"""Recurrent cells (GRU / LSTM) and the masked sequence update.
+
+Functional equivalents of the reference's `Recurrent_Cell`
+(auxilary_classes.py:702-796), which wraps `tf.keras.layers.{GRU,LSTM}Cell`:
+
+  * `cell_step`  — one cell application (the reference's
+    `perform_unsorted_update`, a_c.py:752-765): used after sum/attention/
+    convolution aggregations, where the aggregated message is a single vector.
+  * `masked_update` — a `lax.scan` over the padded per-destination message
+    sequence `[num_dst, max_len, dim]` with a length mask, returning the state
+    after the last valid step (the reference's `perform_sorted_update`,
+    a_c.py:767-796, which runs a masked Keras RNN and gathers
+    `outputs[:, final_len-1]`). Masked steps carry the state through, so the
+    final carry equals the reference's gathered output; destinations with zero
+    messages keep their previous state (the reference would index -1 there —
+    RouteNet-style data never exercises it).
+
+GRU follows the Keras v2 formulation with `reset_after=True` (two bias sets,
+the cuDNN-compatible variant that is the TF2 default); LSTM uses
+`unit_forget_bias=True`. Initializers match Keras defaults
+(glorot_uniform kernel, orthogonal recurrent, zero bias).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..frontend.ir import RNNSpec
+from .layers import glorot_uniform, orthogonal
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+
+def init(rng: jax.Array, spec: RNNSpec, in_dim: int, units: int) -> Dict[str, Any]:
+    k1, k2 = jax.random.split(rng)
+    if spec.cell_type == "GRU":
+        return {
+            "kernel": glorot_uniform(k1, (in_dim, 3 * units)),
+            "recurrent_kernel": orthogonal(k2, (units, 3 * units)),
+            "bias": jnp.zeros((2, 3 * units), jnp.float32),  # input & recurrent
+        }
+    if spec.cell_type == "LSTM":
+        bias = jnp.zeros((4 * units,), jnp.float32)
+        # unit_forget_bias: forget-gate bias starts at 1 (Keras default)
+        bias = bias.at[units : 2 * units].set(1.0)
+        return {
+            "kernel": glorot_uniform(k1, (in_dim, 4 * units)),
+            "recurrent_kernel": orthogonal(k2, (units, 4 * units)),
+            "bias": bias,
+        }
+    raise ValueError(f"unknown recurrent cell type '{spec.cell_type}'")
+
+
+# --------------------------------------------------------------------------
+# single step
+# --------------------------------------------------------------------------
+
+
+def _gru_step(params, x, h):
+    units = h.shape[-1]
+    xw = x @ params["kernel"] + params["bias"][0]
+    hw = h @ params["recurrent_kernel"] + params["bias"][1]
+    xz, xr, xh = jnp.split(xw, 3, axis=-1)
+    hz, hr, hh = jnp.split(hw, 3, axis=-1)
+    z = jax.nn.sigmoid(xz + hz)
+    r = jax.nn.sigmoid(xr + hr)
+    hcand = jnp.tanh(xh + r * hh)
+    return z * h + (1.0 - z) * hcand
+
+
+def _lstm_step(params, x, state):
+    h, c = state
+    zw = x @ params["kernel"] + h @ params["recurrent_kernel"] + params["bias"]
+    i, f, g, o = jnp.split(zw, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def cell_step(spec: RNNSpec, params, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """One cell application. `h` is the visible state (LSTM keeps its cell
+    state internal to a sequence; for single-step updates the reference also
+    passes only `[old_state]` as initial state, zero cell state)."""
+    if spec.cell_type == "GRU":
+        return _gru_step(params, x, h)
+    h_new, _ = _lstm_step(params, x, (h, jnp.zeros_like(h)))
+    return h_new
+
+
+# --------------------------------------------------------------------------
+# masked sequence update
+# --------------------------------------------------------------------------
+
+
+def masked_update(
+    spec: RNNSpec,
+    params,
+    seq_inputs: jnp.ndarray,  # [num_dst, max_len, dim]
+    lengths: jnp.ndarray,  # [num_dst] int
+    init_state: jnp.ndarray,  # [num_dst, units]
+) -> jnp.ndarray:
+    """Run the cell over the time axis; masked steps carry state through.
+
+    Returns the state after each destination's last valid message.
+    """
+    max_len = seq_inputs.shape[1]
+    t_index = jnp.arange(max_len)
+
+    if spec.cell_type == "GRU":
+
+        def body(h, xt):
+            x, valid = xt
+            h_new = _gru_step(params, x, h)
+            h = jnp.where(valid[:, None], h_new, h)
+            return h, None
+
+        xs = (jnp.moveaxis(seq_inputs, 1, 0), (t_index[:, None] < lengths[None, :]))
+        final, _ = jax.lax.scan(body, init_state, xs)
+        return final
+
+    def body(carry, xt):
+        h, c = carry
+        x, valid = xt
+        h_new, c_new = _lstm_step(params, x, (h, c))
+        h = jnp.where(valid[:, None], h_new, h)
+        c = jnp.where(valid[:, None], c_new, c)
+        return (h, c), None
+
+    xs = (jnp.moveaxis(seq_inputs, 1, 0), (t_index[:, None] < lengths[None, :]))
+    (final_h, _), _ = jax.lax.scan(body, (init_state, jnp.zeros_like(init_state)), xs)
+    return final_h

@@ -1,0 +1,125 @@
+"""Segment/scatter primitives — the SpMM-shaped hot path of message passing.
+
+The reference's aggregation hot loop is `tf.gather` + `tf.scatter_nd` +
+`tf.math.unsorted_segment_sum` (generate_model.py:432-491,
+auxilary_classes.py:241-401). Here the same primitives are expressed for XLA,
+with a Pallas TPU kernel behind `segment_sum` for the large sorted-COO case
+(see ops/pallas/segment_kernels.py). All shapes are static; padding edges are
+neutralized by masking messages to zero before aggregation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_PALLAS_MIN_EDGES = 4096  # below this, XLA's native lowering wins
+
+
+def segment_sum(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    indices_are_sorted: bool = False,
+    use_pallas: str = "auto",
+) -> jnp.ndarray:
+    """Sum rows of `data` into `num_segments` buckets.
+
+    use_pallas: "auto" | "never" | "always". The Pallas path requires
+    `indices_are_sorted=True` (destination-ordered COO, which the dataset
+    layer guarantees) and 2-D `data`.
+    """
+    if (
+        use_pallas != "never"
+        and indices_are_sorted
+        and data.ndim == 2
+        and jax.default_backend() == "tpu"
+        and (use_pallas == "always" or data.shape[0] >= _PALLAS_MIN_EDGES)
+    ):
+        try:
+            from .pallas.segment_kernels import sorted_segment_sum_pallas
+
+            return sorted_segment_sum_pallas(data, segment_ids, num_segments)
+        except Exception:  # pragma: no cover - fall back on any lowering issue
+            pass
+    return jax.ops.segment_sum(
+        data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+
+
+def segment_softmax(
+    scores: jnp.ndarray,  # [E] or [E, 1]
+    segment_ids: jnp.ndarray,  # [E]
+    num_segments: int,
+    mask: jnp.ndarray,  # [E] 1.0 for real edges
+) -> jnp.ndarray:
+    """Per-segment softmax over edge scores, ignoring masked edges.
+
+    Numerically stable (per-segment max subtraction). Masked edges get
+    weight 0; empty segments produce all-zero weights.
+    """
+    scores = scores.reshape(-1)
+    neg_inf = jnp.finfo(scores.dtype).min
+    masked_scores = jnp.where(mask > 0, scores, neg_inf)
+    seg_max = jax.ops.segment_max(masked_scores, segment_ids, num_segments)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    exp = jnp.where(mask > 0, jnp.exp(masked_scores - seg_max[segment_ids]), 0.0)
+    denom = jax.ops.segment_sum(exp, segment_ids, num_segments)
+    denom = jnp.where(denom > 0, denom, 1.0)
+    return exp / denom[segment_ids]
+
+
+def segment_count(
+    segment_ids: jnp.ndarray, num_segments: int, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Number of (real) edges per segment — the reference's `lens`
+    (generate_model.py:481-482)."""
+    return jax.ops.segment_sum(mask, segment_ids, num_segments)
+
+
+def scatter_to_sequences(
+    messages: jnp.ndarray,  # [E, D], already masked to zero on padding edges
+    dst_idx: jnp.ndarray,  # [E]
+    seq: jnp.ndarray,  # [E] position within destination
+    num_dst: int,
+    max_len: int,
+) -> jnp.ndarray:
+    """Scatter per-edge messages into the padded per-destination sequence
+    tensor [num_dst, max_len, D] (reference generate_model.py:477-491).
+
+    Uses an additive scatter over a flattened index: real (dst, seq) slots are
+    unique, and padding edges carry zero messages, so add == set.
+    """
+    d = messages.shape[-1]
+    flat_idx = dst_idx * max_len + seq
+    out = jnp.zeros((num_dst * max_len, d), messages.dtype)
+    out = out.at[flat_idx].add(messages)
+    return out.reshape(num_dst, max_len, d)
+
+
+def graph_pool(
+    x: jnp.ndarray,  # [N, D]
+    graph_ids: jnp.ndarray,  # [N]
+    num_graphs: int,
+    node_mask: jnp.ndarray,  # [N]
+    kind: str,
+) -> jnp.ndarray:
+    """Per-graph pooling (sum | mean | max) over node rows.
+
+    Replaces the reference's whole-tensor `tf.reduce_*` pooling
+    (auxilary_classes.py:1165-1185), which only works because it sees one
+    graph at a time; with merged batches pooling is a segment reduction.
+    """
+    xm = x * node_mask[:, None]
+    if kind == "sum":
+        return jax.ops.segment_sum(xm, graph_ids, num_graphs)
+    if kind == "mean":
+        s = jax.ops.segment_sum(xm, graph_ids, num_graphs)
+        n = jax.ops.segment_sum(node_mask, graph_ids, num_graphs)
+        return s / jnp.maximum(n, 1.0)[:, None]
+    if kind == "max":
+        neg = jnp.finfo(x.dtype).min
+        xmasked = jnp.where(node_mask[:, None] > 0, x, neg)
+        m = jax.ops.segment_max(xmasked, graph_ids, num_graphs)
+        return jnp.where(jnp.isfinite(m), m, 0.0)
+    raise ValueError(f"unknown pooling kind '{kind}'")

@@ -1,0 +1,20 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+# exercised without TPU hardware.
+#
+# The environment's sitecustomize registers a remote-TPU ("axon") backend at
+# interpreter start and forces jax_platforms="axon,cpu" via jax.config.update,
+# so setting the env var alone is not enough — override the config after
+# import. XLA_FLAGS is read lazily when the CPU client is first created,
+# which has not happened yet at conftest time.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

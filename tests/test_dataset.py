@@ -1,0 +1,106 @@
+import numpy as np
+import pytest
+
+from ignnition_tpu.data import dataset as ds
+from ignnition_tpu.data import graph as G
+from ignnition_tpu.data.synthetic import make_routenet_sample, write_dataset
+from ignnition_tpu.frontend import parser
+
+from helpers import TINY_SAMPLE, routenet_description, qsize_description
+
+
+def _ir():
+    return parser.parse_model_description(
+        routenet_description(), {"link_capacity": 1, "traffic": 1}
+    )
+
+
+def test_make_indices_contiguous_per_entity():
+    counts, idx = ds.make_indices(TINY_SAMPLE["entities"])
+    assert counts == {"link": 3, "path": 2}
+    assert idx == {"l0": 0, "l1": 1, "l2": 2, "p0": 0, "p1": 1}
+
+
+def test_convert_sample_edges_ordered_by_destination():
+    spec = ds.SampleSpec.from_ir(_ir())
+    s = ds.convert_sample(TINY_SAMPLE, spec)
+    a = s.adjacencies["adj_links_paths"]
+    # destination-ordered: p0's links first (seq 0,1) then p1's
+    np.testing.assert_array_equal(a.dst_idx, [0, 0, 1, 1])
+    np.testing.assert_array_equal(a.src_idx, [0, 1, 1, 2])
+    np.testing.assert_array_equal(a.seq, [0, 1, 0, 1])
+    b = s.adjacencies["adj_paths_links"]
+    np.testing.assert_array_equal(b.dst_idx, [0, 1, 1, 2])
+    np.testing.assert_array_equal(b.src_idx, [0, 0, 1, 1])
+    np.testing.assert_array_equal(s.label, [0.5, 0.25])
+
+
+def test_infer_dimensions():
+    dims = ds.infer_dimensions(TINY_SAMPLE)
+    assert dims["link_capacity"] == 1
+    assert dims["adj_links_paths"] == 0  # no edge params
+
+
+def test_batch_merging_offsets():
+    ir = _ir()
+    spec = ds.SampleSpec.from_ir(ir)
+    s1 = ds.convert_sample(TINY_SAMPLE, spec)
+    s2 = ds.convert_sample(TINY_SAMPLE, spec)
+    arrays, meta = G.build_batch([s1, s2], ir, G.PaddingConfig(min_size=8))
+    # second sample's node indices offset by first sample's counts
+    e = arrays["src_adj_links_paths"]
+    real = e[: 8]  # 4 edges per sample
+    np.testing.assert_array_equal(real[:4], [0, 1, 1, 2])
+    np.testing.assert_array_equal(real[4:8], [3, 4, 4, 5])
+    d = arrays["dst_adj_links_paths"]
+    np.testing.assert_array_equal(d[:8], [0, 0, 1, 1, 2, 2, 3, 3])
+    assert arrays["node_mask_link"].sum() == 6
+    assert arrays["node_mask_path"].sum() == 4
+    np.testing.assert_array_equal(arrays["graph_id_path"][:4], [0, 0, 1, 1])
+    # labels aligned with padded path rows, log-normalized
+    lm = arrays["label_mask"]
+    assert lm.sum() == 4
+    np.testing.assert_allclose(
+        arrays["label"][:4], np.log([0.5, 0.25, 0.5, 0.25]), rtol=1e-6
+    )
+    assert meta.nodes("path") >= 4
+
+
+def test_batch_padding_masks_edges():
+    ir = _ir()
+    spec = ds.SampleSpec.from_ir(ir)
+    s = ds.convert_sample(TINY_SAMPLE, spec)
+    arrays, meta = G.build_batch([s], ir)
+    em = arrays["edge_mask_adj_links_paths"]
+    assert em.sum() == 4
+    assert len(em) == meta.edges("adj_links_paths")
+
+
+def test_synthetic_roundtrip(tmp_path):
+    write_dataset(str(tmp_path), num_archives=2, samples_per_archive=3, seed=1)
+    dims = ds.find_dataset_dimensions(str(tmp_path))
+    assert dims["link_capacity"] == 1
+    ir = parser.parse_model_description(routenet_description(), dims)
+    spec = ds.SampleSpec.from_ir(ir)
+    samples = list(ds.iter_samples(str(tmp_path), spec))
+    assert len(samples) == 6
+    arrays, meta = G.build_batch(samples[:3], ir)
+    assert arrays["label_mask"].sum() == sum(s.num_nodes["path"] for s in samples[:3])
+
+
+def test_qsize_interleave_batch():
+    ir = parser.parse_model_description(
+        qsize_description(), {"link_capacity": 1, "traffic": 1, "queue_sizes": 1}
+    )
+    rng = np.random.default_rng(0)
+    raw = make_routenet_sample(rng, n_links=10, n_paths=6, with_nodes=True)
+    spec = ds.SampleSpec.from_ir(ir)
+    s = ds.convert_sample(raw, spec)
+    assert ("link", "path") in s.interleave
+    assert ("node", "path") in s.interleave
+    arrays, meta = G.build_batch([s], ir)
+    perm = arrays["interleave_perm_path"]
+    t_out = meta.ilv_len("path")
+    assert perm.shape == (1, t_out)
+    # a permutation: every input slot appears exactly once
+    assert sorted(perm[0].tolist()) == list(range(t_out))

@@ -1,0 +1,80 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ignnition_tpu.frontend import ir
+from ignnition_tpu.nn import mlp, rnn
+
+
+def test_mlp_shapes_and_l2():
+    spec = ir.MLPSpec(
+        name="m",
+        layers=(
+            ir.LayerSpec(kind="Dense", units=8, activation="selu", kernel_regularizer=0.1),
+            ir.LayerSpec(kind="Dense", units=3, activation=None),
+        ),
+    )
+    params, out = mlp.init(jax.random.PRNGKey(0), spec, in_dim=5)
+    assert out == 3
+    x = jnp.ones((4, 5))
+    y = mlp.apply(spec, params, x)
+    assert y.shape == (4, 3)
+    l2 = mlp.l2_loss(spec, params)
+    expected = 0.1 * jnp.sum(params["layers"][0]["kernel"] ** 2)
+    np.testing.assert_allclose(l2, expected, rtol=1e-6)
+
+
+def test_mlp_last_unit_override():
+    spec = ir.MLPSpec(
+        name="m", layers=(ir.LayerSpec(kind="Dense", units=8, activation="relu"),)
+    )
+    params, out = mlp.init(jax.random.PRNGKey(0), spec, in_dim=4, last_units=6)
+    assert out == 6
+    assert params["layers"][0]["kernel"].shape == (4, 6)
+
+
+def _np_gru_step(p, x, h):
+    xw = x @ np.asarray(p["kernel"]) + np.asarray(p["bias"][0])
+    hw = h @ np.asarray(p["recurrent_kernel"]) + np.asarray(p["bias"][1])
+    xz, xr, xh = np.split(xw, 3, -1)
+    hz, hr, hh = np.split(hw, 3, -1)
+    z = 1 / (1 + np.exp(-(xz + hz)))
+    r = 1 / (1 + np.exp(-(xr + hr)))
+    hc = np.tanh(xh + r * hh)
+    return z * h + (1 - z) * hc
+
+
+def test_gru_step_matches_numpy():
+    spec = ir.RNNSpec(name="g", cell_type="GRU")
+    params = rnn.init(jax.random.PRNGKey(1), spec, in_dim=4, units=6)
+    x = np.random.default_rng(0).normal(size=(3, 4)).astype(np.float32)
+    h = np.random.default_rng(1).normal(size=(3, 6)).astype(np.float32)
+    got = rnn.cell_step(spec, params, jnp.asarray(x), jnp.asarray(h))
+    want = _np_gru_step(params, x, h)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_masked_update_respects_lengths():
+    spec = ir.RNNSpec(name="g", cell_type="GRU")
+    params = rnn.init(jax.random.PRNGKey(2), spec, in_dim=4, units=4)
+    rng = np.random.default_rng(2)
+    seqs = rng.normal(size=(2, 5, 4)).astype(np.float32)
+    init = rng.normal(size=(2, 4)).astype(np.float32)
+    lengths = jnp.asarray([3, 0])
+    out = rnn.masked_update(spec, params, jnp.asarray(seqs), lengths, jnp.asarray(init))
+    # row 1 has zero messages: state unchanged
+    np.testing.assert_allclose(out[1], init[1], rtol=1e-6)
+    # row 0: 3 steps of the cell
+    h = init[0:1]
+    for t in range(3):
+        h = _np_gru_step(params, seqs[0:1, t], h)
+    np.testing.assert_allclose(out[0], h[0], rtol=1e-5, atol=1e-6)
+
+
+def test_lstm_masked_update_runs():
+    spec = ir.RNNSpec(name="l", cell_type="LSTM")
+    params = rnn.init(jax.random.PRNGKey(3), spec, in_dim=4, units=4)
+    seqs = jnp.ones((2, 3, 4))
+    out = rnn.masked_update(spec, params, seqs, jnp.asarray([3, 1]), jnp.zeros((2, 4)))
+    assert out.shape == (2, 4)
+    assert bool(jnp.all(jnp.isfinite(out)))
