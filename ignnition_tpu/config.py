@@ -1,0 +1,80 @@
+"""Run configuration: `train_options.ini`-compatible.
+
+Same sections and keys as the reference (code/train_options.ini,
+framework_operations.py:34-36 reads it with ExtendedInterpolation):
+[PATHS] train_dataset / eval_dataset / predict_dataset / json_path /
+model_dir / debug_dir / warm_start_path; [TRAINING_OPTIONS] batch_size /
+train_steps / shuffle_* / eval_samples / save_checkpoints_secs /
+keep_checkpoint_max / throttle_secs. `execute_gpu` is accepted and ignored
+(device selection is JAX's; see docs). Values may also be provided
+programmatically.
+"""
+
+from __future__ import annotations
+
+import configparser
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+def _str_to_bool(v: str) -> bool:
+    return str(v).strip().lower() in ("true", "1", "yes")
+
+
+@dataclass
+class RunConfig:
+    # [PATHS]
+    train_dataset: str = ""
+    eval_dataset: str = ""
+    predict_dataset: Optional[str] = None
+    json_path: str = ""
+    model_dir: str = "./checkpoints"
+    debug_dir: str = "./debug_model"
+    warm_start_path: Optional[str] = None
+    # [TRAINING_OPTIONS]
+    batch_size: int = 3
+    train_steps: int = 5_000_000
+    shuffle_train_samples: bool = True
+    shuffle_eval_samples: bool = False
+    eval_samples: int = 100
+    save_checkpoints_secs: int = 300
+    keep_checkpoint_max: int = 20
+    throttle_secs: int = 300
+    log_every: int = 10
+
+    @staticmethod
+    def from_ini(path: str = "./train_options.ini") -> "RunConfig":
+        cp = configparser.ConfigParser()
+        cp._interpolation = configparser.ExtendedInterpolation()
+        read = cp.read(path)
+        if not read:
+            raise FileNotFoundError(f"config file '{path}' not found")
+        cfg = RunConfig()
+        paths = cp["PATHS"] if cp.has_section("PATHS") else {}
+        for key in (
+            "train_dataset",
+            "eval_dataset",
+            "predict_dataset",
+            "json_path",
+            "model_dir",
+            "debug_dir",
+            "warm_start_path",
+        ):
+            if key in paths:
+                setattr(cfg, key, paths[key])
+        to = cp["TRAINING_OPTIONS"] if cp.has_section("TRAINING_OPTIONS") else {}
+        for key in (
+            "batch_size",
+            "train_steps",
+            "eval_samples",
+            "save_checkpoints_secs",
+            "keep_checkpoint_max",
+            "throttle_secs",
+            "log_every",
+        ):
+            if key in to:
+                setattr(cfg, key, int(to[key]))
+        for key in ("shuffle_train_samples", "shuffle_eval_samples"):
+            if key in to:
+                setattr(cfg, key, _str_to_bool(to[key]))
+        return cfg

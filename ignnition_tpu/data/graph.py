@@ -230,7 +230,11 @@ def build_batch(
         max_len[a.name] = ml_pad
 
         src = np.zeros(e_pad, dtype=np.int32)
-        dst = np.zeros(e_pad, dtype=np.int32)
+        # padding edges point at the LAST padded destination row so the edge
+        # list stays sorted by destination (real edges are destination-ordered
+        # per sample with increasing per-sample offsets) — required by the
+        # Pallas sorted-COO segment kernel; messages are masked to zero anyway
+        dst = np.full(e_pad, node_pad[a.dst] - 1, dtype=np.int32)
         seq_arr = np.zeros(e_pad, dtype=np.int32)
         emask = np.zeros(e_pad, dtype=np.float32)
         params = (
@@ -355,3 +359,125 @@ def build_batch(
         label_pad=label_pad,
     )
     return arrays, meta
+
+
+# --------------------------------------------------------------------------
+# Re-padding to a common meta (for stacking data-parallel batches)
+# --------------------------------------------------------------------------
+
+
+def merge_metas(metas: Sequence[BatchMeta]) -> BatchMeta:
+    """Elementwise max of batch metas (num_graphs must already agree)."""
+    ng = {m.num_graphs for m in metas}
+    if len(ng) != 1:
+        raise ValueError(f"cannot merge metas with different num_graphs: {ng}")
+
+    def _max(field):
+        out: Dict[str, int] = {}
+        for m in metas:
+            for k, v in getattr(m, field):
+                out[k] = max(out.get(k, 0), v)
+        return tuple(sorted(out.items()))
+
+    return BatchMeta(
+        num_graphs=next(iter(ng)),
+        node_pad=_max("node_pad"),
+        edge_pad=_max("edge_pad"),
+        max_len=_max("max_len"),
+        interleave_len=_max("interleave_len"),
+        label_pad=max(m.label_pad for m in metas),
+    )
+
+
+def repad_to_meta(
+    arrays: Dict[str, np.ndarray],
+    meta: BatchMeta,
+    target: BatchMeta,
+    model_ir,
+) -> Dict[str, np.ndarray]:
+    """Grow a batch's padding to `target` (every target size >= current).
+
+    Trailing zero-padding is semantics-preserving for node/edge/label arrays
+    (masks already gate everything); interleave permutations are rebuilt to
+    the new block offsets.
+    """
+    out = dict(arrays)
+    node_pad_t, node_pad_c = dict(target.node_pad), dict(meta.node_pad)
+    edge_pad_t, edge_pad_c = dict(target.edge_pad), dict(meta.edge_pad)
+
+    def pad_rows(a: np.ndarray, rows: int, fill=0) -> np.ndarray:
+        if a.shape[0] >= rows:
+            return a
+        width = ((0, rows - a.shape[0]),) + ((0, 0),) * (a.ndim - 1)
+        return np.pad(a, width, constant_values=fill)
+
+    feature_entities = {}
+    for e in model_ir.entities:
+        for f in e.features:
+            feature_entities[f.name] = e.name
+
+    for e in model_ir.entities:
+        n = node_pad_t[e.name]
+        out[f"node_mask_{e.name}"] = pad_rows(out[f"node_mask_{e.name}"], n)
+        out[f"graph_id_{e.name}"] = pad_rows(
+            out[f"graph_id_{e.name}"], n, fill=max(meta.num_graphs - 1, 0)
+        )
+        for f in e.features:
+            out[f.name] = pad_rows(out[f.name], n)
+
+    adj_info = {a.name: a for a in model_ir.adjacency_info()}
+    for name in edge_pad_t:
+        ne = edge_pad_t[name]
+        for prefix in ("src_", "dst_", "seq_", "edge_mask_", "params_"):
+            k = prefix + name
+            if k in out:
+                if prefix == "dst_" and name in adj_info:
+                    fill = node_pad_t[adj_info[name].dst] - 1
+                    # existing padding rows must also move to the new last row
+                    # to preserve destination-sortedness
+                    cur = out[k]
+                    old_fill = dict(meta.node_pad)[adj_info[name].dst] - 1
+                    emask = out.get("edge_mask_" + name)
+                    if emask is not None:
+                        cur = np.where(emask[: len(cur)] > 0, cur, fill)
+                    out[k] = pad_rows(cur, ne, fill=fill)
+                else:
+                    out[k] = pad_rows(out[k], ne)
+
+    if out.get("label") is not None and "label" in out:
+        out["label"] = pad_rows(out["label"], target.label_pad)
+        out["label_mask"] = pad_rows(out["label_mask"], target.label_pad)
+
+    # interleave permutations: remap input slots between block layouts
+    ml_c, ml_t = dict(meta.max_len), dict(target.max_len)
+    for mp in model_ir.all_passes():
+        if mp.aggregation.kind != "interleave":
+            continue
+        dst = mp.destination
+        key = f"interleave_perm_{dst}"
+        if key not in out:
+            continue
+        adjs = [s.adj_name for s in mp.sources]
+        offs_c = np.cumsum([0] + [ml_c[a] for a in adjs])[:-1]
+        offs_t = np.cumsum([0] + [ml_t[a] for a in adjs])[:-1]
+        t_old = int(sum(ml_c[a] for a in adjs))
+        t_new = int(sum(ml_t[a] for a in adjs))
+        if t_old == t_new and all(ml_c[a] == ml_t[a] for a in adjs):
+            continue
+        old = out[key]
+        new = np.zeros((old.shape[0], t_new), np.int32)
+        for g in range(old.shape[0]):
+            remap = {}
+            for bi, a in enumerate(adjs):
+                for local in range(ml_c[a]):
+                    remap[offs_c[bi] + local] = offs_t[bi] + local
+            p = np.full(t_new, -1, np.int32)
+            for t in range(t_old):
+                p[t] = remap[int(old[g, t])]
+            used = set(int(v) for v in p[p >= 0])
+            free = [i for i in range(t_new) if i not in used]
+            p[p < 0] = np.asarray(free, np.int32)
+            new[g] = p
+        out[key] = new
+
+    return out

@@ -267,6 +267,7 @@ class GnnModel:
         rng: Optional[jax.Array] = None,
         return_states: bool = False,
         return_iteration_states: bool = False,
+        edge_axis: Optional[str] = None,
     ):
         """Run the GNN forward. Returns predictions [rows] (last dim squeezed
         when 1), plus entity states if requested."""
@@ -291,7 +292,9 @@ class GnnModel:
 
         def one_iteration(state_tuple, _):
             st = dict(zip(entity_order, state_tuple))
-            st = self._message_passing_iteration(params, batch, meta, st)
+            st = self._message_passing_iteration(
+                params, batch, meta, st, edge_axis=edge_axis
+            )
             return tuple(st[k] for k in entity_order), (
                 tuple(st[k] for k in entity_order) if return_iteration_states else None
             )
@@ -318,7 +321,7 @@ class GnnModel:
 
     # ------------------------------------------------------------------
 
-    def _message_passing_iteration(self, params, batch, meta, states):
+    def _message_passing_iteration(self, params, batch, meta, states, edge_axis=None):
         model_ir = self.ir
         new_states = dict(states)
         edge_vars: Dict[str, jnp.ndarray] = {}
@@ -381,7 +384,7 @@ class GnnModel:
                     )
 
                 lens = [
-                    seg.segment_count(s["dst_idx"], n_dst, s["mask"])
+                    seg.segment_count(s["dst_idx"], n_dst, s["mask"], axis_name=edge_axis)
                     for s in per_source
                 ]
 
@@ -390,8 +393,17 @@ class GnnModel:
                     comb_msg = jnp.concatenate([s["messages"] for s in per_source], 0)
                     comb_dst = jnp.concatenate([s["dst_idx"] for s in per_source], 0)
                     comb_mask = jnp.concatenate([s["mask"] for s in per_source], 0)
+                    # single-source edge lists are destination-sorted by
+                    # construction (data layer) -> Pallas sorted-COO eligible
+                    sorted_coo = len(per_source) == 1
                     if agg.kind == "sum":
-                        aggregated = seg.segment_sum(comb_msg, comb_dst, n_dst)
+                        aggregated = seg.segment_sum(
+                            comb_msg,
+                            comb_dst,
+                            n_dst,
+                            indices_are_sorted=sorted_coo,
+                            axis_name=edge_axis,
+                        )
                     elif agg.kind == "attention":
                         aggregated = self._attention(
                             params["aggregation"][f"s{si}/m{mi}"],
@@ -404,13 +416,22 @@ class GnnModel:
                             lens,
                             n_dst,
                             meta,
+                            edge_axis,
                         )
                     else:  # convolution
                         ap = params["aggregation"][f"s{si}/m{mi}"]
                         weighted = comb_msg @ ap["kernel"]
-                        nsum = seg.segment_sum(weighted, comb_dst, n_dst)
+                        nsum = seg.segment_sum(
+                            weighted,
+                            comb_dst,
+                            n_dst,
+                            indices_are_sorted=sorted_coo,
+                            axis_name=edge_axis,
+                        )
                         total = nsum + dst_states
-                        deg = seg.segment_count(comb_dst, n_dst, comb_mask)
+                        deg = seg.segment_count(
+                            comb_dst, n_dst, comb_mask, axis_name=edge_axis
+                        )
                         normalized = total / jnp.maximum(deg, 1.0)[:, None]
                         aggregated = activation(agg.activation)(normalized)
                     final_len = None
@@ -423,6 +444,7 @@ class GnnModel:
                             s["seq"],
                             n_dst,
                             meta.maxlen(s["adj"]),
+                            axis_name=edge_axis,
                         )
                         for s in per_source
                     ]
@@ -478,6 +500,7 @@ class GnnModel:
         lens,
         n_dst,
         meta,
+        edge_axis=None,
     ):
         """GAT-style attention (reference Attention_aggr.calculate_input,
         auxilary_classes.py:278-344).
@@ -503,17 +526,30 @@ class GnnModel:
             comb_seq = jnp.concatenate(seqs, 0)
             max_len = sum(meta.maxlen(s["adj"]) for s in per_source)
             scattered = seg.scatter_to_sequences(
-                (scores * comb_mask)[:, None], comb_dst, comb_seq, n_dst, max_len
+                (scores * comb_mask)[:, None],
+                comb_dst,
+                comb_seq,
+                n_dst,
+                max_len,
+                axis_name=edge_axis,
             )
             coeff = jax.nn.softmax(scattered, axis=0)
             flat = coeff.reshape(n_dst * max_len)
             picked = flat[comb_dst * max_len + comb_seq]
             weights = picked * comb_mask
         else:
-            weights = seg.segment_softmax(scores, comb_dst, n_dst, comb_mask)
+            weights = seg.segment_softmax(
+                scores, comb_dst, n_dst, comb_mask, axis_name=edge_axis
+            )
 
         weighted = comb_msg * weights[:, None]
-        return seg.segment_sum(weighted, comb_dst, n_dst)
+        return seg.segment_sum(
+            weighted,
+            comb_dst,
+            n_dst,
+            indices_are_sorted=len(per_source) == 1,
+            axis_name=edge_axis,
+        )
 
     # ------------------------------------------------------------------
 

@@ -8,13 +8,19 @@ the destination-sorted COO layout the data layer guarantees:
   * grid over destination row tiles ([TILE_N, D] output blocks);
   * a scalar-prefetched row-pointer array gives each tile its contiguous
     edge range [start, end);
-  * the inner loop DMAs fixed-size edge chunks (messages + segment ids) from
-    HBM into VMEM double buffers and accumulates
-        acc += onehot(local_dst_row) @ chunk
+  * the inner loop DMAs fixed-size edge chunks from HBM into VMEM double
+    buffers and accumulates
+        acc += onehot(local_dst_row)^T @ chunk
     on the MXU — turning the scatter into dense matmuls.
 
-Edges must be sorted by segment id; the caller pads the edge axis so
-out-of-range reads are safe and padded ids point past the last segment.
+TPU layout constraints shape the data plumbing: dynamic slicing is only
+legal on the sublane (edge) dimension, and 1-lane-wide arrays can't be
+DMA'd. So the segment id of each edge travels as an extra float32 column
+packed into the lane-aligned message matrix, and is extracted in-kernel with
+a lane-selector matmul (exact for ids < 2^24).
+
+Edges must be sorted by segment id; the wrapper pads the edge axis so
+out-of-range chunk reads are safe and padded ids point past the last segment.
 """
 
 from __future__ import annotations
@@ -30,101 +36,119 @@ TILE_N = 128  # destination rows per grid step
 CHUNK = 256  # edges per inner-loop step
 
 
-def _kernel(row_ptr_ref, data_ref, seg_ref, out_ref, msg_buf, seg_buf, sems):
-    i = pl.program_id(0)
-    start = row_ptr_ref[i]
-    end = row_ptr_ref[i + 1]
-    row_base = i * TILE_N
+def _make_kernel(d: int):
+    def kernel(row_ptr_ref, data_ref, out_ref, msg_buf, sems):
+        i = pl.program_id(0)
+        # chunk starts are CHUNK-aligned: Mosaic requires tile-aligned dynamic
+        # DMA offsets, and edges over-read at either end are rejected by the
+        # one-hot id comparison (their ids fall outside this tile's rows)
+        start = (row_ptr_ref[i] // CHUNK) * CHUNK
+        end = row_ptr_ref[i + 1]
+        row_base = i * TILE_N
 
-    out_ref[:] = jnp.zeros_like(out_ref)
+        out_ref[:] = jnp.zeros_like(out_ref)
 
-    n_chunks = pl.cdiv(end - start, CHUNK)
+        n_chunks = pl.cdiv(end - start, CHUNK)
 
-    def get_dmas(slot, c):
-        offs = start + c * CHUNK
-        d = pltpu.make_async_copy(
-            data_ref.at[pl.ds(offs, CHUNK), :], msg_buf.at[slot], sems.at[slot, 0]
-        )
-        s = pltpu.make_async_copy(
-            seg_ref.at[pl.ds(offs, CHUNK), :], seg_buf.at[slot], sems.at[slot, 1]
-        )
-        return d, s
+        def get_dma(slot, c):
+            offs = pl.multiple_of(start + c * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                data_ref.at[pl.ds(offs, CHUNK), :],
+                msg_buf.at[slot],
+                sems.at[slot],
+            )
 
-    @pl.when(n_chunks > 0)
-    def _():
-        d, s = get_dmas(0, 0)
-        d.start()
-        s.start()
-
-    def body(c, _):
-        slot = c % 2
-        nxt = (c + 1) % 2
-
-        @pl.when(c + 1 < n_chunks)
+        @pl.when(n_chunks > 0)
         def _():
-            d, s = get_dmas(nxt, c + 1)
-            d.start()
-            s.start()
+            get_dma(0, 0).start()
 
-        d, s = get_dmas(slot, c)
-        d.wait()
-        s.wait()
+        def body(c, carry):
+            slot = c % 2
+            nxt = (c + 1) % 2
 
-        seg = seg_buf[slot]  # [CHUNK, 1] int32
-        chunk = msg_buf[slot]  # [CHUNK, D]
-        edge_pos = start + c * CHUNK + jax.lax.broadcasted_iota(
-            jnp.int32, (CHUNK, 1), 0
-        )
-        valid = edge_pos < end
-        local = seg[:, 0] - row_base  # [CHUNK]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, CHUNK), 0)
-        onehot = jnp.where(
-            (rows == local[None, :]) & valid[None, :, 0], 1.0, 0.0
-        ).astype(jnp.float32)
-        out_ref[:] += jnp.dot(onehot, chunk, preferred_element_type=jnp.float32)
-        return _
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                get_dma(nxt, c + 1).start()
 
-    jax.lax.fori_loop(0, n_chunks, body, None)
+            get_dma(slot, c).wait()
+
+            chunk = msg_buf[slot]  # [CHUNK, d]; last lane = segment id
+            # extract the id column with a VPU masked lane-reduction (exact
+            # f32; an MXU selector matmul would round ids through bf16 passes)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, d), 1)
+            seg = jnp.sum(
+                jnp.where(lane == d - 1, chunk, 0.0), axis=1, keepdims=True
+            )  # [CHUNK, 1] float ids (exact below 2^24)
+
+            # transposed one-hot [CHUNK, TILE_N]; contract the edge dim on
+            # the MXU (no transposes, no lane-dim dynamic slicing). Edges
+            # outside this tile's row range never match any column.
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (CHUNK, TILE_N), 1
+            ).astype(jnp.float32)
+            onehot = jnp.where(
+                cols == seg - jnp.float32(1.0) * row_base, 1.0, 0.0
+            )
+            out_ref[:] += jax.lax.dot_general(
+                onehot,
+                chunk,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # full-f32 MXU passes
+            )
+            return carry
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def sorted_segment_sum_pallas(
+def _sorted_segment_sum_impl(
     data: jnp.ndarray,  # [E, D] float32, sorted by segment id
     segment_ids: jnp.ndarray,  # [E] int32, non-decreasing
     num_segments: int,
 ) -> jnp.ndarray:
-    e, d = data.shape
+    e, d_in = data.shape
+    d = ((d_in + 1 + 127) // 128) * 128  # lane-align features + id column
     n_pad = ((num_segments + TILE_N - 1) // TILE_N) * TILE_N
-    e_pad = ((e + CHUNK - 1) // CHUNK) * CHUNK + CHUNK  # slack for chunk overreads
+    e_pad = ((e + CHUNK - 1) // CHUNK) * CHUNK + CHUNK  # slack for overreads
 
-    data_p = jnp.zeros((e_pad, d), data.dtype).at[:e].set(data)
-    seg_p = jnp.full((e_pad, 1), n_pad, jnp.int32).at[:e, 0].set(segment_ids)
+    data_p = (
+        jnp.zeros((e_pad, d), jnp.float32)
+        .at[:e, :d_in]
+        .set(data.astype(jnp.float32))
+        .at[:, d - 1]
+        .set(
+            jnp.full((e_pad,), n_pad, jnp.float32)
+            .at[:e]
+            .set(segment_ids.astype(jnp.float32))
+        )
+    )
 
     # row pointers per destination tile: first edge whose segment id reaches
     # the tile's base row (edges sorted by id)
     n_tiles = n_pad // TILE_N
     bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TILE_N
-    row_ptr = jnp.searchsorted(seg_p[:e, 0], bounds, side="left").astype(jnp.int32)
+    row_ptr = jnp.searchsorted(segment_ids, bounds, side="left").astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # data stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # seg ids stay in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),  # edge messages stay in HBM
         ],
         out_specs=pl.BlockSpec(
             (TILE_N, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, CHUNK, d), jnp.float32),
-            pltpu.VMEM((2, CHUNK, 1), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel(d),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -132,8 +156,26 @@ def sorted_segment_sum_pallas(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * e_pad * TILE_N * d,
-            bytes_accessed=e_pad * d * 4 + e_pad * 4 + n_pad * d * 4,
+            bytes_accessed=e_pad * d * 4 + n_pad * d * 4,
             transcendentals=0,
         ),
-    )(row_ptr, data_p, seg_p)
-    return out[:num_segments]
+    )(row_ptr, data_p)
+    return out[:num_segments, :d_in]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def sorted_segment_sum_pallas(data, segment_ids, num_segments):
+    """Differentiable sorted-COO segment sum (Pallas forward, gather VJP:
+    d(data) = cotangent[segment_ids] — the exact transpose of a segment sum)."""
+    return _sorted_segment_sum_impl(data, segment_ids, num_segments)
+
+
+def _sss_fwd(data, segment_ids, num_segments):
+    return _sorted_segment_sum_impl(data, segment_ids, num_segments), segment_ids
+
+
+def _sss_bwd(num_segments, segment_ids, ct):
+    return ct[segment_ids], None
+
+
+sorted_segment_sum_pallas.defvjp(_sss_fwd, _sss_bwd)

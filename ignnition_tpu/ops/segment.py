@@ -6,14 +6,39 @@ auxilary_classes.py:241-401). Here the same primitives are expressed for XLA,
 with a Pallas TPU kernel behind `segment_sum` for the large sorted-COO case
 (see ops/pallas/segment_kernels.py). All shapes are static; padding edges are
 neutralized by masking messages to zero before aggregation.
+
+Every primitive takes an optional `axis_name`: inside a shard_map whose named
+axis partitions the EDGE dimension, the local partial result is combined with
+an XLA collective (psum / pmax) over that axis — this is the edge-partitioned
+model-parallel boundary exchange (destination nodes are replicated, edge
+shards all-reduce their partial aggregates over ICI).
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 _PALLAS_MIN_EDGES = 4096  # below this, XLA's native lowering wins
+
+import os
+
+_PALLAS_MODE = os.environ.get("IGNNITION_TPU_PALLAS", "auto")  # auto|never|always
+
+
+def set_pallas_mode(mode: str) -> None:
+    """Global default for the Pallas segment kernel: 'auto' (size/backend
+    heuristic), 'never', or 'always'."""
+    global _PALLAS_MODE
+    if mode not in ("auto", "never", "always"):
+        raise ValueError(f"invalid pallas mode '{mode}'")
+    _PALLAS_MODE = mode
+
+
+def _maybe_psum(x: jnp.ndarray, axis_name: Optional[str]) -> jnp.ndarray:
+    return jax.lax.psum(x, axis_name) if axis_name else x
 
 
 def segment_sum(
@@ -22,17 +47,22 @@ def segment_sum(
     num_segments: int,
     indices_are_sorted: bool = False,
     use_pallas: str = "auto",
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
     """Sum rows of `data` into `num_segments` buckets.
 
-    use_pallas: "auto" | "never" | "always". The Pallas path requires
-    `indices_are_sorted=True` (destination-ordered COO, which the dataset
-    layer guarantees) and 2-D `data`.
+    use_pallas: "auto" | "never" | "always" | "default" (follow the module
+    mode). The Pallas path requires `indices_are_sorted=True`
+    (destination-ordered COO, which the dataset layer guarantees) and 2-D
+    `data`.
     """
+    if use_pallas == "default" or use_pallas == "auto":
+        use_pallas = _PALLAS_MODE
     if (
         use_pallas != "never"
         and indices_are_sorted
         and data.ndim == 2
+        and axis_name is None
         and jax.default_backend() == "tpu"
         and (use_pallas == "always" or data.shape[0] >= _PALLAS_MIN_EDGES)
     ):
@@ -42,9 +72,10 @@ def segment_sum(
             return sorted_segment_sum_pallas(data, segment_ids, num_segments)
         except Exception:  # pragma: no cover - fall back on any lowering issue
             pass
-    return jax.ops.segment_sum(
+    out = jax.ops.segment_sum(
         data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
     )
+    return _maybe_psum(out, axis_name)
 
 
 def segment_softmax(
@@ -52,29 +83,40 @@ def segment_softmax(
     segment_ids: jnp.ndarray,  # [E]
     num_segments: int,
     mask: jnp.ndarray,  # [E] 1.0 for real edges
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
     """Per-segment softmax over edge scores, ignoring masked edges.
 
     Numerically stable (per-segment max subtraction). Masked edges get
-    weight 0; empty segments produce all-zero weights.
+    weight 0; empty segments produce all-zero weights. With `axis_name`, the
+    per-segment max and normalizer are combined across edge shards, while the
+    returned weights stay local to this shard's edges.
     """
     scores = scores.reshape(-1)
     neg_inf = jnp.finfo(scores.dtype).min
     masked_scores = jnp.where(mask > 0, scores, neg_inf)
     seg_max = jax.ops.segment_max(masked_scores, segment_ids, num_segments)
+    if axis_name:
+        seg_max = jax.lax.pmax(seg_max, axis_name)
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
     exp = jnp.where(mask > 0, jnp.exp(masked_scores - seg_max[segment_ids]), 0.0)
     denom = jax.ops.segment_sum(exp, segment_ids, num_segments)
+    denom = _maybe_psum(denom, axis_name)
     denom = jnp.where(denom > 0, denom, 1.0)
     return exp / denom[segment_ids]
 
 
 def segment_count(
-    segment_ids: jnp.ndarray, num_segments: int, mask: jnp.ndarray
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: jnp.ndarray,
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
     """Number of (real) edges per segment — the reference's `lens`
     (generate_model.py:481-482)."""
-    return jax.ops.segment_sum(mask, segment_ids, num_segments)
+    return _maybe_psum(
+        jax.ops.segment_sum(mask, segment_ids, num_segments), axis_name
+    )
 
 
 def scatter_to_sequences(
@@ -83,18 +125,21 @@ def scatter_to_sequences(
     seq: jnp.ndarray,  # [E] position within destination
     num_dst: int,
     max_len: int,
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
     """Scatter per-edge messages into the padded per-destination sequence
     tensor [num_dst, max_len, D] (reference generate_model.py:477-491).
 
     Uses an additive scatter over a flattened index: real (dst, seq) slots are
-    unique, and padding edges carry zero messages, so add == set.
+    unique, and padding edges carry zero messages, so add == set. With
+    `axis_name`, each edge shard scatters its slots and the padded blocks
+    all-reduce (disjoint slots -> sum == union).
     """
     d = messages.shape[-1]
     flat_idx = dst_idx * max_len + seq
     out = jnp.zeros((num_dst * max_len, d), messages.dtype)
     out = out.at[flat_idx].add(messages)
-    return out.reshape(num_dst, max_len, d)
+    return _maybe_psum(out, axis_name).reshape(num_dst, max_len, d)
 
 
 def graph_pool(

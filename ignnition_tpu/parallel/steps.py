@@ -1,0 +1,206 @@
+"""Parallel training/inference steps over a ('data', 'model') mesh.
+
+Two first-class strategies (absent from the reference, which is strictly
+single-process — SURVEY §2.4; introduced per the TPU north star):
+
+  * **Graph-batch data parallelism** ('data' axis): each device gets one
+    merged, identically-padded GraphBatch (stacked on a leading axis);
+    gradients all-reduce with `psum` over ICI.
+  * **Edge-partitioned model parallelism** ('model' axis): each adjacency's
+    COO edge arrays are sharded along the edge dimension while node states
+    stay replicated; every segment aggregation computes a local partial and
+    all-reduces it (see ops/segment.py `axis_name`) — the boundary
+    node-feature exchange of the edge-cut, expressed as XLA collectives.
+
+Both compose: a 2-D mesh shards the stacked batch over 'data' and each
+batch's edges over 'model'.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..data.graph import BatchMeta
+from ..model.builder import GnnModel
+
+# --------------------------------------------------------------------------
+# batch classification & stacking
+# --------------------------------------------------------------------------
+
+
+def edge_array_keys(model_ir) -> set:
+    """Batch keys whose leading dimension is the edge axis of an adjacency."""
+    keys = set()
+    for a in model_ir.adjacency_info():
+        for prefix in ("src_", "dst_", "seq_", "edge_mask_", "params_"):
+            keys.add(prefix + a.name)
+    for adj in model_ir.readout_adjacencies():
+        for prefix in ("src_", "dst_", "seq_", "edge_mask_", "params_"):
+            keys.add(prefix + adj)
+    return keys
+
+
+def stack_batches(
+    batches: List[Tuple[Dict[str, np.ndarray], BatchMeta]],
+    model_ir=None,
+) -> Tuple[Dict[str, np.ndarray], BatchMeta]:
+    """Stack merged batches on a new leading 'data' axis.
+
+    Batches whose padded shapes differ are grown to a common meta first
+    (requires `model_ir` for the re-pad)."""
+    metas = {m for _, m in batches}
+    if len(metas) != 1:
+        if model_ir is None:
+            raise ValueError(
+                f"cannot stack batches with different shapes: {metas}; pass "
+                f"model_ir so they can be re-padded to a common bucket"
+            )
+        from ..data.graph import merge_metas, repad_to_meta
+
+        target = merge_metas([m for _, m in batches])
+        batches = [
+            (repad_to_meta(arrays, m, target, model_ir), target)
+            for arrays, m in batches
+        ]
+    arrays = {
+        k: np.stack([b[k] for b, _ in batches], axis=0) for k in batches[0][0]
+    }
+    return arrays, batches[0][1]
+
+
+# --------------------------------------------------------------------------
+# sharded step builders
+# --------------------------------------------------------------------------
+
+
+def batch_partition_specs(
+    model_ir,
+    sample_batch: Dict[str, Any],
+    data_axis: Optional[str] = "data",
+    model_axis: Optional[str] = "model",
+) -> Dict[str, P]:
+    """PartitionSpec per batch key: leading stacked axis -> data_axis; edge
+    arrays additionally shard their edge dimension over model_axis."""
+    ekeys = edge_array_keys(model_ir)
+    specs = {}
+    for k, v in sample_batch.items():
+        dims: List[Optional[str]] = [data_axis]
+        if k in ekeys:
+            dims.append(model_axis)
+        nd = np.ndim(v)
+        while len(dims) < nd:
+            dims.append(None)
+        specs[k] = P(*dims[:nd]) if nd else P()
+    return specs
+
+
+def make_parallel_train_step(
+    model: GnnModel,
+    optimizer: optax.GradientTransformation,
+    loss_fn: Callable,
+    meta: BatchMeta,
+    mesh: Mesh,
+    data_axis: str = "data",
+    model_axis: Optional[str] = "model",
+) -> Callable:
+    """Build a jitted SPMD train step over `mesh`.
+
+    Expects a stacked batch whose leading dim equals the data-axis size; each
+    data shard runs the full GNN on its merged graph with its edge shards,
+    using `model_axis` collectives inside aggregation; gradients psum over
+    both axes.
+    """
+    n_data = mesh.shape[data_axis]
+    use_model_axis = model_axis if (model_axis and mesh.shape.get(model_axis, 1) > 1) else None
+
+    def local_loss(params, stacked_local):
+        # leading data dim is 1 on each shard
+        batch = {k: v[0] for k, v in stacked_local.items()}
+        preds = model.apply(
+            params, batch, meta, training=True, edge_axis=use_model_axis
+        )
+        loss = loss_fn(batch["label"], preds, batch["label_mask"])
+        reg = model.regularization_loss(params)
+        # Scale by 1/n_data: params enter the shard as a REPLICATED value, and
+        # under shard_map's varying-mesh-axes semantics the cotangent of a
+        # replicated input is automatically all-reduced across shards — the
+        # returned grads are already sum-over-data-shards. Scaling the local
+        # loss makes that sum the batch mean. Edge ('model') shards need no
+        # correction: partial message-path contributions psum while the
+        # replicated post-aggregation paths are tracked as one logical value.
+        return (loss + reg) / n_data, loss
+
+    def step(params, opt_state, stacked):
+        (_, loss), grads = jax.value_and_grad(local_loss, has_aux=True)(
+            params, stacked
+        )
+        loss = jax.lax.pmean(loss, data_axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def build(stacked_batch):
+        specs = batch_partition_specs(
+            model.ir, stacked_batch, data_axis, model_axis if use_model_axis else None
+        )
+        in_batch_specs = {k: specs[k] for k in stacked_batch}
+        sharded = shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), P(), in_batch_specs),
+            out_specs=(P(), P(), P()),
+        )
+        return jax.jit(sharded)
+
+    cache: Dict[Tuple, Callable] = {}
+
+    def train_step(params, opt_state, stacked_batch):
+        key = tuple(sorted((k, np.shape(v)) for k, v in stacked_batch.items()))
+        if key not in cache:
+            cache[key] = build(stacked_batch)
+        return cache[key](params, opt_state, stacked_batch)
+
+    return train_step
+
+
+def make_parallel_apply(
+    model: GnnModel,
+    meta: BatchMeta,
+    mesh: Mesh,
+    data_axis: str = "data",
+    model_axis: Optional[str] = "model",
+) -> Callable:
+    """Sharded forward: stacked batch in, stacked predictions out."""
+    use_model_axis = model_axis if (model_axis and mesh.shape.get(model_axis, 1) > 1) else None
+
+    def fwd(params, stacked_local):
+        batch = {k: v[0] for k, v in stacked_local.items()}
+        preds = model.apply(params, batch, meta, edge_axis=use_model_axis)
+        return preds[None]
+
+    cache: Dict[Tuple, Callable] = {}
+
+    def apply_fn(params, stacked_batch):
+        key = tuple(sorted((k, np.shape(v)) for k, v in stacked_batch.items()))
+        if key not in cache:
+            specs = batch_partition_specs(
+                model.ir, stacked_batch, data_axis, use_model_axis
+            )
+            in_specs = {k: specs[k] for k in stacked_batch}
+            sharded = shard_map(
+                fwd,
+                mesh=mesh,
+                in_specs=(P(), in_specs),
+                out_specs=P(data_axis),
+            )
+            cache[key] = jax.jit(sharded)
+        return cache[key](params, stacked_batch)
+
+    return apply_fn

@@ -1,0 +1,76 @@
+"""Loss functions, resolved by Keras class name.
+
+The reference resolves the loss reflectively from `tf.keras.losses` globals
+(generate_model.py:744-747). Here each supported name maps to a masked pure
+function `(labels, predictions, mask) -> scalar`: with merged padded batches
+the mean must run over real rows only, which reproduces the reference's
+unpadded batch loss exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+
+
+def _masked_mean(err: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(err * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def mean_squared_error(labels, preds, mask):
+    return _masked_mean((preds - labels) ** 2, mask)
+
+
+def mean_absolute_error(labels, preds, mask):
+    return _masked_mean(jnp.abs(preds - labels), mask)
+
+
+def mean_absolute_percentage_error(labels, preds, mask):
+    denom = jnp.maximum(jnp.abs(labels), 1e-7)
+    return 100.0 * _masked_mean(jnp.abs(preds - labels) / denom, mask)
+
+
+def mean_squared_logarithmic_error(labels, preds, mask):
+    l1 = jnp.log1p(jnp.maximum(preds, 0.0))
+    l2 = jnp.log1p(jnp.maximum(labels, 0.0))
+    return _masked_mean((l1 - l2) ** 2, mask)
+
+
+def huber(labels, preds, mask, delta: float = 1.0):
+    err = preds - labels
+    abs_err = jnp.abs(err)
+    quad = jnp.minimum(abs_err, delta)
+    lin = abs_err - quad
+    return _masked_mean(0.5 * quad**2 + delta * lin, mask)
+
+
+def log_cosh(labels, preds, mask):
+    err = preds - labels
+    return _masked_mean(err + jnp.log1p(jnp.exp(-2.0 * err)) - jnp.log(2.0), mask)
+
+
+def binary_crossentropy(labels, preds, mask):
+    eps = 1e-7
+    p = jnp.clip(preds, eps, 1.0 - eps)
+    return _masked_mean(-(labels * jnp.log(p) + (1 - labels) * jnp.log(1 - p)), mask)
+
+
+LOSSES: Dict[str, Callable] = {
+    "MeanSquaredError": mean_squared_error,
+    "MeanAbsoluteError": mean_absolute_error,
+    "MeanAbsolutePercentageError": mean_absolute_percentage_error,
+    "MeanSquaredLogarithmicError": mean_squared_logarithmic_error,
+    "Huber": huber,
+    "LogCosh": log_cosh,
+    "BinaryCrossentropy": binary_crossentropy,
+}
+
+
+def get_loss(name: str) -> Callable:
+    try:
+        return LOSSES[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown loss '{name}'; supported: {sorted(LOSSES)}"
+        ) from None

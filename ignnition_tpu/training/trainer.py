@@ -1,0 +1,345 @@
+"""Training loop: jitted steps, streaming input, checkpoints, evaluation.
+
+TPU-native replacement for the reference's tf.estimator glue
+(framework_operations.py:108-166 + generate_model.py:697-830):
+
+  * one jitted `train_step` per padded-batch shape (BatchMeta), cached — the
+    bucketed padding keeps the number of distinct shapes tiny;
+  * optax optimizer/schedule built from the IR's learning_options;
+  * loss = model loss + l2 regularization (reference sums `model.losses`);
+  * orbax checkpoints on a wall-clock interval with keep-max, warm-start
+    restore of matching parameters (reference WarmStartSettings restores
+    kernel.*/recurrent_kernel.*/bias.*, f_o.py:126-132);
+  * evaluation with the reference metric set and optional label
+    denormalization.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import queue
+import threading
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Iterator, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import SampleSpec, build_batch, iter_samples
+from ..data.graph import BatchMeta, PaddingConfig
+from ..model.builder import GnnModel
+from .losses import get_loss
+from .metrics import MetricAccumulator
+from .optimizers import build_optimizer
+
+log = logging.getLogger("ignnition_tpu")
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: GnnModel,
+        padding: Optional[PaddingConfig] = None,
+        normalizations: Optional[Mapping[str, Callable]] = None,
+    ):
+        self.model = model
+        self.ir = model.ir
+        self.padding = padding or PaddingConfig()
+        self.normalizations = normalizations
+        self.loss_fn = get_loss(self.ir.learning.loss)
+        self.optimizer = build_optimizer(self.ir.learning.optimizer)
+        self._train_steps: Dict[BatchMeta, Callable] = {}
+        self._eval_steps: Dict[BatchMeta, Callable] = {}
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        params = self.model.init(rng)
+        return TrainState(params, self.optimizer.init(params), 0)
+
+    # ------------------------------------------------------------------
+
+    def _loss(self, params, batch, meta, rng):
+        preds = self.model.apply(
+            params, batch, meta, training=True, rng=rng
+        )
+        loss = self.loss_fn(batch["label"], preds, batch["label_mask"])
+        reg = self.model.regularization_loss(params)
+        return loss + reg, (loss, reg)
+
+    def train_step_fn(self, meta: BatchMeta) -> Callable:
+        if meta not in self._train_steps:
+
+            @jax.jit
+            def step(params, opt_state, batch, rng):
+                (total, (loss, reg)), grads = jax.value_and_grad(
+                    self._loss, has_aux=True
+                )(params, batch, meta, rng)
+                updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, {"loss": loss, "reg": reg, "total": total}
+
+            self._train_steps[meta] = step
+        return self._train_steps[meta]
+
+    def eval_step_fn(self, meta: BatchMeta) -> Callable:
+        if meta not in self._eval_steps:
+
+            @jax.jit
+            def step(params, batch):
+                preds = self.model.apply(params, batch, meta)
+                loss = self.loss_fn(batch["label"], preds, batch["label_mask"])
+                return preds, loss
+
+            self._eval_steps[meta] = step
+        return self._eval_steps[meta]
+
+    # ------------------------------------------------------------------
+    # input pipeline
+    # ------------------------------------------------------------------
+
+    def batches(
+        self,
+        data_dir: str,
+        batch_size: int,
+        shuffle: bool = False,
+        repeat: bool = True,
+        training: bool = True,
+        seed: Optional[int] = None,
+        prefetch: int = 4,
+    ) -> Iterator[Tuple[Dict[str, np.ndarray], BatchMeta]]:
+        """Stream (arrays, meta) merged batches, built on a background thread
+        (the reference prefetches 10 batches through tf.data,
+        generate_model.py:188-198)."""
+        spec = SampleSpec.from_ir(self.ir, training=training)
+
+        def producer(q: queue.Queue):
+            try:
+                group = []
+                for s in iter_samples(
+                    data_dir, spec, shuffle=shuffle, seed=seed, repeat=repeat
+                ):
+                    group.append(s)
+                    if len(group) == batch_size:
+                        q.put(
+                            build_batch(
+                                group,
+                                self.ir,
+                                self.padding,
+                                training=training,
+                                normalizations=self.normalizations,
+                            )
+                        )
+                        group = []
+                if group:
+                    q.put(
+                        build_batch(
+                            group,
+                            self.ir,
+                            self.padding,
+                            training=training,
+                            normalizations=self.normalizations,
+                        )
+                    )
+            except BaseException as e:  # surface producer errors to consumer
+                q.put(e)
+            q.put(None)
+
+        q: queue.Queue = queue.Queue(maxsize=prefetch)
+        t = threading.Thread(target=producer, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    # ------------------------------------------------------------------
+    # loops
+    # ------------------------------------------------------------------
+
+    def train(
+        self,
+        state: TrainState,
+        data_dir: str,
+        max_steps: int,
+        batch_size: int = 3,
+        shuffle: bool = True,
+        log_every: int = 10,
+        checkpoint_dir: Optional[str] = None,
+        save_secs: int = 300,
+        keep_max: int = 20,
+        eval_fn: Optional[Callable[[TrainState], Dict[str, float]]] = None,
+        eval_secs: int = 300,
+        rng: Optional[jax.Array] = None,
+    ) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(42)
+        manager = None
+        if checkpoint_dir:
+            manager = _make_checkpoint_manager(checkpoint_dir, keep_max)
+        last_save = time.time()
+        last_eval = time.time()
+
+        for arrays, meta in self.batches(
+            data_dir, batch_size, shuffle=shuffle, repeat=True
+        ):
+            if state.step >= max_steps:
+                break
+            step_fn = self.train_step_fn(meta)
+            rng, key = jax.random.split(rng)
+            params, opt_state, logs = step_fn(
+                state.params, state.opt_state, arrays, key
+            )
+            state = TrainState(params, opt_state, state.step + 1)
+            if log_every and state.step % log_every == 0:
+                log.info(
+                    "step %d  loss=%.6f  reg=%.6f  total=%.6f",
+                    state.step,
+                    float(logs["loss"]),
+                    float(logs["reg"]),
+                    float(logs["total"]),
+                )
+            now = time.time()
+            if manager is not None and (now - last_save >= save_secs):
+                save_checkpoint(manager, state)
+                last_save = now
+            if eval_fn is not None and (now - last_eval >= eval_secs):
+                results = eval_fn(state)
+                log.info("eval @ step %d: %s", state.step, results)
+                last_eval = now
+
+        if manager is not None:
+            save_checkpoint(manager, state)
+            manager.wait_until_finished()
+        return state
+
+    def evaluate(
+        self,
+        state: TrainState,
+        data_dir: str,
+        num_batches: int = 100,
+        batch_size: int = 1,
+        denormalization: Optional[Callable] = None,
+        label_name: str = "label",
+    ) -> Dict[str, float]:
+        acc = MetricAccumulator()
+        total_loss, n = 0.0, 0
+        for arrays, meta in self.batches(
+            data_dir, batch_size, shuffle=False, repeat=False
+        ):
+            if n >= num_batches:
+                break
+            preds, loss = self.eval_step_fn(meta)(state.params, arrays)
+            labels = np.asarray(arrays["label"])
+            preds = np.asarray(preds)
+            mask = np.asarray(arrays["label_mask"]) > 0
+            if denormalization is not None:
+                labels = np.where(mask, denormalization(labels, label_name), labels)
+                preds = np.where(mask, denormalization(preds, label_name), preds)
+            acc.update(labels, preds, mask)
+            total_loss += float(loss)
+            n += 1
+        out = acc.result()
+        out["loss"] = total_loss / max(n, 1)
+        return out
+
+    def predict(
+        self,
+        state_or_params,
+        data_dir: str,
+        batch_size: int = 1,
+        denormalization: Optional[Callable] = None,
+        label_name: str = "label",
+    ):
+        """Yield per-sample prediction arrays (denormalized when a function is
+        provided — reference predict path, framework_operations.py:209-213)."""
+        params = getattr(state_or_params, "params", state_or_params)
+        spec = SampleSpec.from_ir(self.ir, training=False)
+        for arrays, meta in self.batches(
+            data_dir, batch_size, shuffle=False, repeat=False, training=False
+        ):
+            preds = np.asarray(self._predict_fn(meta)(params, arrays))
+            if denormalization is not None:
+                preds = denormalization(preds, label_name)
+            yield preds, arrays
+
+    def _predict_fn(self, meta):
+        key = ("predict", meta)
+        if key not in self._eval_steps:
+            self._eval_steps[key] = jax.jit(
+                lambda p, b: self.model.apply(p, b, meta)
+            )
+        return self._eval_steps[key]
+
+
+# --------------------------------------------------------------------------
+# checkpointing (orbax)
+# --------------------------------------------------------------------------
+
+
+def _make_checkpoint_manager(directory: str, keep_max: int):
+    import orbax.checkpoint as ocp
+
+    os.makedirs(directory, exist_ok=True)
+    options = ocp.CheckpointManagerOptions(max_to_keep=keep_max, create=True)
+    return ocp.CheckpointManager(os.path.abspath(directory), options=options)
+
+
+def save_checkpoint(manager, state: TrainState) -> None:
+    import orbax.checkpoint as ocp
+
+    manager.save(
+        state.step,
+        args=ocp.args.Composite(
+            params=ocp.args.StandardSave(state.params),
+            opt_state=ocp.args.StandardSave(state.opt_state),
+        ),
+    )
+
+
+def restore_checkpoint(manager, state: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    step = manager.latest_step()
+    if step is None:
+        return state
+    restored = manager.restore(
+        step,
+        args=ocp.args.Composite(
+            params=ocp.args.StandardRestore(state.params),
+            opt_state=ocp.args.StandardRestore(state.opt_state),
+        ),
+    )
+    return TrainState(restored["params"], restored["opt_state"], step)
+
+
+def warm_start(state: TrainState, checkpoint_dir: str) -> TrainState:
+    """Restore parameters (not optimizer state / step) from the latest
+    checkpoint under `checkpoint_dir` — the reference's warm start restores
+    only kernel/recurrent_kernel/bias variables (f_o.py:126-132); our params
+    tree contains exactly those."""
+    import orbax.checkpoint as ocp
+
+    manager = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
+    step = manager.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint found under '{checkpoint_dir}'")
+    restored = manager.restore(
+        step,
+        args=ocp.args.Composite(params=ocp.args.StandardRestore(state.params)),
+    )
+    return TrainState(restored["params"], state.opt_state, state.step)

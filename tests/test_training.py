@@ -1,0 +1,165 @@
+"""Training-loop integration: loss decreases on synthetic data, checkpoints
+round-trip, evaluation metrics behave, the full api verbs run."""
+
+import logging
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from ignnition_tpu.config import RunConfig
+from ignnition_tpu.data.graph import PaddingConfig
+from ignnition_tpu.data.synthetic import write_dataset
+from ignnition_tpu.frontend import parser
+from ignnition_tpu.model import build
+from ignnition_tpu.training import Trainer, build_optimizer, build_schedule, get_loss
+from ignnition_tpu.frontend.ir import OptimizerSpec, ScheduleSpec
+
+from helpers import routenet_description
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ds")
+    write_dataset(str(d), num_archives=2, samples_per_archive=6, seed=3,
+                  n_links=12, n_paths=8, max_path_len=4)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    ir = parser.parse_model_description(
+        routenet_description(num_iterations=3, hs=12),
+        {"link_capacity": 1, "traffic": 1},
+    )
+    return Trainer(build(ir), padding=PaddingConfig(min_size=16))
+
+
+def test_schedule_exponential_decay():
+    s = build_schedule(
+        ScheduleSpec(
+            "ExponentialDecay",
+            {"initial_learning_rate": 0.1, "decay_steps": 10, "decay_rate": 0.5},
+        )
+    )
+    np.testing.assert_allclose(float(s(0)), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(s(10)), 0.05, rtol=1e-6)
+    # staircase as a string, as the Q-size example writes it
+    s2 = build_schedule(
+        ScheduleSpec(
+            "ExponentialDecay",
+            {
+                "initial_learning_rate": 0.1,
+                "decay_steps": 10,
+                "decay_rate": 0.5,
+                "staircase": "True",
+            },
+        )
+    )
+    np.testing.assert_allclose(float(s2(9)), 0.1, rtol=1e-6)
+
+
+def test_optimizer_names():
+    for kind in ["Adam", "SGD", "RMSprop", "Adagrad", "Adamax", "Nadam", "AdamW"]:
+        opt = build_optimizer(OptimizerSpec(kind, {"learning_rate": 0.01}))
+        assert opt.init is not None
+
+
+def test_masked_loss_matches_dense():
+    fn = get_loss("MeanSquaredError")
+    labels = np.array([1.0, 2.0, 0.0, 0.0], np.float32)
+    preds = np.array([1.5, 1.0, 9.0, 9.0], np.float32)
+    mask = np.array([1.0, 1.0, 0.0, 0.0], np.float32)
+    got = float(fn(labels, preds, mask))
+    want = np.mean([(1.5 - 1.0) ** 2, (1.0 - 2.0) ** 2])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_loss_decreases(dataset, trainer):
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    losses = []
+    for i, (arrays, meta) in enumerate(trainer.batches(dataset, 4, repeat=True)):
+        if i >= 30:
+            break
+        step = trainer.train_step_fn(meta)
+        params, opt_state, logs = step(
+            state.params, state.opt_state, arrays, jax.random.PRNGKey(i)
+        )
+        from ignnition_tpu.training.trainer import TrainState
+
+        state = TrainState(params, opt_state, state.step + 1)
+        losses.append(float(logs["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8, losses
+
+
+def test_evaluate_metrics(dataset, trainer):
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    out = trainer.evaluate(state, dataset, num_batches=3, batch_size=2)
+    for k in ("label/mean", "prediction/mean", "mae", "mre", "r-squared", "loss"):
+        assert k in out
+        assert np.isfinite(out[k])
+
+
+def test_checkpoint_roundtrip(dataset, trainer, tmp_path):
+    from ignnition_tpu.training.trainer import (
+        _make_checkpoint_manager,
+        restore_checkpoint,
+        save_checkpoint,
+        warm_start,
+    )
+
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    mgr = _make_checkpoint_manager(str(tmp_path / "ckpt"), keep_max=3)
+    save_checkpoint(mgr, state)
+    mgr.wait_until_finished()
+
+    state2 = trainer.init_state(jax.random.PRNGKey(2))
+    restored = restore_checkpoint(mgr, state2)
+    l1 = jax.tree_util.tree_leaves(state.params)
+    l2 = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(a, b)
+
+    warm = warm_start(state2, str(tmp_path / "ckpt"))
+    for a, b in zip(l1, jax.tree_util.tree_leaves(warm.params)):
+        np.testing.assert_allclose(a, b)
+    assert warm.step == 0  # warm start does not restore the step
+
+
+def test_api_verbs_end_to_end(dataset, tmp_path, caplog):
+    import json
+
+    from helpers import routenet_description
+    import ignnition_tpu as ig
+
+    json_path = tmp_path / "model_description.json"
+    json_path.write_text(json.dumps(routenet_description(num_iterations=2, hs=8)))
+    cfg = RunConfig(
+        train_dataset=dataset,
+        eval_dataset=dataset,
+        predict_dataset=dataset,
+        json_path=str(json_path),
+        model_dir=str(tmp_path / "ckpts"),
+        debug_dir=str(tmp_path / "debug"),
+        batch_size=2,
+        train_steps=5,
+        eval_samples=2,
+        save_checkpoints_secs=10_000,
+        throttle_secs=10_000,
+    )
+    model = ig.create_model(cfg)
+    runner = ig.Runner(model, padding=PaddingConfig(min_size=16))
+    state = runner.train_and_evaluate()
+    assert state.step == 5
+
+    preds = runner.predict(state)
+    assert len(preds) > 0
+    assert all(np.isfinite(p).all() for p in preds)
+
+    out_dir = ig.debug(model)
+    assert os.path.exists(os.path.join(out_dir, "structure.txt"))
+    assert os.path.exists(os.path.join(out_dir, "params.txt"))
+    assert os.path.exists(os.path.join(out_dir, "model.hlo.txt"))
+    text = open(os.path.join(out_dir, "structure.txt")).read()
+    assert "message_passing" in text and "readout" in text
