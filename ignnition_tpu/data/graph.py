@@ -217,6 +217,14 @@ def build_batch(
     # ---- adjacencies ----
     edge_pad: Dict[str, int] = {}
     max_len: Dict[str, int] = {}
+    # adjacencies concatenated on the feature axis (concat axis=2) must share
+    # one padded max_len (the reference concatenates [N, L, D] blocks on axis
+    # 2, generate_model.py:503)
+    concat2_groups = [
+        [src.adj_name for src in mp.sources]
+        for mp in model_ir.all_passes()
+        if mp.aggregation.kind == "concat" and mp.aggregation.concat_axis == 2
+    ]
     for a in adj_info:
         e_total = sum(len(s.adjacencies[a.name].src_idx) for s in samples)
         e_pad = padding.pad_size(e_total)
@@ -228,7 +236,12 @@ def build_batch(
         ml_pad = padding.pad_len(ml)
         edge_pad[a.name] = e_pad
         max_len[a.name] = ml_pad
-
+    for group in concat2_groups:
+        common = max(max_len[a] for a in group)
+        for a in group:
+            max_len[a] = common
+    for a in adj_info:
+        e_pad = edge_pad[a.name]
         src = np.zeros(e_pad, dtype=np.int32)
         # padding edges point at the LAST padded destination row so the edge
         # list stays sorted by destination (real edges are destination-ordered

@@ -1,0 +1,325 @@
+"""Reader + migration for the raw KDN "datasets_v0" simulator datasets
+(NSFNET / GEANT2 / synth50 — the datasets the reference framework trains on,
+readme.md:36-44).
+
+Raw layout (reference examples/Routenet/datanetAPI.py describes the same
+format): a dataset root contains `graph_attr.txt` (GML topology whose edges
+carry `port` and `bandwidth` attributes) plus many `*.tar.gz` archives, each
+holding one directory with
+
+  * Routing.txt            — per-source lines of egress ports per destination
+  * simulationResults.txt  — one simulation sample per line: 10*N*N comma-
+                             separated fields = N*N (AvgBw, PktsGen, PktsDrop)
+                             triples followed by N*N (AvgDelay, p10, p20, p50,
+                             p80, p90, Jitter) septuples, row-major by
+                             (src, dst)
+  * params.ini             — simulationDuration and the max average lambda
+
+This implementation parses result lines vectorized (numpy reshape instead of
+the reference's quadruple python loop) and exposes plain-array samples.
+
+`migrate()` converts to the framework's JSON graph format: one `link` entity
+per topology edge, one `path` entity per ordered (src, dst) pair, adjacency
+dicts from the routing paths, features traffic/delay/jitter/link_capacity —
+the same output contract as the reference migration CLI
+(examples/Routenet/migrate.py:54-156).
+"""
+
+from __future__ import annotations
+
+import configparser
+import json
+import os
+import random
+import tarfile
+from dataclasses import dataclass
+from io import BytesIO
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class KdnSample:
+    """One simulation sample: matrices indexed [src, dst]."""
+
+    topology: "object"  # networkx multigraph
+    routing: np.ndarray  # [N, N] object array of node paths
+    traffic_bps: np.ndarray  # [N, N] average bandwidth (bps)
+    pkts_gen: np.ndarray  # [N, N]
+    pkts_drop: np.ndarray  # [N, N]
+    delay: np.ndarray  # [N, N] average per-packet delay
+    delay_percentiles: np.ndarray  # [N, N, 5] p10/p20/p50/p80/p90
+    jitter: np.ndarray  # [N, N]
+    max_avg_lambda: float
+    simulation_time: float
+
+    @property
+    def n_nodes(self) -> int:
+        return self.traffic_bps.shape[0]
+
+    def global_stats(self) -> Dict[str, float]:
+        n = self.n_nodes
+        off = ~np.eye(n, dtype=bool)
+        return {
+            "packets_per_sec": float(self.pkts_gen[off].sum() / self.simulation_time),
+            "losses_per_sec": float(self.pkts_drop[off].sum() / self.simulation_time),
+            "avg_delay": float(self.delay[off].mean()),
+        }
+
+
+# --------------------------------------------------------------------------
+# topology / routing
+# --------------------------------------------------------------------------
+
+
+def load_topology(path: str):
+    import networkx as nx
+
+    g = nx.read_gml(path, destringizer=int)
+    for u, v, key in g.edges(keys=True):
+        bw = g[u][v][key].get("bandwidth")
+        if isinstance(bw, str):
+            g[u][v][key]["bandwidth"] = bw.replace("kbps", "000")
+    return g
+
+
+def _port_to_next_node(g) -> Dict[int, Dict[int, int]]:
+    """node -> egress port -> neighbor, from the GML 'port' edge attribute."""
+    table: Dict[int, Dict[int, int]] = {}
+    for node in g:
+        table[node] = {}
+        for neigh in g[node]:
+            table[node][g[node][neigh][0]["port"]] = neigh
+    return table
+
+
+def parse_routing(text: str, g) -> np.ndarray:
+    """Routing.txt -> [N, N] object matrix of node paths (src..dst)."""
+    n = g.number_of_nodes()
+    ports = np.full((n, n), -1, dtype=np.int64)
+    for src, line in enumerate(l for l in text.splitlines() if l.strip()):
+        fields = [f for f in line.split(",") if f.strip() != ""]
+        ports[src, : len(fields)] = [int(float(f)) for f in fields]
+    nxt = _port_to_next_node(g)
+    paths = np.empty((n, n), dtype=object)
+    for src in range(n):
+        for dst in range(n):
+            node, path = src, [src]
+            while ports[node, dst] != -1:
+                node = nxt[node][int(ports[node, dst])]
+                path.append(node)
+                if len(path) > n:  # defensive: malformed routing loop
+                    break
+            paths[src, dst] = path
+    return paths
+
+
+# --------------------------------------------------------------------------
+# results lines
+# --------------------------------------------------------------------------
+
+
+def parse_results_line(
+    line: str, topology, routing, sim_time: float, max_avg_lambda: float
+) -> KdnSample:
+    fields = np.array(
+        [float(f) for f in line.strip().rstrip(";").split(",") if f.strip() != ""],
+        dtype=np.float64,
+    )
+    n2 = fields.size // 10
+    n = int(round(np.sqrt(n2)))
+    if n * n * 10 != fields.size:
+        raise ValueError(
+            f"malformed results line: {fields.size} fields is not 10*N^2"
+        )
+    traffic = fields[: 3 * n2].reshape(n, n, 3)
+    perf = fields[3 * n2 :].reshape(n, n, 7)
+    return KdnSample(
+        topology=topology,
+        routing=routing,
+        traffic_bps=traffic[:, :, 0] * 1000.0,  # kbps -> bps
+        pkts_gen=traffic[:, :, 1],
+        pkts_drop=traffic[:, :, 2],
+        delay=perf[:, :, 0],
+        delay_percentiles=perf[:, :, 1:6],
+        jitter=perf[:, :, 6],
+        max_avg_lambda=max_avg_lambda,
+        simulation_time=sim_time,
+    )
+
+
+def _parse_params(text: str) -> Tuple[float, float]:
+    sim_time, max_lambda = 1.0, 0.0
+    for line in text.splitlines():
+        if "simulationDuration" in line and "=" in line:
+            sim_time = float(line.split("=", 1)[1])
+        elif "lambda" in line and "=" in line:
+            max_lambda = float(line.split("=", 1)[1])
+    return sim_time, max_lambda
+
+
+# --------------------------------------------------------------------------
+# dataset iteration
+# --------------------------------------------------------------------------
+
+
+def iter_kdn_samples(
+    data_folder: str,
+    intensity_range: Optional[Tuple[int, int]] = None,
+    shuffle_archives: bool = False,
+    seed: Optional[int] = None,
+) -> Iterator[KdnSample]:
+    """Walk a raw dataset root and yield samples.
+
+    intensity_range: keep only archives whose file name encodes an intensity
+    inside [lo, hi] (file names look like `results_<topo>_<lo>-<hi>_....tar.gz`).
+    """
+    rng = random.Random(seed)
+    for root, _dirs, files in os.walk(data_folder):
+        if "graph_attr.txt" not in files:
+            continue
+        g = load_topology(os.path.join(root, "graph_attr.txt"))
+        archives = sorted(f for f in files if f.endswith("tar.gz"))
+        if shuffle_archives:
+            rng.shuffle(archives)
+        for fname in archives:
+            if intensity_range is not None and not _intensity_ok(
+                fname, intensity_range
+            ):
+                continue
+            with tarfile.open(os.path.join(root, fname), "r:gz") as tar:
+                first = tar.next()
+                base = first.name.split("/")[0]
+
+                def read(name):
+                    member = tar.extractfile(f"{base}/{name}")
+                    return member.read().decode() if member else ""
+
+                sim_time, max_lambda = _parse_params(read("params.ini"))
+                routing = parse_routing(read("Routing.txt"), g)
+                for line in read("simulationResults.txt").splitlines():
+                    if not line.strip():
+                        continue
+                    yield parse_results_line(line, g, routing, sim_time, max_lambda)
+
+
+def _intensity_ok(fname: str, want: Tuple[int, int]) -> bool:
+    try:
+        token = fname.split("_")[2]
+        vals = [int(v) for v in token.split("-")]
+    except (IndexError, ValueError):
+        return True
+    lo, hi = vals[0], vals[-1]
+    return not (lo > want[1] or hi < want[0])
+
+
+# --------------------------------------------------------------------------
+# migration to framework JSON
+# --------------------------------------------------------------------------
+
+
+def sample_to_graph_json(sample: KdnSample) -> dict:
+    """One KdnSample -> the framework's JSON graph dict (same contract as
+    reference migrate.process_sample)."""
+    g = sample.topology
+    n = sample.n_nodes
+
+    entities: Dict[str, str] = {}
+    link_by_edge: Dict[Tuple[int, int], str] = {}
+    link_capacity: List[float] = []
+    for idx, (u, v) in enumerate(
+        (u, v) for u, v, _k in g.edges(keys=True)
+    ):
+        name = f"l{idx}"
+        entities[name] = "link"
+        link_by_edge[(u, v)] = name
+        link_capacity.append(float(g[u][v][0]["bandwidth"]))
+
+    traffic: List[float] = []
+    delay: List[float] = []
+    jitter: List[float] = []
+    adj_links_paths: Dict[str, List[str]] = {}
+    adj_paths_links: Dict[str, List[str]] = {}
+
+    path_idx = 0
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            pname = f"p{path_idx}"
+            entities[pname] = "path"
+            traffic.append(float(sample.traffic_bps[i, j]))
+            delay.append(float(sample.delay[i, j]))
+            jitter.append(float(sample.jitter[i, j]))
+            nodes = sample.routing[i, j]
+            for a, b in zip(nodes[:-1], nodes[1:]):
+                lname = link_by_edge[(a, b)]
+                adj_links_paths.setdefault(pname, []).append(lname)
+                adj_paths_links.setdefault(lname, []).append(pname)
+            path_idx += 1
+
+    return {
+        "entities": entities,
+        "link_capacity": link_capacity,
+        "traffic": traffic,
+        "delay": delay,
+        "jitter": jitter,
+        "adj_links_paths": adj_links_paths,
+        "adj_paths_links": adj_paths_links,
+    }
+
+
+class _ArchiveWriter:
+    def __init__(self, directory: str, samples_per_archive: int):
+        os.makedirs(directory, exist_ok=True)
+        self.directory = directory
+        self.per_archive = samples_per_archive
+        self.buffer: List[dict] = []
+        self.counter = 0
+
+    def add(self, item: dict):
+        self.buffer.append(item)
+        if len(self.buffer) >= self.per_archive:
+            self.flush()
+
+    def flush(self):
+        if not self.buffer:
+            return
+        payload = json.dumps(self.buffer).encode()
+        path = os.path.join(self.directory, f"sample_{self.counter}.tar.gz")
+        with tarfile.open(path, "w:gz") as tar:
+            info = tarfile.TarInfo("data.json")
+            info.size = len(payload)
+            tar.addfile(info, BytesIO(payload))
+        self.counter += 1
+        self.buffer = []
+
+
+def migrate(
+    dataset_dir: str,
+    output_dir: str,
+    samples_per_archive: int = 100,
+    train_fraction: float = 0.8,
+    seed: int = 0,
+    limit: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Raw KDN dataset -> train/eval JSON archives (random split, matching
+    the reference migration CLI's 80/20 behavior). Returns (n_train, n_eval)."""
+    rng = random.Random(seed)
+    train = _ArchiveWriter(os.path.join(output_dir, "train"), samples_per_archive)
+    evalw = _ArchiveWriter(os.path.join(output_dir, "eval"), samples_per_archive)
+    n_train = n_eval = 0
+    for count, sample in enumerate(iter_kdn_samples(dataset_dir)):
+        if limit is not None and count >= limit:
+            break
+        item = sample_to_graph_json(sample)
+        if rng.random() <= train_fraction:
+            train.add(item)
+            n_train += 1
+        else:
+            evalw.add(item)
+            n_eval += 1
+    train.flush()
+    evalw.flush()
+    return n_train, n_eval

@@ -1,0 +1,144 @@
+"""KDN raw-dataset reader + migration, exercised on a synthetic fixture laid
+out exactly like the real datasets (graph_attr.txt GML + tar.gz archives of
+Routing.txt / simulationResults.txt / params.ini)."""
+
+import json
+import os
+import tarfile
+from io import BytesIO
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from ignnition_tpu.data import kdn
+
+
+N = 4  # nodes in the fixture topology
+
+
+def _build_topology():
+    g = nx.MultiDiGraph()
+    for i in range(N):
+        g.add_node(i)
+    # ring + one chord, ports numbered per-node
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+    port_counter = {i: 0 for i in range(N)}
+    for u, v in edges + [(v, u) for u, v in edges]:
+        g.add_edge(u, v, port=port_counter[u], bandwidth="10kbps", weight=1)
+        port_counter[u] += 1
+    return g
+
+
+def _shortest_port_routing(g):
+    """Routing.txt content: for each src, the egress port toward each dst."""
+    port_of = {}
+    for u in g:
+        for v in g[u]:
+            port_of[(u, v)] = g[u][v][0]["port"]
+    lines = []
+    for src in range(N):
+        ports = []
+        paths = nx.single_source_shortest_path(nx.DiGraph(g), src)
+        for dst in range(N):
+            if src == dst or dst not in paths:
+                ports.append(-1)
+            else:
+                ports.append(port_of[(src, paths[dst][1])])
+        lines.append(",".join(str(p) for p in ports) + ",")
+    return "\n".join(lines) + "\n"
+
+
+def _results_line(rng):
+    """10*N*N fields: N*N (AvgBw, PktsGen, PktsDrop) then N*N 7-field perf."""
+    traffic = rng.uniform(100, 500, (N, N, 3))
+    perf = rng.uniform(0.1, 2.0, (N, N, 7))
+    fields = np.concatenate([traffic.reshape(-1), perf.reshape(-1)])
+    return ",".join(f"{v:.6f}" for v in fields) + ",\n"
+
+
+@pytest.fixture(scope="module")
+def raw_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kdnraw")
+    g = _build_topology()
+    nx.write_gml(g, os.path.join(root, "graph_attr.txt"))
+
+    rng = np.random.default_rng(0)
+    files = {
+        "sim/Routing.txt": _shortest_port_routing(g),
+        "sim/simulationResults.txt": "".join(_results_line(rng) for _ in range(5)),
+        "sim/params.ini": "[DEFAULT]\nsimulationDuration = 100\nlambda = 1200.5\n",
+    }
+    with tarfile.open(os.path.join(root, "results_fix_9_line.tar.gz"), "w:gz") as tar:
+        for name, text in files.items():
+            payload = text.encode()
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tar.addfile(info, BytesIO(payload))
+    return str(root)
+
+
+def test_iter_kdn_samples(raw_dataset):
+    samples = list(kdn.iter_kdn_samples(raw_dataset))
+    assert len(samples) == 5
+    s = samples[0]
+    assert s.n_nodes == N
+    assert s.simulation_time == 100
+    assert s.max_avg_lambda == 1200.5
+    # routing paths start at src, end at dst
+    for i in range(N):
+        for j in range(N):
+            if i != j:
+                p = s.routing[i, j]
+                assert p[0] == i and p[-1] == j
+    # traffic converted kbps->bps
+    assert s.traffic_bps.min() >= 100 * 1000
+    stats = s.global_stats()
+    assert stats["packets_per_sec"] > 0
+
+
+def test_sample_to_graph_json(raw_dataset):
+    s = next(iter(kdn.iter_kdn_samples(raw_dataset)))
+    data = kdn.sample_to_graph_json(s)
+    n_links = sum(1 for v in data["entities"].values() if v == "link")
+    n_paths = sum(1 for v in data["entities"].values() if v == "path")
+    assert n_links == 10  # 5 undirected edges * 2 directions
+    assert n_paths == N * (N - 1)
+    assert len(data["link_capacity"]) == n_links
+    assert len(data["traffic"]) == n_paths == len(data["delay"]) == len(data["jitter"])
+    # every path's link sequence follows its routing hops
+    for pname, links in data["adj_links_paths"].items():
+        assert all(l in data["entities"] for l in links)
+    # adjacency symmetry
+    for lname, paths in data["adj_paths_links"].items():
+        for p in paths:
+            assert lname in data["adj_links_paths"][p]
+
+
+def test_migrate_and_train_pipeline(raw_dataset, tmp_path):
+    import jax
+
+    from ignnition_tpu.data import SampleSpec, build_batch, find_dataset_dimensions, iter_samples
+    from ignnition_tpu.frontend import parser
+    from ignnition_tpu.model import build
+    from helpers import routenet_description
+
+    n_train, n_eval = kdn.migrate(
+        raw_dataset, str(tmp_path), samples_per_archive=3, seed=1
+    )
+    assert n_train + n_eval == 5
+    train_dir = os.path.join(tmp_path, "train")
+    dims = find_dataset_dimensions(train_dir)
+    assert dims["link_capacity"] == 1
+
+    # normalization: raw traffic is ~1e5 bps; use identity-safe scaling
+    desc = routenet_description(num_iterations=2, hs=8)
+    ir = parser.parse_model_description(desc, dims)
+    spec = SampleSpec.from_ir(ir)
+    samples = list(iter_samples(train_dir, spec))
+    assert len(samples) == n_train
+    arrays, meta = build_batch(samples[:2], ir)
+    model = build(ir)
+    params = model.init(jax.random.PRNGKey(0))
+    preds = model.apply(params, arrays, meta)
+    assert np.isfinite(np.asarray(preds)).all()
