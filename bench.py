@@ -80,17 +80,36 @@ def build_case(n_links=2048, n_paths=16384, path_len=8, hs=32, iterations=8):
     return train_step, params, opt_state, arrays, edges_per_step
 
 
-def time_step(step, params, opt_state, arrays, iters=20):
+def time_step(step, params, opt_state, arrays, iters=50):
+    """Per-step wall time with the batch resident on device.
+
+    Timing is fetch-based: on remote-tunnel backends `block_until_ready` can
+    return before execution finishes, so the only trustworthy clock edge is a
+    host value fetch. We fetch once after a 1-step run (baseline: dispatch +
+    fetch latency) and once after `iters` chained dispatched steps; the
+    difference divided by (iters - 1) is the real per-step time.
+    """
     import jax
 
+    arrays = jax.device_put(arrays)
     fn = jax.jit(step)
+
+    # warm: compile + full fetch
     p, o, l = fn(params, opt_state, arrays)
-    jax.block_until_ready(l)
+    float(l)
+
     t0 = time.time()
+    p1, o1, l1 = fn(params, opt_state, arrays)
+    float(l1)
+    t_base = time.time() - t0
+
+    t0 = time.time()
+    p, o = params, opt_state
     for _ in range(iters):
         p, o, l = fn(p, o, arrays)
-    jax.block_until_ready(l)
-    return (time.time() - t0) / iters
+    float(l)
+    t_n = time.time() - t0
+    return max(t_n - t_base, 1e-9) / (iters - 1)
 
 
 def main():

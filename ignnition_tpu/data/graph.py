@@ -272,6 +272,25 @@ def build_batch(
         arrays[f"edge_mask_{a.name}"] = emask
         if params is not None:
             arrays[f"params_{a.name}"] = params
+        # host-precomputed CSR row pointers and real in-degree counts: the
+        # edge list is destination-sorted, so these are free here but would
+        # cost a device searchsorted / scatter every iteration otherwise
+        n_dst_pad = node_pad[a.dst]
+        arrays[f"row_ptr_{a.name}"] = np.searchsorted(
+            dst, np.arange(n_dst_pad + 1)
+        ).astype(np.int32)
+        arrays[f"lens_{a.name}"] = np.bincount(
+            dst[emask > 0], minlength=n_dst_pad
+        ).astype(np.float32)
+        # source-sorted view for the gather transpose: the backward of
+        # states[src_idx] is a segment sum keyed by src — precompute the
+        # stable sort permutation and its CSR pointers host-side
+        n_src_pad = node_pad[a.src]
+        perm = np.argsort(src, kind="stable").astype(np.int32)
+        arrays[f"src_perm_{a.name}"] = perm
+        arrays[f"src_row_ptr_{a.name}"] = np.searchsorted(
+            src[perm], np.arange(n_src_pad + 1)
+        ).astype(np.int32)
 
     # ---- interleave permutations ----
     # For each interleave destination, a per-graph permutation of the merged
@@ -456,6 +475,23 @@ def repad_to_meta(
                     out[k] = pad_rows(cur, ne, fill=fill)
                 else:
                     out[k] = pad_rows(out[k], ne)
+        if name in adj_info and f"row_ptr_{name}" in out:
+            n_dst_pad = node_pad_t[adj_info[name].dst]
+            dstv = out[f"dst_{name}"]
+            emask = out[f"edge_mask_{name}"]
+            out[f"row_ptr_{name}"] = np.searchsorted(
+                dstv, np.arange(n_dst_pad + 1)
+            ).astype(np.int32)
+            out[f"lens_{name}"] = np.bincount(
+                dstv[emask > 0], minlength=n_dst_pad
+            ).astype(np.float32)
+            srcv = out[f"src_{name}"]
+            n_src_pad = node_pad_t[adj_info[name].src]
+            perm = np.argsort(srcv, kind="stable").astype(np.int32)
+            out[f"src_perm_{name}"] = perm
+            out[f"src_row_ptr_{name}"] = np.searchsorted(
+                srcv[perm], np.arange(n_src_pad + 1)
+            ).astype(np.int32)
 
     if out.get("label") is not None and "label" in out:
         out["label"] = pad_rows(out["label"], target.label_pad)

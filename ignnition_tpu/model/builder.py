@@ -341,6 +341,11 @@ class GnnModel:
                     dst_idx = batch[f"dst_{a}"]
                     seq_pos = batch[f"seq_{a}"]
                     emask = batch[f"edge_mask_{a}"]
+                    # NOTE: a custom-vjp gather whose transpose runs the
+                    # sorted segment kernel exists (ops.segment.gather_rows),
+                    # but measured slower here: the permutation gather it
+                    # needs costs more than the scatter-add it saves. Plain
+                    # gathers keep XLA's fused transpose.
                     gathered_src = new_states[src.entity][src_idx]
                     gathered_dst = dst_states[dst_idx]
 
@@ -383,12 +388,57 @@ class GnnModel:
                         )
                     )
 
-                lens = [
-                    seg.segment_count(s["dst_idx"], n_dst, s["mask"], axis_name=edge_axis)
-                    for s in per_source
-                ]
+                def compute_lens(_ps=per_source, _n=n_dst, _ax=edge_axis):
+                    """Per-destination real-message counts (the reference's
+                    unsorted_segment_sum of ones, generate_model.py:481-482).
+                    Precomputed host-side by the data layer; the scatter-based
+                    fallback covers hand-built batches. Precomputed counts are
+                    global, which is exactly what the sharded path needs too
+                    (they feed only post-all-reduce uses)."""
+                    out = []
+                    for s in _ps:
+                        key = f"lens_{s['adj']}"
+                        if key in batch:
+                            out.append(batch[key])
+                        else:
+                            out.append(
+                                seg.segment_count(
+                                    s["dst_idx"], _n, s["mask"], axis_name=_ax
+                                )
+                            )
+                    return out
 
                 # ---- aggregation ----
+                fast_ordered = (
+                    agg.kind == "ordered"
+                    and len(per_source) == 1
+                    and mp.update.kind == "recurrent"
+                    and edge_axis is None
+                    and f"row_ptr_{per_source[0]['adj']}" in batch
+                )
+                if fast_ordered:
+                    # no padded-sequence materialization: the masked RNN
+                    # gathers its time slices straight from the sorted edge
+                    # messages (see nn/rnn.py masked_update_from_edges)
+                    s0 = per_source[0]
+                    row_ptr = batch[f"row_ptr_{s0['adj']}"][:-1]
+                    lens0 = batch[f"lens_{s0['adj']}"].astype(jnp.int32)
+                    node_mask = batch[f"node_mask_{dst}"]
+                    up = params["update"][f"{dst}_update"]
+                    new_state = RNN.masked_update_from_edges(
+                        mp.update.rnn,
+                        up,
+                        s0["messages"],
+                        row_ptr,
+                        s0["seq"],
+                        s0["dst_idx"],
+                        lens0,
+                        dst_states,
+                        meta.maxlen(s0["adj"]),
+                    )
+                    new_states[dst] = new_state * node_mask[:, None]
+                    continue
+
                 if agg.kind in _VECTOR_AGGS:
                     comb_msg = jnp.concatenate([s["messages"] for s in per_source], 0)
                     comb_dst = jnp.concatenate([s["dst_idx"] for s in per_source], 0)
@@ -396,6 +446,11 @@ class GnnModel:
                     # single-source edge lists are destination-sorted by
                     # construction (data layer) -> Pallas sorted-COO eligible
                     sorted_coo = len(per_source) == 1
+                    comb_rp = (
+                        batch.get(f"row_ptr_{per_source[0]['adj']}")
+                        if sorted_coo
+                        else None
+                    )
                     if agg.kind == "sum":
                         aggregated = seg.segment_sum(
                             comb_msg,
@@ -403,6 +458,7 @@ class GnnModel:
                             n_dst,
                             indices_are_sorted=sorted_coo,
                             axis_name=edge_axis,
+                            row_ptr=comb_rp,
                         )
                     elif agg.kind == "attention":
                         aggregated = self._attention(
@@ -413,7 +469,7 @@ class GnnModel:
                             comb_mask,
                             dst_states,
                             per_source,
-                            lens,
+                            compute_lens,
                             n_dst,
                             meta,
                             edge_axis,
@@ -427,6 +483,7 @@ class GnnModel:
                             n_dst,
                             indices_are_sorted=sorted_coo,
                             axis_name=edge_axis,
+                            row_ptr=comb_rp,
                         )
                         total = nsum + dst_states
                         deg = seg.segment_count(
@@ -448,6 +505,7 @@ class GnnModel:
                         )
                         for s in per_source
                     ]
+                    lens = compute_lens()
                     if agg.kind == "concat" and agg.concat_axis == 2:
                         aggregated = jnp.concatenate(blocks, axis=2)
                         final_len = lens[0]
@@ -497,7 +555,7 @@ class GnnModel:
         comb_mask,
         dst_states,
         per_source,
-        lens,
+        compute_lens,
         n_dst,
         meta,
         edge_axis=None,
@@ -519,6 +577,7 @@ class GnnModel:
         if agg.attention_softmax == "reference":
             # per-source seq offsets (reference generate_model.py:538-541)
             seqs = []
+            lens = compute_lens()
             offset = jnp.zeros((n_dst,), jnp.float32)
             for s, l in zip(per_source, lens):
                 seqs.append(s["seq"] + offset[s["dst_idx"]].astype(s["seq"].dtype))

@@ -23,6 +23,7 @@ the cuDNN-compatible variant that is the TF2 default); LSTM uses
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Tuple
 
 import jax
@@ -137,4 +138,90 @@ def masked_update(
 
     xs = (jnp.moveaxis(seq_inputs, 1, 0), (t_index[:, None] < lengths[None, :]))
     (final_h, _), _ = jax.lax.scan(body, (init_state, jnp.zeros_like(init_state)), xs)
+    return final_h
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gather_time_slices(messages, row_ptr, seq, dst, max_len):
+    """[L, num_dst, dim] time slices of a destination-sorted edge-message
+    array: slice t row d = messages[row_ptr[d] + t] (clamped).
+
+    Custom VJP: the transpose of these L gathers is a single flat gather
+    ct_messages[e] = ct[seq[e], dst[e]] — every real edge is read by exactly
+    one valid (t, d) slot, invalid slots receive zero cotangent from the
+    masked scan, and padding edges' spurious credits are annihilated by the
+    upstream edge-mask multiply. Without this, AD emits one scatter-add per
+    scan step, which dominates the whole training step on TPU.
+    """
+    e = messages.shape[0]
+    idx = jnp.minimum(
+        row_ptr[None, :] + jnp.arange(max_len)[:, None], e - 1
+    )  # [L, num_dst]
+    return messages[idx]
+
+
+def _gts_fwd(messages, row_ptr, seq, dst, max_len):
+    out = gather_time_slices(messages, row_ptr, seq, dst, max_len)
+    return out, (seq, dst)
+
+
+def _gts_bwd(max_len, res, ct):
+    seq, dst = res
+    l, n, d = ct.shape
+    flat = ct.reshape(l * n, d)
+    ct_msg = flat[jnp.minimum(seq, l - 1) * n + dst]
+    return ct_msg, None, None, None
+
+
+gather_time_slices.defvjp(_gts_fwd, _gts_bwd)
+
+
+def masked_update_from_edges(
+    spec: RNNSpec,
+    params,
+    messages: jnp.ndarray,  # [E, dim] destination-sorted, seq-ascending
+    row_ptr: jnp.ndarray,  # [num_dst] first edge index of each destination
+    seq: jnp.ndarray,  # [E] per-destination sequence positions
+    dst: jnp.ndarray,  # [E] destination ids
+    lengths: jnp.ndarray,  # [num_dst] real message count per destination
+    init_state: jnp.ndarray,  # [num_dst, units]
+    max_len: int,
+) -> jnp.ndarray:
+    """Ordered recurrent update WITHOUT materializing the padded
+    [num_dst, max_len, dim] sequence tensor.
+
+    Because the data layer emits destination-sorted COO with ascending
+    per-destination sequence positions, destination d's t-th message is
+    simply `messages[row_ptr[d] + t]` — gathered per time slice (see
+    gather_time_slices) instead of the reference-shaped padded scatter
+    (generate_model.py:477-491), which serializes on TPU. Masked steps carry
+    state through.
+    """
+    xs = gather_time_slices(messages, row_ptr, seq, dst, max_len)  # [L, N, D]
+    t_index = jnp.arange(max_len)
+
+    if spec.cell_type == "GRU":
+
+        def body(h, xt):
+            x, t = xt
+            valid = t < lengths
+            h_new = _gru_step(params, x, h)
+            h = jnp.where(valid[:, None], h_new, h)
+            return h, None
+
+        final, _ = jax.lax.scan(body, init_state, (xs, t_index))
+        return final
+
+    def body(carry, xt):
+        h, c = carry
+        x, t = xt
+        valid = t < lengths
+        h_new, c_new = _lstm_step(params, x, (h, c))
+        h = jnp.where(valid[:, None], h_new, h)
+        c = jnp.where(valid[:, None], c_new, c)
+        return (h, c), None
+
+    (final_h, _), _ = jax.lax.scan(
+        body, (init_state, jnp.zeros_like(init_state)), (xs, t_index)
+    )
     return final_h

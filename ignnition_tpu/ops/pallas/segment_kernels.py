@@ -179,3 +179,163 @@ def _sss_bwd(num_segments, segment_ids, ct):
 
 
 sorted_segment_sum_pallas.defvjp(_sss_fwd, _sss_bwd)
+
+
+# ==========================================================================
+# Packed kernel: PACK = 128 // D edges per lane row, ids derived from row
+# pointers — no id column, no lane-padding waste. Used when D divides 128.
+# ==========================================================================
+
+
+def _make_packed_kernel(d: int, pack: int, chunk_rows: int, tile_n: int):
+    lanes = d * pack  # == 128
+
+    def kernel(row_ptr_ref, data_ref, lo_ref, hi_ref, out_ref, buf, sems):
+        i = pl.program_id(0)
+        start = row_ptr_ref[i * tile_n]
+        end = row_ptr_ref[(i + 1) * tile_n]
+        row0 = ((start // pack) // chunk_rows) * chunk_rows
+        rows_needed = pl.cdiv(end, pack) - row0
+        n_chunks = pl.cdiv(rows_needed, chunk_rows)
+
+        lo = lo_ref[0, 0]  # [tile_n] first edge of each tile segment
+        hi = hi_ref[0, 0]  # [tile_n] one-past-last edge
+
+        def get_dma(slot, c):
+            offs = pl.multiple_of(row0 + c * chunk_rows, chunk_rows)
+            return pltpu.make_async_copy(
+                data_ref.at[pl.ds(offs, chunk_rows), :], buf.at[slot], sems.at[slot]
+            )
+
+        @pl.when(n_chunks > 0)
+        def _():
+            get_dma(0, 0).start()
+
+        acc0 = jnp.zeros((tile_n, lanes), jnp.float32)
+
+        def body(c, acc):
+            slot = c % 2
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                get_dma((c + 1) % 2, c + 1).start()
+
+            get_dma(slot, c).wait()
+            chunk = buf[slot]  # [chunk_rows, lanes]
+            r_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk_rows, tile_n), 0)
+            base = (row0 + c * chunk_rows) * pack
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (chunk_rows, lanes), 1)
+            for k in range(pack):
+                pos = base + r_iota * pack + k  # global edge index of sub-slot k
+                onehot = jnp.where(
+                    (pos >= lo[None, :]) & (pos < hi[None, :]), 1.0, 0.0
+                )
+                masked = jnp.where(lane // d == k, chunk, 0.0)
+                acc = acc + jax.lax.dot_general(
+                    onehot,
+                    masked,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            return acc
+
+        acc = jax.lax.fori_loop(0, n_chunks, body, acc0)
+
+        # collapse the `pack` lane blocks: [tile_n, lanes] @ S -> [tile_n, d]
+        # with S[j, j % d] = 1 (0/1-exact under full-precision passes)
+        rowsel = jax.lax.broadcasted_iota(jnp.int32, (lanes, d), 0)
+        colsel = jax.lax.broadcasted_iota(jnp.int32, (lanes, d), 1)
+        s_mat = jnp.where(rowsel % d == colsel, 1.0, 0.0)
+        out_ref[:] = jax.lax.dot_general(
+            acc,
+            s_mat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    return kernel
+
+
+def _packed_impl(data, row_ptr, num_segments):
+    """row_ptr: [num_segments + 1] int32 CSR pointers into the sorted edge
+    axis (the data layer precomputes these host-side)."""
+    e, d = data.shape
+    pack = 128 // d
+    tile_n = TILE_N
+    chunk_rows = 256
+    n_pad = ((num_segments + tile_n - 1) // tile_n) * tile_n
+
+    rows = (e + pack - 1) // pack
+    rows_pad = ((rows + chunk_rows - 1) // chunk_rows) * chunk_rows + chunk_rows
+    e_pad = rows_pad * pack
+
+    flat = jnp.zeros((e_pad * d,), jnp.float32).at[: e * d].set(data.reshape(-1))
+    packed = flat.reshape(rows_pad, 128)
+
+    row_ptr = jnp.concatenate(
+        [row_ptr, jnp.full((n_pad - num_segments,), row_ptr[-1], row_ptr.dtype)]
+    ).astype(jnp.int32)
+    lo = row_ptr[:n_pad].reshape(n_pad // tile_n, 1, tile_n)
+    hi = row_ptr[1 : n_pad + 1].reshape(n_pad // tile_n, 1, tile_n)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # packed edge features
+            pl.BlockSpec(
+                (1, 1, tile_n), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, tile_n), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_n, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk_rows, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_packed_kernel(d, pack, chunk_rows, tile_n),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_pad * tile_n * 128,
+            bytes_accessed=rows_pad * 128 * 4 + n_pad * d * 4,
+            transcendentals=0,
+        ),
+    )(row_ptr, packed, lo, hi)
+    return out[:num_segments]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def sorted_segment_sum_csr(data, segment_ids, row_ptr, num_segments):
+    """Sorted-COO segment sum with precomputed CSR row pointers.
+
+    Forward dispatches to the packed kernel (no id column, no lane padding)
+    when the feature dim divides 128, else to the id-column kernel.
+    Backward is the exact transpose: a gather by segment id.
+    """
+    if 128 % data.shape[1] == 0:
+        return _packed_impl(data, row_ptr, num_segments)
+    return _sorted_segment_sum_impl(data, segment_ids, num_segments)
+
+
+def _csr_fwd(data, segment_ids, row_ptr, num_segments):
+    return sorted_segment_sum_csr(data, segment_ids, row_ptr, num_segments), segment_ids
+
+
+def _csr_bwd(num_segments, segment_ids, ct):
+    return ct[segment_ids], None, None
+
+
+sorted_segment_sum_csr.defvjp(_csr_fwd, _csr_bwd)

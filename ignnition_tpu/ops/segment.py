@@ -41,6 +41,12 @@ def _maybe_psum(x: jnp.ndarray, axis_name: Optional[str]) -> jnp.ndarray:
     return jax.lax.psum(x, axis_name) if axis_name else x
 
 
+def _on_tpu() -> bool:
+    # remote-TPU plugins may register under a different platform name
+    # (e.g. "axon") while still lowering through Mosaic
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def segment_sum(
     data: jnp.ndarray,
     segment_ids: jnp.ndarray,
@@ -48,6 +54,7 @@ def segment_sum(
     indices_are_sorted: bool = False,
     use_pallas: str = "auto",
     axis_name: Optional[str] = None,
+    row_ptr: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Sum rows of `data` into `num_segments` buckets.
 
@@ -63,10 +70,16 @@ def segment_sum(
         and indices_are_sorted
         and data.ndim == 2
         and axis_name is None
-        and jax.default_backend() == "tpu"
+        and _on_tpu()
         and (use_pallas == "always" or data.shape[0] >= _PALLAS_MIN_EDGES)
     ):
         try:
+            if row_ptr is not None:
+                from .pallas.segment_kernels import sorted_segment_sum_csr
+
+                return sorted_segment_sum_csr(
+                    data, segment_ids, row_ptr, num_segments
+                )
             from .pallas.segment_kernels import sorted_segment_sum_pallas
 
             return sorted_segment_sum_pallas(data, segment_ids, num_segments)
@@ -168,3 +181,42 @@ def graph_pool(
         m = jax.ops.segment_max(xmasked, graph_ids, num_graphs)
         return jnp.where(jnp.isfinite(m), m, 0.0)
     raise ValueError(f"unknown pooling kind '{kind}'")
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _gather_rows_csr(states, idx, perm, row_ptr):
+    return states[idx]
+
+
+def _gr_fwd(states, idx, perm, row_ptr):
+    return states[idx], (states.shape[0], idx, perm, row_ptr)
+
+
+def _gr_bwd(res, ct):
+    n, idx, perm, row_ptr = res
+    ct_states = segment_sum(
+        ct[perm],
+        idx[perm],
+        n,
+        indices_are_sorted=True,
+        row_ptr=row_ptr,
+    )
+    return ct_states, None, None, None
+
+
+_gather_rows_csr.defvjp(_gr_fwd, _gr_bwd)
+
+
+def gather_rows(states, idx, perm=None, row_ptr=None):
+    """Row gather with a segment-sum transpose.
+
+    XLA differentiates a gather into a serialized scatter-add; when the
+    caller provides a host-precomputed sort permutation of `idx` and its CSR
+    pointers, the backward becomes a sorted segment sum instead (Pallas
+    kernel on TPU)."""
+    if perm is None or row_ptr is None:
+        return states[idx]
+    return _gather_rows_csr(states, idx, perm, row_ptr)

@@ -147,3 +147,29 @@ def test_grad_flows():
         float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)
     )
     assert total > 0
+
+
+def test_fast_ordered_path_matches_scatter_path():
+    """The gather-based ordered update (host CSR + custom-VJP time slices)
+    must match the reference-shaped padded-scatter path in both values and
+    gradients."""
+    ir, model, params = _setup(num_iterations=3)
+    spec = SampleSpec.from_ir(ir)
+    s = convert_sample(TINY_SAMPLE, spec)
+    arrays, meta = build_batch([s], ir)
+    slow = {k: v for k, v in arrays.items() if not k.startswith("row_ptr_")}
+
+    p_fast = model.apply(params, arrays, meta)
+    p_slow = model.apply(params, slow, meta)
+    np.testing.assert_allclose(p_fast, p_slow, rtol=1e-5, atol=1e-6)
+
+    def loss(p, b):
+        preds = model.apply(p, b, meta)
+        return jnp.sum((preds * b["label_mask"] - b["label"] * b["label_mask"]) ** 2)
+
+    g_fast = jax.grad(loss)(params, arrays)
+    g_slow = jax.grad(loss)(params, slow)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_fast), jax.tree_util.tree_leaves(g_slow)
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
