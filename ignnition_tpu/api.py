@@ -61,11 +61,18 @@ class Runner:
         model: Model,
         padding: Optional[PaddingConfig] = None,
         seed: int = 0,
+        mesh=None,
+        tensorboard_dir: Optional[str] = None,
     ):
+        """mesh: optional jax Mesh ('data','model') — train_and_evaluate then
+        runs the SPMD parallel step, consuming mesh.shape['data'] merged
+        batches per step (graph-batch data parallelism x edge partitioning)."""
         self.model = model
         self.gnn = build(model.ir)
         self.trainer = Trainer(self.gnn, padding=padding)
         self.seed = seed
+        self.mesh = mesh
+        self.tensorboard_dir = tensorboard_dir
 
     def _denorm_fn(self) -> Optional[Callable]:
         _, _, denorm = self.model.ir.output_info()
@@ -111,6 +118,8 @@ class Runner:
             keep_max=cfg.keep_checkpoint_max,
             eval_fn=eval_fn,
             eval_secs=cfg.throttle_secs,
+            mesh=self.mesh,
+            tensorboard_dir=self.tensorboard_dir,
         )
 
     def evaluate(self, state: TrainState) -> Dict[str, float]:

@@ -297,19 +297,42 @@ def convert_sample(raw: Mapping[str, Any], spec: SampleSpec) -> GraphSample:
 # --------------------------------------------------------------------------
 
 
+def _read_archive_bytes(path: str) -> bytes:
+    try:
+        with tarfile.open(path, "r:gz") as tar:
+            member = tar.extractfile("data.json")
+            if member is None:
+                raise DatasetError(f"the file data.json was not found in {path}")
+            return member.read()
+    except tarfile.TarError as e:
+        raise DatasetError(f"could not read archive {path}: {e}") from e
+
+
 def iter_samples(
     directory: str,
     spec: SampleSpec,
     shuffle: bool = False,
     seed: Optional[int] = None,
     repeat: bool = False,
+    use_native: str = "auto",
 ) -> Iterator[GraphSample]:
     """Walk `directory/*.tar.gz` and yield converted samples.
+
+    use_native: "auto" uses the C++ loading core (native/loader.cpp) when its
+    shared library is built, falling back to python per sample on format
+    quirks; "never" forces pure python.
 
     Per-sample conversion errors are reported and the offending archive is
     skipped, matching the reference generator's resilience
     (generator_std_to_framework.py:226-230).
     """
+    native = None
+    if use_native != "never":
+        from . import native_loader
+
+        if native_loader.available():
+            native = native_loader
+
     rng = random.Random(seed)
     while True:
         archives = sorted(glob.glob(os.path.join(str(directory), "*.tar.gz")))
@@ -319,11 +342,19 @@ def iter_samples(
             rng.shuffle(archives)
         for archive in archives:
             try:
-                raw_samples = _read_archive(archive)
-                if shuffle:
-                    rng.shuffle(raw_samples)
-                for raw in raw_samples:
-                    yield convert_sample(raw, spec)
+                if native is not None:
+                    samples = native.convert_archive(
+                        _read_archive_bytes(archive), spec
+                    )
+                    if shuffle:
+                        rng.shuffle(samples)
+                    yield from samples
+                else:
+                    raw_samples = _read_archive(archive)
+                    if shuffle:
+                        rng.shuffle(raw_samples)
+                    for raw in raw_samples:
+                        yield convert_sample(raw, spec)
             except DatasetError as e:
                 import logging
 

@@ -1,0 +1,238 @@
+"""ctypes wrapper for the native (C++) data-loading core.
+
+The shared library (native/loader.cpp, built by native/Makefile into
+`ignnition_tpu/data/_native_loader.so`) parses `data.json` buffers and
+performs the index-building hot loop natively. This wrapper exposes it as
+`convert_archive(json_bytes, spec) -> list[GraphSample]` with identical
+semantics to the pure-python `dataset.convert_sample`; on any per-sample
+format problem it falls back to the python path so users still get the
+friendly error messages.
+
+Build (once): `make -C native`. If the library is absent everything falls
+back to python transparently (`available()` -> False).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from .dataset import AdjacencyArrays, GraphSample, SampleSpec, convert_sample
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "_native_loader.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.ign_parse.restype = ctypes.c_void_p
+    lib.ign_parse.argtypes = [ctypes.c_char_p, ctypes.c_long]
+    lib.ign_free.argtypes = [ctypes.c_void_p]
+    lib.ign_num_samples.restype = ctypes.c_long
+    lib.ign_num_samples.argtypes = [ctypes.c_void_p]
+    lib.ign_entity_count.restype = ctypes.c_long
+    lib.ign_entity_count.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_char_p]
+    lib.ign_feature_len.restype = ctypes.c_long
+    lib.ign_feature_len.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_char_p]
+    lib.ign_feature.restype = ctypes.c_long
+    lib.ign_feature.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_long,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+    ]
+    lib.ign_adjacency_size.restype = ctypes.c_long
+    lib.ign_adjacency_size.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_long,
+        ctypes.c_char_p,
+    ]
+    lib.ign_adjacency.restype = ctypes.c_long
+    lib.ign_adjacency.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_long,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+        ctypes.c_long,
+    ]
+    lib.ign_string_list.restype = ctypes.c_long
+    lib.ign_string_list.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_long,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_long,
+    ]
+    lib.ign_has_key.restype = ctypes.c_int
+    lib.ign_has_key.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_char_p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _iptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def convert_archive(json_bytes: bytes, spec: SampleSpec) -> List[GraphSample]:
+    """Parse one data.json payload and convert all samples natively.
+
+    Any sample the native path can't handle (unexpected shape, entity
+    mismatch, interleave patterns) is re-converted through the python path
+    (which produces the friendly diagnostics)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader not built (run: make -C native)")
+    handle = lib.ign_parse(json_bytes, len(json_bytes))
+    if not handle:
+        # unparseable by the native parser: let python raise properly
+        raw = json.loads(json_bytes)
+        return [convert_sample(r, spec) for r in raw]
+    try:
+        n = lib.ign_num_samples(handle)
+        out: List[GraphSample] = []
+        raw_cache = None
+        for i in range(n):
+            s = _convert_one(lib, handle, i, spec)
+            if s is None:  # fall back for this sample
+                if raw_cache is None:
+                    raw_cache = json.loads(json_bytes)
+                s = convert_sample(raw_cache[i], spec)
+            out.append(s)
+        return out
+    finally:
+        lib.ign_free(handle)
+
+
+def _convert_one(lib, handle, i, spec: SampleSpec) -> Optional[GraphSample]:
+    num_nodes = {}
+    for ent in spec.entity_names:
+        c = lib.ign_entity_count(handle, i, ent.encode())
+        if c < 0:
+            return None
+        num_nodes[ent] = int(c)
+
+    features = {}
+    for name in spec.feature_names:
+        size = spec.feature_sizes.get(name, 1)
+        n_ent = num_nodes[spec.feature_entities[name]]
+        buf = np.empty(n_ent * size, np.float32)
+        got = lib.ign_feature(handle, i, name.encode(), _fptr(buf), buf.size)
+        if got != n_ent * size:
+            return None
+        features[name] = buf.reshape(n_ent, size)
+
+    adjacencies = {}
+    for adj_name, src_e, dst_e, has_params in spec.adjacencies:
+        n_edges = lib.ign_adjacency_size(handle, i, adj_name.encode())
+        if n_edges < 0:
+            return None
+        src = np.empty(n_edges, np.int32)
+        dst = np.empty(n_edges, np.int32)
+        seq = np.empty(n_edges, np.int32)
+        pdim = spec.feature_sizes.get(adj_name, 0)
+        if has_params and pdim <= 0:
+            pdim = 1
+        params = np.empty((n_edges, pdim), np.float32) if has_params else np.empty(0, np.float32)
+        got = lib.ign_adjacency(
+            handle,
+            i,
+            adj_name.encode(),
+            src_e.encode(),
+            dst_e.encode(),
+            _iptr(src),
+            _iptr(dst),
+            _iptr(seq),
+            _fptr(params),
+            pdim if has_params else 0,
+            n_edges,
+        )
+        if got != n_edges:
+            return None
+        adjacencies[adj_name] = AdjacencyArrays(
+            src_idx=src, dst_idx=dst, seq=seq, params=params if has_params else None
+        )
+
+    # interleave patterns: python path (string handling; rare + tiny)
+    interleave = {}
+    if spec.interleave:
+        import math
+
+        for pattern_key, dst_entity in spec.interleave:
+            buf = ctypes.create_string_buffer(1 << 16)
+            got = lib.ign_string_list(handle, i, pattern_key.encode(), buf, len(buf))
+            if got < 0:
+                return None
+            pattern = buf.raw[:got].decode().split("\n")[:-1]
+            involved, total_sequence, n_total = {}, [], 0
+            for entity in pattern:
+                if entity not in involved:
+                    involved[entity] = len(involved)
+                    seq_arr = None
+                    for a_name, s_e, d_e, _hp in spec.adjacencies:
+                        if s_e == entity and d_e == dst_entity:
+                            seq_arr = adjacencies[a_name].seq
+                            break
+                    if seq_arr is None or len(seq_arr) == 0:
+                        return None
+                    n_total += int(seq_arr.max()) + 1
+                total_sequence.append(involved[entity])
+            reps = math.ceil(float(n_total) / len(pattern))
+            tiled = np.asarray((total_sequence * reps)[:n_total], np.int32)
+            for entity, ident in involved.items():
+                interleave[(entity, dst_entity)] = np.where(tiled == ident)[0].astype(
+                    np.int32
+                )
+
+    label = None
+    if spec.label_name is not None:
+        ln = lib.ign_feature_len(handle, i, spec.label_name.encode())
+        if ln < 0:
+            return None
+        buf = np.empty(ln, np.float32)
+        got = lib.ign_feature(handle, i, spec.label_name.encode(), _fptr(buf), ln)
+        if got != ln:
+            return None
+        label = buf
+
+    extras = {}
+    for name in spec.extra_names:
+        ln = lib.ign_feature_len(handle, i, name.encode())
+        if ln < 0:
+            return None
+        buf = np.empty(ln, np.float32)
+        if lib.ign_feature(handle, i, name.encode(), _fptr(buf), ln) != ln:
+            return None
+        extras[name] = buf.astype(np.int64)
+
+    return GraphSample(
+        num_nodes=num_nodes,
+        features=features,
+        adjacencies=adjacencies,
+        interleave=interleave,
+        label=label,
+        extras=extras,
+    )

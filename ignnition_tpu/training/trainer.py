@@ -186,24 +186,62 @@ class Trainer:
         eval_fn: Optional[Callable[[TrainState], Dict[str, float]]] = None,
         eval_secs: int = 300,
         rng: Optional[jax.Array] = None,
+        mesh=None,
+        tensorboard_dir: Optional[str] = None,
+        histogram_every: int = 0,
     ) -> TrainState:
+        """Run the training loop.
+
+        mesh: a jax Mesh with ('data','model') axes for SPMD training — each
+        step consumes mesh.shape['data'] merged batches (stacked, re-padded
+        to a common bucket) and runs the shard_map parallel step; without a
+        mesh, single-device jitted steps.
+        tensorboard_dir: write loss scalars (and parameter histograms every
+        `histogram_every` steps, if > 0) — the reference logs the same set
+        via tf.summary (generate_model.py:754-756, 792-793).
+        """
         rng = rng if rng is not None else jax.random.PRNGKey(42)
         manager = None
         if checkpoint_dir:
             manager = _make_checkpoint_manager(checkpoint_dir, keep_max)
+        writer = None
+        if tensorboard_dir:
+            from tensorboardX import SummaryWriter
+
+            writer = SummaryWriter(tensorboard_dir)
         last_save = time.time()
         last_eval = time.time()
 
-        for arrays, meta in self.batches(
-            data_dir, batch_size, shuffle=shuffle, repeat=True
-        ):
+        if mesh is not None:
+            batch_iter = self._sharded_batch_iter(
+                data_dir, batch_size, mesh, shuffle
+            )
+            step_cache: Dict[Any, Callable] = {}
+        else:
+            batch_iter = self.batches(
+                data_dir, batch_size, shuffle=shuffle, repeat=True
+            )
+
+        for arrays, meta in batch_iter:
             if state.step >= max_steps:
                 break
-            step_fn = self.train_step_fn(meta)
-            rng, key = jax.random.split(rng)
-            params, opt_state, logs = step_fn(
-                state.params, state.opt_state, arrays, key
-            )
+            if mesh is not None:
+                if meta not in step_cache:
+                    from ..parallel import make_parallel_train_step
+
+                    step_cache[meta] = make_parallel_train_step(
+                        self.model, self.optimizer, self.loss_fn, meta, mesh
+                    )
+                params, opt_state, loss = step_cache[meta](
+                    state.params, state.opt_state, arrays
+                )
+                logs = {"loss": loss, "reg": 0.0, "total": loss}
+            else:
+                step_fn = self.train_step_fn(meta)
+                rng, key = jax.random.split(rng)
+                params, opt_state, logs = step_fn(
+                    state.params, state.opt_state, arrays, key
+                )
             state = TrainState(params, opt_state, state.step + 1)
             if log_every and state.step % log_every == 0:
                 log.info(
@@ -213,6 +251,22 @@ class Trainer:
                     float(logs["reg"]),
                     float(logs["total"]),
                 )
+            if writer is not None and log_every and state.step % log_every == 0:
+                writer.add_scalar("loss", float(logs["loss"]), state.step)
+                writer.add_scalar("regularization_loss", float(logs["reg"]), state.step)
+                writer.add_scalar("total_loss", float(logs["total"]), state.step)
+            if (
+                writer is not None
+                and histogram_every
+                and state.step % histogram_every == 0
+            ):
+                flat, _ = jax.tree_util.tree_flatten_with_path(state.params)
+                for path, leaf in flat:
+                    name = "/".join(
+                        str(getattr(pp, "key", getattr(pp, "idx", pp)))
+                        for pp in path
+                    )
+                    writer.add_histogram(name, np.asarray(leaf), state.step)
             now = time.time()
             if manager is not None and (now - last_save >= save_secs):
                 save_checkpoint(manager, state)
@@ -225,7 +279,22 @@ class Trainer:
         if manager is not None:
             save_checkpoint(manager, state)
             manager.wait_until_finished()
+        if writer is not None:
+            writer.close()
         return state
+
+    def _sharded_batch_iter(self, data_dir, batch_size, mesh, shuffle):
+        """Group mesh.shape['data'] merged batches per step and stack them
+        on the leading data axis (re-padded to a common bucket)."""
+        from ..parallel import stack_batches
+
+        n_data = mesh.shape["data"]
+        group = []
+        for item in self.batches(data_dir, batch_size, shuffle=shuffle, repeat=True):
+            group.append(item)
+            if len(group) == n_data:
+                yield stack_batches(group, self.ir)
+                group = []
 
     def evaluate(
         self,

@@ -122,3 +122,48 @@ def test_attention_model_edge_partitioned():
     preds = np.asarray(apply_fn(params, stacked))
     want = np.asarray(model.apply(params, b1[0], b1[1]))
     np.testing.assert_allclose(preds[0], want, rtol=1e-4, atol=1e-5)
+
+
+def test_trainer_mesh_training_loss_decreases(tmp_path):
+    """End-to-end SPMD training through the Trainer on the virtual mesh."""
+    from ignnition_tpu.data.synthetic import write_dataset
+    from ignnition_tpu.training import Trainer
+
+    d = str(tmp_path / "ds")
+    write_dataset(d, 2, 8, seed=4, n_links=12, n_paths=8, max_path_len=4)
+    ir = parser.parse_model_description(
+        routenet_description(num_iterations=2, hs=8),
+        {"link_capacity": 1, "traffic": 1},
+    )
+    trainer = Trainer(build(ir), padding=PaddingConfig(min_size=32))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    mesh = make_mesh(data=4, model=2)
+    before = trainer.evaluate(state, d, num_batches=2, batch_size=2)
+    state = trainer.train(
+        state, d, max_steps=25, batch_size=2, shuffle=False, log_every=0, mesh=mesh
+    )
+    after = trainer.evaluate(state, d, num_batches=2, batch_size=2)
+    assert state.step == 25
+    assert after["loss"] < before["loss"]
+
+
+def test_trainer_tensorboard_writes_events(tmp_path):
+    from ignnition_tpu.data.synthetic import write_dataset
+    from ignnition_tpu.training import Trainer
+    import os
+
+    d = str(tmp_path / "ds")
+    write_dataset(d, 1, 6, seed=5, n_links=10, n_paths=6, max_path_len=3)
+    ir = parser.parse_model_description(
+        routenet_description(num_iterations=1, hs=8),
+        {"link_capacity": 1, "traffic": 1},
+    )
+    trainer = Trainer(build(ir), padding=PaddingConfig(min_size=16))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    tb = str(tmp_path / "tb")
+    trainer.train(
+        state, d, max_steps=6, batch_size=2, log_every=2,
+        tensorboard_dir=tb, histogram_every=3,
+    )
+    files = os.listdir(tb)
+    assert any("tfevents" in f for f in files)
