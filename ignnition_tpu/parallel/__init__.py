@@ -1,3 +1,4 @@
+from . import distributed
 from .mesh import make_mesh, replicated
 from .steps import (
     batch_partition_specs,
@@ -8,6 +9,7 @@ from .steps import (
 )
 
 __all__ = [
+    "distributed",
     "make_mesh",
     "replicated",
     "batch_partition_specs",

@@ -1,0 +1,110 @@
+"""Coverage for smaller parity surfaces: dropout/activation layers, extra
+losses, additional dataset inputs in readout, distributed helpers."""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ignnition_tpu.data import SampleSpec, build_batch, convert_sample
+from ignnition_tpu.frontend import parser
+from ignnition_tpu.model import build
+from ignnition_tpu.training.losses import get_loss
+
+from helpers import TINY_SAMPLE, routenet_description, dense
+
+
+def test_dropout_and_activation_layers():
+    d = routenet_description(num_iterations=1, hs=8)
+    d["neural_networks"][0]["nn_architecture"] = [
+        dense(16, "relu"),
+        {"type_layer": "Dropout", "rate": 0.5},
+        {"type_layer": "Activation", "activation": "tanh"},
+        dense(1, "None"),
+    ]
+    ir = parser.parse_model_description(d, {"link_capacity": 1, "traffic": 1})
+    model = build(ir)
+    params = model.init(jax.random.PRNGKey(0))
+    spec = SampleSpec.from_ir(ir)
+    arrays, meta = build_batch([convert_sample(TINY_SAMPLE, spec)], ir)
+    # deterministic: dropout off
+    p1 = model.apply(params, arrays, meta)
+    p2 = model.apply(params, arrays, meta)
+    np.testing.assert_allclose(p1, p2)
+    # training: dropout active, rng-dependent
+    t1 = model.apply(params, arrays, meta, training=True, rng=jax.random.PRNGKey(1))
+    t2 = model.apply(params, arrays, meta, training=True, rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(t1)[:2], np.asarray(t2)[:2])
+
+
+def test_losses_match_formulas():
+    l = np.array([1.0, 2.0], np.float32)
+    p = np.array([1.5, 1.0], np.float32)
+    m = np.ones(2, np.float32)
+    np.testing.assert_allclose(
+        float(get_loss("MeanAbsoluteError")(l, p, m)), 0.75, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(get_loss("MeanAbsolutePercentageError")(l, p, m)),
+        100 * (0.5 / 1 + 1 / 2) / 2,
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(get_loss("Huber")(l, p, m)),
+        np.mean([0.5 * 0.25, 0.5]),
+        rtol=1e-6,
+    )
+
+
+def test_additional_dataset_input_in_readout():
+    """A readout product against a raw dataset vector (the reference's
+    additional_input path, json_operations.py:458-475)."""
+    d = routenet_description(num_iterations=1, hs=8)
+    d["readout"] = [
+        {
+            "type": "product",
+            "type_product": "element_wise",
+            "input": ["path", "path_weights"],
+            "output_name": "weighted",
+        },
+        {
+            "type": "predict",
+            "input": ["path"],
+            "label": "delay",
+            "label_normalization": "log",
+            "nn_name": "readout_model",
+        },
+    ]
+    ir = parser.parse_model_description(d, {"link_capacity": 1, "traffic": 1})
+    assert ir.additional_inputs() == ("path_weights",)
+    sample = dict(TINY_SAMPLE, path_weights=[2, 3])
+    spec = SampleSpec.from_ir(ir)
+    s = convert_sample(sample, spec)
+    assert "path_weights" in s.extras
+    arrays, meta = build_batch([s], ir)
+    assert "path_weights" in arrays
+    model = build(ir)
+    params = model.init(jax.random.PRNGKey(0))
+    preds = model.apply(params, arrays, meta)
+    assert np.isfinite(np.asarray(preds)).all()
+
+
+def test_host_shard_iter():
+    from ignnition_tpu.parallel.distributed import host_shard_iter
+
+    items = list(range(10))
+    got0 = list(host_shard_iter(iter(items), process_id=0, num_processes=3))
+    got1 = list(host_shard_iter(iter(items), process_id=1, num_processes=3))
+    assert got0 == [0, 3, 6, 9]
+    assert got1 == [1, 4, 7]
+
+
+def test_make_pod_mesh_virtual():
+    from ignnition_tpu.parallel.distributed import make_pod_mesh
+
+    if len(jax.devices()) < 8:
+        return
+    mesh = make_pod_mesh(model_axis_per_host=2)
+    assert mesh.shape["model"] == 2
+    assert mesh.shape["data"] * 2 == len(jax.devices())
