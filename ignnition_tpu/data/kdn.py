@@ -58,6 +58,62 @@ class KdnSample:
     def n_nodes(self) -> int:
         return self.traffic_bps.shape[0]
 
+    # -- accessor parity with the reference datanetAPI Sample --------------
+    # (datanetAPI.py:152-313; matrices here are plain arrays, the per-pair
+    # getters return the same quantities)
+
+    def get_network_size(self) -> int:
+        return self.n_nodes
+
+    def get_topology_object(self):
+        return self.topology
+
+    def get_routing_matrix(self) -> np.ndarray:
+        return self.routing
+
+    def get_srcdst_routing(self, src: int, dst: int):
+        return self.routing[src, dst]
+
+    def get_srcdst_traffic(self, src: int, dst: int) -> Dict[str, float]:
+        return {
+            "AggInfo": {
+                "AvgBw": float(self.traffic_bps[src, dst]),
+                "PktsGen": float(self.pkts_gen[src, dst] / self.simulation_time),
+                "TotalPktsGen": float(self.pkts_gen[src, dst]),
+            }
+        }
+
+    def get_srcdst_performance(self, src: int, dst: int) -> Dict[str, object]:
+        return {
+            "AggInfo": {
+                "AvgDelay": float(self.delay[src, dst]),
+                "Jitter": float(self.jitter[src, dst]),
+                "PktsDrop": float(self.pkts_drop[src, dst] / self.simulation_time),
+                **{
+                    f"p{p}": float(self.delay_percentiles[src, dst, i])
+                    for i, p in enumerate((10, 20, 50, 80, 90))
+                },
+            }
+        }
+
+    def get_srcdst_link_bandwidth(self, src: int, dst: int) -> float:
+        g = self.topology
+        if dst in g[src]:
+            return float(g[src][dst][0]["bandwidth"])
+        return -1.0
+
+    def get_maxAvgLambda(self) -> float:
+        return self.max_avg_lambda
+
+    def get_global_delay(self) -> float:
+        return self.global_stats()["avg_delay"]
+
+    def get_global_packets(self) -> float:
+        return self.global_stats()["packets_per_sec"]
+
+    def get_global_losses(self) -> float:
+        return self.global_stats()["losses_per_sec"]
+
     def global_stats(self) -> Dict[str, float]:
         n = self.n_nodes
         off = ~np.eye(n, dtype=bool)

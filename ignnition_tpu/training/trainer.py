@@ -189,6 +189,8 @@ class Trainer:
         mesh=None,
         tensorboard_dir: Optional[str] = None,
         histogram_every: int = 0,
+        profile_dir: Optional[str] = None,
+        profile_steps: Tuple[int, int] = (10, 15),
     ) -> TrainState:
         """Run the training loop.
 
@@ -225,6 +227,10 @@ class Trainer:
         for arrays, meta in batch_iter:
             if state.step >= max_steps:
                 break
+            if profile_dir and state.step == profile_steps[0]:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and state.step == profile_steps[1]:
+                jax.profiler.stop_trace()
             if mesh is not None:
                 if meta not in step_cache:
                     from ..parallel import make_parallel_train_step
