@@ -14,9 +14,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent compilation cache: repeat runs skip the (minutes-long) remote
+# TPU kernel compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ignnition_jax_cache")
 
 
 def build_case(n_links=2048, n_paths=16384, path_len=8, hs=32, iterations=8):
@@ -112,22 +117,35 @@ def time_step(step, params, opt_state, arrays, iters=50):
     return max(t_n - t_base, 1e-9) / (iters - 1)
 
 
-def main():
-    from ignnition_tpu.ops import segment
+_AUX_PREFIXES = (
+    "row_ptr_",
+    "lens_",
+    "src_perm_",
+    "src_row_ptr_",
+    "src_sorted_",
+    "dst_in_src_order_",
+    "emask_src_order_",
+    "slice_src_",
+    "slice_sort_",
+)
 
+
+def main():
     step, params, opt_state, arrays, edges_per_step = build_case()
 
-    segment.set_pallas_mode("never")
-    dt_xla = time_step(step, params, opt_state, arrays)
+    # optimized path: host-precomputed CSR companions + Pallas kernels +
+    # fused direct-assignation custom-VJP ops
+    dt = time_step(step, params, opt_state, arrays, iters=40)
 
-    segment.set_pallas_mode("always")
-    try:
-        dt_pallas = time_step(step, params, opt_state, arrays)
-    except Exception:
-        dt_pallas = float("inf")
-    segment.set_pallas_mode("auto")
+    # baseline: the same model without the index companions — XLA lowers the
+    # aggregations to gather/scatter exactly like the reference's
+    # tf.gather/scatter_nd/unsorted_segment_sum hot loop (stripping the aux
+    # keys changes the batch signature, so this genuinely re-traces)
+    baseline_arrays = {
+        k: v for k, v in arrays.items() if not any(k.startswith(p) for p in _AUX_PREFIXES)
+    }
+    dt_base = time_step(step, params, opt_state, baseline_arrays, iters=40)
 
-    dt = min(dt_xla, dt_pallas)
     value = edges_per_step / dt
     print(
         json.dumps(
@@ -135,7 +153,7 @@ def main():
                 "metric": "mp_train_step_edge_throughput",
                 "value": round(value / 1e6, 3),
                 "unit": "Medges/s/chip",
-                "vs_baseline": round(dt_xla / dt, 3),
+                "vs_baseline": round(dt_base / dt, 3),
             }
         )
     )

@@ -132,6 +132,68 @@ def infer_label_domain(model_ir) -> Tuple[str, str]:
 # --------------------------------------------------------------------------
 
 
+
+def adjacency_aux_arrays(
+    src: np.ndarray,
+    dst: np.ndarray,
+    emask: np.ndarray,
+    n_src_pad: int,
+    n_dst_pad: int,
+    max_len: int,
+) -> Dict[str, np.ndarray]:
+    """Host-precomputed companions of one destination-sorted edge list.
+
+    Everything the compute path would otherwise derive on device with
+    scatters/searchsorted (slow on TPU):
+      row_ptr            CSR pointers over destinations
+      lens               real in-degree per destination
+      src_perm           stable sort of edges by source
+      src_sorted         source ids in that order (packed-kernel fallback ids)
+      src_row_ptr        CSR pointers over sources (for gather transposes)
+      dst_in_src_order   destination id of each source-sorted edge
+      emask_src_order    edge mask in source-sorted order
+      slice_src          [max_len, n_dst] source node of each (t, dst) slot
+                         (direct-assignation ordered updates read source
+                         states through this instead of materializing
+                         per-edge messages); invalid slots -> last source row
+      slice_sort_*       sort of slice_src's flattened slots by source, for
+                         the transpose (a sorted segment sum)
+    """
+    out: Dict[str, np.ndarray] = {}
+    row_ptr = np.searchsorted(dst, np.arange(n_dst_pad + 1)).astype(np.int32)
+    out["row_ptr"] = row_ptr
+    lens = np.bincount(dst[emask > 0], minlength=n_dst_pad).astype(np.float32)
+    out["lens"] = lens
+    perm = np.argsort(src, kind="stable").astype(np.int32)
+    out["src_perm"] = perm
+    src_sorted = src[perm].astype(np.int32)
+    out["src_sorted"] = src_sorted
+    out["src_row_ptr"] = np.searchsorted(
+        src_sorted, np.arange(n_src_pad + 1)
+    ).astype(np.int32)
+    out["dst_in_src_order"] = dst[perm].astype(np.int32)
+    out["emask_src_order"] = emask[perm].astype(np.float32)
+
+    L = int(max_len)
+    slice_src = np.full((L, n_dst_pad), n_src_pad - 1, dtype=np.int32)
+    lens_i = lens.astype(np.int64)
+    starts = row_ptr[:-1].astype(np.int64)
+    for t in range(L):
+        valid = lens_i > t
+        idx = starts + t
+        slice_src[t, valid] = src[idx[valid]]
+    out["slice_src"] = slice_src
+    flat = slice_src.ravel()
+    sp = np.argsort(flat, kind="stable").astype(np.int32)
+    out["slice_sort_perm"] = sp
+    sorted_ids = flat[sp].astype(np.int32)
+    out["slice_sort_ids"] = sorted_ids
+    out["slice_sort_row_ptr"] = np.searchsorted(
+        sorted_ids, np.arange(n_src_pad + 1)
+    ).astype(np.int32)
+    return out
+
+
 def build_batch(
     samples: Sequence[GraphSample],
     model_ir,
@@ -272,25 +334,13 @@ def build_batch(
         arrays[f"edge_mask_{a.name}"] = emask
         if params is not None:
             arrays[f"params_{a.name}"] = params
-        # host-precomputed CSR row pointers and real in-degree counts: the
-        # edge list is destination-sorted, so these are free here but would
-        # cost a device searchsorted / scatter every iteration otherwise
-        n_dst_pad = node_pad[a.dst]
-        arrays[f"row_ptr_{a.name}"] = np.searchsorted(
-            dst, np.arange(n_dst_pad + 1)
-        ).astype(np.int32)
-        arrays[f"lens_{a.name}"] = np.bincount(
-            dst[emask > 0], minlength=n_dst_pad
-        ).astype(np.float32)
-        # source-sorted view for the gather transpose: the backward of
-        # states[src_idx] is a segment sum keyed by src — precompute the
-        # stable sort permutation and its CSR pointers host-side
-        n_src_pad = node_pad[a.src]
-        perm = np.argsort(src, kind="stable").astype(np.int32)
-        arrays[f"src_perm_{a.name}"] = perm
-        arrays[f"src_row_ptr_{a.name}"] = np.searchsorted(
-            src[perm], np.arange(n_src_pad + 1)
-        ).astype(np.int32)
+        # host-precomputed index companions (CSR pointers, in-degrees,
+        # source-sorted views, per-(t,dst) slice sources) — on-device
+        # equivalents cost scatters/searchsorted every iteration
+        for key, value in adjacency_aux_arrays(
+            src, dst, emask, node_pad[a.src], node_pad[a.dst], max_len[a.name]
+        ).items():
+            arrays[f"{key}_{a.name}"] = value
 
     # ---- interleave permutations ----
     # For each interleave destination, a per-graph permutation of the merged
@@ -476,22 +526,16 @@ def repad_to_meta(
                 else:
                     out[k] = pad_rows(out[k], ne)
         if name in adj_info and f"row_ptr_{name}" in out:
-            n_dst_pad = node_pad_t[adj_info[name].dst]
-            dstv = out[f"dst_{name}"]
-            emask = out[f"edge_mask_{name}"]
-            out[f"row_ptr_{name}"] = np.searchsorted(
-                dstv, np.arange(n_dst_pad + 1)
-            ).astype(np.int32)
-            out[f"lens_{name}"] = np.bincount(
-                dstv[emask > 0], minlength=n_dst_pad
-            ).astype(np.float32)
-            srcv = out[f"src_{name}"]
-            n_src_pad = node_pad_t[adj_info[name].src]
-            perm = np.argsort(srcv, kind="stable").astype(np.int32)
-            out[f"src_perm_{name}"] = perm
-            out[f"src_row_ptr_{name}"] = np.searchsorted(
-                srcv[perm], np.arange(n_src_pad + 1)
-            ).astype(np.int32)
+            a = adj_info[name]
+            for key, value in adjacency_aux_arrays(
+                out[f"src_{name}"],
+                out[f"dst_{name}"],
+                out[f"edge_mask_{name}"],
+                node_pad_t[a.src],
+                node_pad_t[a.dst],
+                dict(target.max_len)[name],
+            ).items():
+                out[f"{key}_{name}"] = value
 
     if out.get("label") is not None and "label" in out:
         out["label"] = pad_rows(out["label"], target.label_pad)

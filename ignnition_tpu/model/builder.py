@@ -416,6 +416,37 @@ class GnnModel:
                     and edge_axis is None
                     and f"row_ptr_{per_source[0]['adj']}" in batch
                 )
+                direct_only = all(op.kind == "direct" for op in mp.sources[0].ops)
+                if (
+                    fast_ordered
+                    and direct_only
+                    and f"slice_src_{per_source[0]['adj']}" in batch
+                ):
+                    # direct-assignation ordered update: no per-edge message
+                    # materialization at all — the scan's time slices gather
+                    # straight from the source state table through the
+                    # host-precomputed slice_src map, and the transpose is a
+                    # sorted segment sum (ops.segment.gather_state_slices)
+                    s0 = per_source[0]
+                    a0 = s0["adj"]
+                    xs = seg.gather_state_slices(
+                        new_states[mp.sources[0].entity],
+                        batch[f"slice_src_{a0}"],
+                        batch[f"slice_sort_perm_{a0}"],
+                        batch[f"slice_sort_ids_{a0}"],
+                        batch[f"slice_sort_row_ptr_{a0}"],
+                    )
+                    node_mask = batch[f"node_mask_{dst}"]
+                    up = params["update"][f"{dst}_update"]
+                    new_state = RNN.masked_update_stacked(
+                        mp.update.rnn,
+                        up,
+                        xs,
+                        batch[f"lens_{a0}"].astype(jnp.int32),
+                        dst_states,
+                    )
+                    new_states[dst] = new_state * node_mask[:, None]
+                    continue
                 if fast_ordered:
                     # no padded-sequence materialization: the masked RNN
                     # gathers its time slices straight from the sorted edge
@@ -452,14 +483,40 @@ class GnnModel:
                         else None
                     )
                     if agg.kind == "sum":
-                        aggregated = seg.segment_sum(
-                            comb_msg,
-                            comb_dst,
-                            n_dst,
-                            indices_are_sorted=sorted_coo,
-                            axis_name=edge_axis,
-                            row_ptr=comb_rp,
-                        )
+                        s0 = per_source[0]
+                        a0 = s0["adj"]
+                        if (
+                            sorted_coo
+                            and edge_axis is None
+                            and all(op.kind == "direct" for op in mp.sources[0].ops)
+                            and f"dst_in_src_order_{a0}" in batch
+                            and f"row_ptr_{a0}" in batch
+                        ):
+                            # fused direct-assignation sum: backward uses
+                            # host-indexed gathers + sorted segment sums
+                            # instead of scatter transposes
+                            aggregated = seg.direct_segment_sum(
+                                new_states[mp.sources[0].entity],
+                                batch[f"src_{a0}"],
+                                batch[f"dst_{a0}"],
+                                batch[f"edge_mask_{a0}"],
+                                batch[f"row_ptr_{a0}"],
+                                batch[f"dst_in_src_order_{a0}"],
+                                batch[f"emask_src_order_{a0}"],
+                                batch[f"src_sorted_{a0}"],
+                                batch[f"src_row_ptr_{a0}"],
+                                n_dst,
+                                meta.nodes(mp.sources[0].entity),
+                            )
+                        else:
+                            aggregated = seg.segment_sum(
+                                comb_msg,
+                                comb_dst,
+                                n_dst,
+                                indices_are_sorted=sorted_coo,
+                                axis_name=edge_axis,
+                                row_ptr=comb_rp,
+                            )
                     elif agg.kind == "attention":
                         aggregated = self._attention(
                             params["aggregation"][f"s{si}/m{mi}"],

@@ -198,7 +198,18 @@ def masked_update_from_edges(
     state through.
     """
     xs = gather_time_slices(messages, row_ptr, seq, dst, max_len)  # [L, N, D]
-    t_index = jnp.arange(max_len)
+    return masked_update_stacked(spec, params, xs, lengths, init_state)
+
+
+def masked_update_stacked(
+    spec: RNNSpec,
+    params,
+    xs: jnp.ndarray,  # [max_len, num_dst, dim] time-major slices
+    lengths: jnp.ndarray,  # [num_dst]
+    init_state: jnp.ndarray,  # [num_dst, units]
+) -> jnp.ndarray:
+    """Masked recurrent scan over time-major input slices."""
+    t_index = jnp.arange(xs.shape[0])
 
     if spec.cell_type == "GRU":
 

@@ -220,3 +220,110 @@ def gather_rows(states, idx, perm=None, row_ptr=None):
     if perm is None or row_ptr is None:
         return states[idx]
     return _gather_rows_csr(states, idx, perm, row_ptr)
+
+
+# --------------------------------------------------------------------------
+# Fused direct-assignation primitives (host-precomputed index companions)
+# --------------------------------------------------------------------------
+#
+# For message passings whose message is the raw source state
+# (direct_assignation — both flagship RouteNet stages), every hot op can be
+# a gather driven by HOST-precomputed index vectors plus a sorted segment
+# sum, avoiding random-access scatter transposes entirely:
+#   forward:  small-node-table gathers + Pallas packed segment sums
+#   backward: gathers with host-fixed index vectors + Pallas packed sums
+
+
+@jax.custom_vjp
+def gather_state_slices(states, slice_src, sort_perm, sort_ids, sort_row_ptr):
+    """xs[t, d] = states[slice_src[t, d]] — the ordered update's per-time-
+    slice inputs read straight from the source state table.
+
+    Transpose: ct_states = sorted-segment-sum of the flattened cotangents in
+    source order (all index arrays host-precomputed; invalid slots point at
+    the last source row and carry zero cotangent from the masked scan)."""
+    return states[slice_src]
+
+
+def _gss_fwd(states, slice_src, sort_perm, sort_ids, sort_row_ptr):
+    out = states[slice_src]
+    return out, (states.shape[0], slice_src, sort_perm, sort_ids, sort_row_ptr)
+
+
+def _gss_bwd(res, ct):
+    n_src, slice_src, sort_perm, sort_ids, sort_row_ptr = res
+    l, n, d = ct.shape
+    flat = ct.reshape(l * n, d)[sort_perm]
+    ct_states = segment_sum(
+        flat, sort_ids, n_src, indices_are_sorted=True, row_ptr=sort_row_ptr
+    )
+    return ct_states, None, None, None, None
+
+
+gather_state_slices.defvjp(_gss_fwd, _gss_bwd)
+
+
+def _dss_impl(
+    src_states, src_idx, dst_idx, emask, row_ptr, num_dst
+):
+    m = src_states[src_idx] * emask[:, None]
+    return segment_sum(
+        m, dst_idx, num_dst, indices_are_sorted=True, row_ptr=row_ptr
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def direct_segment_sum(
+    src_states,
+    src_idx,
+    dst_idx,
+    emask,
+    row_ptr,
+    dst_in_src_order,
+    emask_src_order,
+    src_sorted,
+    src_row_ptr,
+    num_dst,
+    num_src,
+):
+    """sum aggregation of direct-assignation messages:
+    out[d] = sum over edges e with dst[e]==d of src_states[src[e]].
+
+    Forward: gather + sorted segment sum (Pallas packed kernel on TPU).
+    Backward: ct_src[s] = sum over e with src[e]==s of ct[dst[e]] — computed
+    as a gather of ct through the host-precomputed `dst_in_src_order` index
+    vector followed by a source-sorted segment sum; no scatter anywhere."""
+    return _dss_impl(src_states, src_idx, dst_idx, emask, row_ptr, num_dst)
+
+
+def _dss_fwd(
+    src_states,
+    src_idx,
+    dst_idx,
+    emask,
+    row_ptr,
+    dst_in_src_order,
+    emask_src_order,
+    src_sorted,
+    src_row_ptr,
+    num_dst,
+    num_src,
+):
+    out = _dss_impl(src_states, src_idx, dst_idx, emask, row_ptr, num_dst)
+    return out, (dst_in_src_order, emask_src_order, src_sorted, src_row_ptr)
+
+
+def _dss_bwd(num_dst, num_src, res, ct):
+    dst_in_src_order, emask_src_order, src_sorted, src_row_ptr = res
+    ct_edges = ct[dst_in_src_order] * emask_src_order[:, None]
+    ct_src = segment_sum(
+        ct_edges,
+        src_sorted,
+        num_src,
+        indices_are_sorted=True,
+        row_ptr=src_row_ptr,
+    )
+    return (ct_src,) + (None,) * 8
+
+
+direct_segment_sum.defvjp(_dss_fwd, _dss_bwd)

@@ -157,7 +157,11 @@ def test_fast_ordered_path_matches_scatter_path():
     spec = SampleSpec.from_ir(ir)
     s = convert_sample(TINY_SAMPLE, spec)
     arrays, meta = build_batch([s], ir)
-    slow = {k: v for k, v in arrays.items() if not k.startswith("row_ptr_")}
+    _aux = ("row_ptr_", "lens_", "src_perm_", "src_row_ptr_", "src_sorted_",
+            "dst_in_src_order_", "emask_src_order_", "slice_src_", "slice_sort_")
+    slow = {
+        k: v for k, v in arrays.items() if not any(k.startswith(p) for p in _aux)
+    }
 
     p_fast = model.apply(params, arrays, meta)
     p_slow = model.apply(params, slow, meta)
