@@ -159,6 +159,10 @@ def adjacency_aux_arrays(
       slice_sort_*       sort of slice_src's flattened slots by source, for
                          the transpose (a sorted segment sum)
     """
+    if dst.size and np.any(np.diff(dst) < 0):
+        raise ValueError(
+            "internal invariant violated: edge list is not destination-sorted"
+        )
     out: Dict[str, np.ndarray] = {}
     row_ptr = np.searchsorted(dst, np.arange(n_dst_pad + 1)).astype(np.int32)
     out["row_ptr"] = row_ptr
@@ -328,6 +332,17 @@ def build_batch(
             if params is not None and arrs.params is not None:
                 params[pos : pos + n] = arrs.params
             pos += n
+        # destination-sort the real edges: samples list adjacency dicts in
+        # INSERTION order (reference semantics), which need not follow the
+        # entity numbering — but all downstream compute depends only on
+        # (dst, seq), and the sorted-COO fast paths / CSR companions require
+        # global destination order (stable sort keeps per-dst seq ascending)
+        order = np.argsort(dst[:pos], kind="stable")
+        src[:pos] = src[:pos][order]
+        dst[:pos] = dst[:pos][order]
+        seq_arr[:pos] = seq_arr[:pos][order]
+        if params is not None:
+            params[:pos] = params[:pos][order]
         arrays[f"src_{a.name}"] = src
         arrays[f"dst_{a.name}"] = dst
         arrays[f"seq_{a.name}"] = seq_arr
