@@ -268,10 +268,24 @@ class GnnModel:
         return_states: bool = False,
         return_iteration_states: bool = False,
         edge_axis: Optional[str] = None,
+        compute_dtype=None,
     ):
         """Run the GNN forward. Returns predictions [rows] (last dim squeezed
-        when 1), plus entity states if requested."""
+        when 1), plus entity states if requested.
+
+        compute_dtype: e.g. jnp.bfloat16 for mixed-precision — parameters and
+        hidden states are cast for compute (halving the movement-bound edge
+        traffic on TPU); the optimizer's master weights stay float32 and
+        predictions are returned as float32.
+        """
         model_ir = self.ir
+        if compute_dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(compute_dtype)
+                if hasattr(x, "astype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                params,
+            )
 
         # ---- hidden state initialization (reference a_c.py:128-160) ----
         states: Dict[str, jnp.ndarray] = {}
@@ -286,7 +300,10 @@ class GnnModel:
                     f"hidden_state_dimension ({e.state_dim})"
                 )
             parts.append(jnp.zeros((n, e.state_dim - total), jnp.float32))
-            states[e.name] = jnp.concatenate(parts, axis=1) * mask[:, None]
+            state0 = jnp.concatenate(parts, axis=1) * mask[:, None]
+            if compute_dtype is not None:
+                state0 = state0.astype(compute_dtype)
+            states[e.name] = state0
 
         entity_order = list(states.keys())
 
@@ -309,6 +326,8 @@ class GnnModel:
         predictions = self._readout(
             params, batch, meta, states, training=training, rng=rng
         )
+        if compute_dtype is not None:
+            predictions = predictions.astype(jnp.float32)
 
         if return_iteration_states:
             iters = {
@@ -375,7 +394,7 @@ class GnnModel:
                             if op.output_name:
                                 edge_vars[op.output_name] = messages
 
-                    messages = messages * emask[:, None]  # neutralize padding edges
+                    messages = messages * emask[:, None].astype(messages.dtype)  # zero padding edges
                     per_source.append(
                         dict(
                             messages=messages,
@@ -445,7 +464,7 @@ class GnnModel:
                         batch[f"lens_{a0}"].astype(jnp.int32),
                         dst_states,
                     )
-                    new_states[dst] = new_state * node_mask[:, None]
+                    new_states[dst] = new_state * node_mask[:, None].astype(new_state.dtype)
                     continue
                 if fast_ordered:
                     # no padded-sequence materialization: the masked RNN
@@ -467,7 +486,7 @@ class GnnModel:
                         dst_states,
                         meta.maxlen(s0["adj"]),
                     )
-                    new_states[dst] = new_state * node_mask[:, None]
+                    new_states[dst] = new_state * node_mask[:, None].astype(new_state.dtype)
                     continue
 
                 if agg.kind in _VECTOR_AGGS:
@@ -577,6 +596,9 @@ class GnnModel:
                             )
 
                 # ---- update ----
+                # segment/scatter primitives may up-cast (e.g. the Pallas
+                # kernel accumulates in f32); keep the compute dtype stable
+                aggregated = aggregated.astype(dst_states.dtype)
                 node_mask = batch[f"node_mask_{dst}"]
                 if mp.update.kind == "recurrent":
                     up = params["update"][f"{dst}_update"]
@@ -597,7 +619,7 @@ class GnnModel:
                     x = jnp.concatenate([aggregated, dst_states], axis=1)
                     new_state = MLP.apply(mp.update.mlp, up, x)
 
-                new_states[dst] = new_state * node_mask[:, None]
+                new_states[dst] = new_state * node_mask[:, None].astype(new_state.dtype)
 
         return new_states
 

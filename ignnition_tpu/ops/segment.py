@@ -247,17 +247,25 @@ def gather_state_slices(states, slice_src, sort_perm, sort_ids, sort_row_ptr):
 
 def _gss_fwd(states, slice_src, sort_perm, sort_ids, sort_row_ptr):
     out = states[slice_src]
-    return out, (states.shape[0], slice_src, sort_perm, sort_ids, sort_row_ptr)
+    return out, (
+        states.shape[0],
+        jnp.zeros((), states.dtype),
+        slice_src,
+        sort_perm,
+        sort_ids,
+        sort_row_ptr,
+    )
 
 
 def _gss_bwd(res, ct):
-    n_src, slice_src, sort_perm, sort_ids, sort_row_ptr = res
+    n_src, proto, slice_src, sort_perm, sort_ids, sort_row_ptr = res
+    dtype = proto.dtype
     l, n, d = ct.shape
     flat = ct.reshape(l * n, d)[sort_perm]
     ct_states = segment_sum(
         flat, sort_ids, n_src, indices_are_sorted=True, row_ptr=sort_row_ptr
     )
-    return ct_states, None, None, None, None
+    return ct_states.astype(dtype), None, None, None, None
 
 
 gather_state_slices.defvjp(_gss_fwd, _gss_bwd)
@@ -266,7 +274,7 @@ gather_state_slices.defvjp(_gss_fwd, _gss_bwd)
 def _dss_impl(
     src_states, src_idx, dst_idx, emask, row_ptr, num_dst
 ):
-    m = src_states[src_idx] * emask[:, None]
+    m = src_states[src_idx] * emask[:, None].astype(src_states.dtype)
     return segment_sum(
         m, dst_idx, num_dst, indices_are_sorted=True, row_ptr=row_ptr
     )
@@ -310,12 +318,19 @@ def _dss_fwd(
     num_src,
 ):
     out = _dss_impl(src_states, src_idx, dst_idx, emask, row_ptr, num_dst)
-    return out, (dst_in_src_order, emask_src_order, src_sorted, src_row_ptr)
+    return out, (
+        jnp.zeros((), src_states.dtype),
+        dst_in_src_order,
+        emask_src_order,
+        src_sorted,
+        src_row_ptr,
+    )
 
 
 def _dss_bwd(num_dst, num_src, res, ct):
-    dst_in_src_order, emask_src_order, src_sorted, src_row_ptr = res
-    ct_edges = ct[dst_in_src_order] * emask_src_order[:, None]
+    proto, dst_in_src_order, emask_src_order, src_sorted, src_row_ptr = res
+    dtype = proto.dtype
+    ct_edges = ct[dst_in_src_order] * emask_src_order[:, None].astype(ct.dtype)
     ct_src = segment_sum(
         ct_edges,
         src_sorted,
@@ -323,7 +338,7 @@ def _dss_bwd(num_dst, num_src, res, ct):
         indices_are_sorted=True,
         row_ptr=src_row_ptr,
     )
-    return (ct_src,) + (None,) * 8
+    return (ct_src.astype(dtype),) + (None,) * 8
 
 
 direct_segment_sum.defvjp(_dss_fwd, _dss_bwd)

@@ -52,11 +52,15 @@ class Trainer:
         model: GnnModel,
         padding: Optional[PaddingConfig] = None,
         normalizations: Optional[Mapping[str, Callable]] = None,
+        compute_dtype=None,
     ):
+        """compute_dtype: e.g. jnp.bfloat16 for mixed-precision training
+        (float32 master weights, bf16 compute)."""
         self.model = model
         self.ir = model.ir
         self.padding = padding or PaddingConfig()
         self.normalizations = normalizations
+        self.compute_dtype = compute_dtype
         self.loss_fn = get_loss(self.ir.learning.loss)
         self.optimizer = build_optimizer(self.ir.learning.optimizer)
         self._train_steps: Dict[BatchMeta, Callable] = {}
@@ -73,7 +77,8 @@ class Trainer:
 
     def _loss(self, params, batch, meta, rng):
         preds = self.model.apply(
-            params, batch, meta, training=True, rng=rng
+            params, batch, meta, training=True, rng=rng,
+            compute_dtype=self.compute_dtype,
         )
         loss = self.loss_fn(batch["label"], preds, batch["label_mask"])
         reg = self.model.regularization_loss(params)

@@ -108,3 +108,32 @@ def test_make_pod_mesh_virtual():
     mesh = make_pod_mesh(model_axis_per_host=2)
     assert mesh.shape["model"] == 2
     assert mesh.shape["data"] * 2 == len(jax.devices())
+
+
+def test_bfloat16_compute_dtype():
+    import jax.numpy as jnp
+    from ignnition_tpu.data import build_batch as bb
+
+    ir = parser.parse_model_description(
+        routenet_description(num_iterations=3, hs=16),
+        {"link_capacity": 1, "traffic": 1},
+    )
+    model = build(ir)
+    params = model.init(jax.random.PRNGKey(0))
+    spec = SampleSpec.from_ir(ir)
+    arrays, meta = bb([convert_sample(TINY_SAMPLE, spec)], ir)
+    p32 = np.asarray(model.apply(params, arrays, meta))
+    p16 = np.asarray(model.apply(params, arrays, meta, compute_dtype=jnp.bfloat16))
+    assert p16.dtype == np.float32
+    # bf16 compute tracks f32 within bf16 tolerance
+    np.testing.assert_allclose(p16[:2], p32[:2], rtol=0.05, atol=0.05)
+
+    # gradients flow and are finite in mixed precision
+    def loss(p):
+        preds = model.apply(p, arrays, meta, compute_dtype=jnp.bfloat16)
+        return jnp.sum((preds * arrays["label_mask"]) ** 2)
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf, dtype=np.float32)).all()
+        assert leaf.dtype == jnp.float32  # master-weight grads stay f32
