@@ -533,7 +533,6 @@ def repad_to_meta(
                     # existing padding rows must also move to the new last row
                     # to preserve destination-sortedness
                     cur = out[k]
-                    old_fill = dict(meta.node_pad)[adj_info[name].dst] - 1
                     emask = out.get("edge_mask_" + name)
                     if emask is not None:
                         cur = np.where(emask[: len(cur)] > 0, cur, fill)

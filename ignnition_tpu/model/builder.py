@@ -151,7 +151,6 @@ class GnnModel:
             for mi, mp in enumerate(stage.passes):
                 dst_dim = state_dims[mp.destination]
                 for ki, src in enumerate(mp.sources):
-                    cur_dim = state_dims[src.entity]
                     for oi, op in enumerate(src.ops):
                         if op.kind != "mlp":
                             continue
