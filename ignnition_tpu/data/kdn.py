@@ -359,6 +359,7 @@ def migrate(
     train_fraction: float = 0.8,
     seed: int = 0,
     limit: Optional[int] = None,
+    intensity_range: Optional[Tuple[int, int]] = None,
 ) -> Tuple[int, int]:
     """Raw KDN dataset -> train/eval JSON archives (random split, matching
     the reference migration CLI's 80/20 behavior). Returns (n_train, n_eval)."""
@@ -366,7 +367,9 @@ def migrate(
     train = _ArchiveWriter(os.path.join(output_dir, "train"), samples_per_archive)
     evalw = _ArchiveWriter(os.path.join(output_dir, "eval"), samples_per_archive)
     n_train = n_eval = 0
-    for count, sample in enumerate(iter_kdn_samples(dataset_dir)):
+    for count, sample in enumerate(
+        iter_kdn_samples(dataset_dir, intensity_range=intensity_range)
+    ):
         if limit is not None and count >= limit:
             break
         item = sample_to_graph_json(sample)

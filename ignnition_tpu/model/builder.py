@@ -403,6 +403,7 @@ class GnnModel:
                             mask=emask,
                             adj=a,
                             entity=src.entity,
+                            row_ptr=batch.get(f"row_ptr_{a}"),
                         )
                     )
 
@@ -674,6 +675,18 @@ class GnnModel:
             flat = coeff.reshape(n_dst * max_len)
             picked = flat[comb_dst * max_len + comb_seq]
             weights = picked * comb_mask
+        elif (
+            len(per_source) == 1
+            and edge_axis is None
+            and per_source[0]["row_ptr"] is not None
+        ):
+            weights = seg.sorted_segment_softmax(
+                scores,
+                comb_dst,
+                n_dst,
+                comb_mask,
+                per_source[0]["row_ptr"],
+            )
         else:
             weights = seg.segment_softmax(
                 scores, comb_dst, n_dst, comb_mask, axis_name=edge_axis

@@ -137,3 +137,38 @@ def test_bfloat16_compute_dtype():
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.isfinite(np.asarray(leaf, dtype=np.float32)).all()
         assert leaf.dtype == jnp.float32  # master-weight grads stay f32
+
+
+def test_sorted_segment_softmax_matches_generic():
+    from ignnition_tpu.ops import segment as seg
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    E, N = 500, 40
+    dst = np.sort(rng.integers(0, N, E)).astype(np.int32)
+    scores = rng.normal(size=E).astype(np.float32) * 5
+    mask = (rng.random(E) > 0.1).astype(np.float32)
+    rp = np.searchsorted(dst, np.arange(N + 1)).astype(np.int32)
+    w1 = np.asarray(seg.segment_softmax(jnp.asarray(scores), jnp.asarray(dst), N, jnp.asarray(mask)))
+    w2 = np.asarray(
+        seg.sorted_segment_softmax(
+            jnp.asarray(scores), jnp.asarray(dst), N, jnp.asarray(mask), jnp.asarray(rp)
+        )
+    )
+    np.testing.assert_allclose(w1, w2, rtol=1e-5, atol=1e-6)
+
+    # gradients agree too (gather_by_dst custom VJP)
+    def f1(s):
+        return jnp.sum(seg.segment_softmax(s, jnp.asarray(dst), N, jnp.asarray(mask)) ** 2)
+
+    def f2(s):
+        return jnp.sum(
+            seg.sorted_segment_softmax(
+                s, jnp.asarray(dst), N, jnp.asarray(mask), jnp.asarray(rp)
+            )
+            ** 2
+        )
+
+    g1 = np.asarray(jax.grad(f1)(jnp.asarray(scores)))
+    g2 = np.asarray(jax.grad(f2)(jnp.asarray(scores)))
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-6)

@@ -26,6 +26,15 @@ def main():
     p.add_argument("--train_fraction", type=float, default=0.8)
     p.add_argument("--limit", type=int, default=None, help="max samples to convert")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--intensity",
+        type=int,
+        nargs=2,
+        default=None,
+        metavar=("LO", "HI"),
+        help="keep only archives whose file-name intensity is in [LO, HI] "
+        "(reference datanetAPI intensity_values filter)",
+    )
     args = p.parse_args()
 
     n_train, n_eval = migrate(
@@ -35,6 +44,7 @@ def main():
         train_fraction=args.train_fraction,
         seed=args.seed,
         limit=args.limit,
+        intensity_range=tuple(args.intensity) if args.intensity else None,
     )
     if n_train + n_eval == 0:
         print(
