@@ -164,7 +164,13 @@ def adjacency_aux_arrays(
             "internal invariant violated: edge list is not destination-sorted"
         )
     out: Dict[str, np.ndarray] = {}
-    row_ptr = np.searchsorted(dst, np.arange(n_dst_pad + 1)).astype(np.int32)
+    # real edges are a prefix (padding edges are appended); CSR pointers are
+    # computed over REAL edges only, so the Pallas kernels' per-segment
+    # [lo, hi) bounds exclude padding edges without any mask multiply
+    e_real = int(np.count_nonzero(emask))
+    row_ptr = np.searchsorted(dst[:e_real], np.arange(n_dst_pad + 1)).astype(
+        np.int32
+    )
     out["row_ptr"] = row_ptr
     lens = np.bincount(dst[emask > 0], minlength=n_dst_pad).astype(np.float32)
     out["lens"] = lens
@@ -172,8 +178,10 @@ def adjacency_aux_arrays(
     out["src_perm"] = perm
     src_sorted = src[perm].astype(np.int32)
     out["src_sorted"] = src_sorted
+    # padding edges carry src == n_src_pad - 1 and follow all real edges in
+    # the stable source sort, so the real edges are a prefix here too
     out["src_row_ptr"] = np.searchsorted(
-        src_sorted, np.arange(n_src_pad + 1)
+        src_sorted[:e_real], np.arange(n_src_pad + 1)
     ).astype(np.int32)
     out["dst_in_src_order"] = dst[perm].astype(np.int32)
     out["emask_src_order"] = emask[perm].astype(np.float32)
@@ -308,11 +316,13 @@ def build_batch(
             max_len[a] = common
     for a in adj_info:
         e_pad = edge_pad[a.name]
-        src = np.zeros(e_pad, dtype=np.int32)
-        # padding edges point at the LAST padded destination row so the edge
-        # list stays sorted by destination (real edges are destination-ordered
-        # per sample with increasing per-sample offsets) — required by the
-        # Pallas sorted-COO segment kernel; messages are masked to zero anyway
+        # padding edges point at the LAST padded source/destination rows so
+        # the edge list stays sorted by destination (real edges are
+        # destination-ordered per sample with increasing per-sample offsets)
+        # AND sorts as a suffix in the source-sorted view — required by the
+        # Pallas sorted-COO segment kernels, whose real-edge-only CSR bounds
+        # then exclude padding without mask multiplies
+        src = np.full(e_pad, node_pad[a.src] - 1, dtype=np.int32)
         dst = np.full(e_pad, node_pad[a.dst] - 1, dtype=np.int32)
         seq_arr = np.zeros(e_pad, dtype=np.int32)
         emask = np.zeros(e_pad, dtype=np.float32)
@@ -528,10 +538,11 @@ def repad_to_meta(
         for prefix in ("src_", "dst_", "seq_", "edge_mask_", "params_"):
             k = prefix + name
             if k in out:
-                if prefix == "dst_" and name in adj_info:
-                    fill = node_pad_t[adj_info[name].dst] - 1
+                if prefix in ("src_", "dst_") and name in adj_info:
+                    a = adj_info[name]
+                    fill = node_pad_t[a.dst if prefix == "dst_" else a.src] - 1
                     # existing padding rows must also move to the new last row
-                    # to preserve destination-sortedness
+                    # to preserve sortedness / the suffix invariant
                     cur = out[k]
                     emask = out.get("edge_mask_" + name)
                     if emask is not None:

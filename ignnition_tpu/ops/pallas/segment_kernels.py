@@ -171,11 +171,13 @@ def sorted_segment_sum_pallas(data, segment_ids, num_segments):
 
 
 def _sss_fwd(data, segment_ids, num_segments):
-    return _sorted_segment_sum_impl(data, segment_ids, num_segments), segment_ids
+    out = _sorted_segment_sum_impl(data, segment_ids, num_segments)
+    return out, (segment_ids, jnp.zeros((), data.dtype))
 
 
-def _sss_bwd(num_segments, segment_ids, ct):
-    return ct[segment_ids], None
+def _sss_bwd(num_segments, res, ct):
+    segment_ids, proto = res
+    return ct[segment_ids].astype(proto.dtype), None
 
 
 sorted_segment_sum_pallas.defvjp(_sss_fwd, _sss_bwd)
@@ -187,8 +189,20 @@ sorted_segment_sum_pallas.defvjp(_sss_fwd, _sss_bwd)
 # ==========================================================================
 
 
-def _make_packed_kernel(d: int, pack: int, chunk_rows: int, tile_n: int):
+def _make_packed_kernel(
+    d: int, pack: int, chunk_rows: int, tile_n: int, dtype=jnp.float32
+):
     lanes = d * pack  # == 128
+    # bf16 inputs ride half the DMA bytes and are upcast to f32 in-register
+    # (keeps all vector layouts uniform — mixing i1 masks across 8x128/16x128
+    # tilings trips Mosaic relayouts); since bf16 values are exact in f32 and
+    # the one-hot is 0/1, a single DEFAULT-precision bf16 MXU pass is exact.
+    # f32 inputs need HIGHEST (6 passes) for exactness.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
 
     def kernel(row_ptr_ref, data_ref, lo_ref, hi_ref, out_ref, buf, sems):
         i = pl.program_id(0)
@@ -221,7 +235,7 @@ def _make_packed_kernel(d: int, pack: int, chunk_rows: int, tile_n: int):
                 get_dma((c + 1) % 2, c + 1).start()
 
             get_dma(slot, c).wait()
-            chunk = buf[slot]  # [chunk_rows, lanes]
+            chunk = buf[slot].astype(jnp.float32)  # [chunk_rows, lanes]
             r_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk_rows, tile_n), 0)
             base = (row0 + c * chunk_rows) * pack
 
@@ -237,7 +251,7 @@ def _make_packed_kernel(d: int, pack: int, chunk_rows: int, tile_n: int):
                     masked,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=precision,
                 )
             return acc
 
@@ -261,19 +275,36 @@ def _make_packed_kernel(d: int, pack: int, chunk_rows: int, tile_n: int):
 
 def _packed_impl(data, row_ptr, num_segments):
     """row_ptr: [num_segments + 1] int32 CSR pointers into the sorted edge
-    axis (the data layer precomputes these host-side)."""
+    axis (the data layer precomputes these host-side, over REAL edges only —
+    padding edges fall outside every [lo, hi) range and are ignored).
+
+    bf16 data is consumed natively (half the DMA traffic, single-pass MXU);
+    when the packed row count is chunk-aligned the repack is a zero-copy
+    bitcast reshape instead of a pad-copy.
+    """
     e, d = data.shape
     pack = 128 // d
     tile_n = TILE_N
     chunk_rows = 256
     n_pad = ((num_segments + tile_n - 1) // tile_n) * tile_n
 
-    rows = (e + pack - 1) // pack
-    rows_pad = ((rows + chunk_rows - 1) // chunk_rows) * chunk_rows + chunk_rows
-    e_pad = rows_pad * pack
+    dtype = data.dtype if data.dtype == jnp.bfloat16 else jnp.float32
+    data = data.astype(dtype)
 
-    flat = jnp.zeros((e_pad * d,), jnp.float32).at[: e * d].set(data.reshape(-1))
-    packed = flat.reshape(rows_pad, 128)
+    rows = (e + pack - 1) // pack
+    if e % pack == 0 and rows % chunk_rows == 0:
+        # zero-copy: row-major [E, D] -> [rows, 128] is a bitcast, and every
+        # chunk DMA stays within [0, rows) because rows is chunk-aligned and
+        # CSR ends never exceed the real edge count
+        rows_pad = rows
+        packed = data.reshape(rows_pad, 128)
+    else:
+        rows_pad = (
+            ((rows + chunk_rows - 1) // chunk_rows) * chunk_rows + chunk_rows
+        )
+        e_pad = rows_pad * pack
+        flat = jnp.zeros((e_pad * d,), dtype).at[: e * d].set(data.reshape(-1))
+        packed = flat.reshape(rows_pad, 128)
 
     row_ptr = jnp.concatenate(
         [row_ptr, jnp.full((n_pad - num_segments,), row_ptr[-1], row_ptr.dtype)]
@@ -297,20 +328,21 @@ def _packed_impl(data, row_ptr, num_segments):
             (tile_n, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk_rows, 128), jnp.float32),
+            pltpu.VMEM((2, chunk_rows, 128), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        _make_packed_kernel(d, pack, chunk_rows, tile_n),
+        _make_packed_kernel(d, pack, chunk_rows, tile_n, dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * e_pad * tile_n * 128,
-            bytes_accessed=rows_pad * 128 * 4 + n_pad * d * 4,
+            flops=2 * rows_pad * pack * tile_n * 128,
+            bytes_accessed=rows_pad * 128 * jnp.dtype(dtype).itemsize
+            + n_pad * d * 4,
             transcendentals=0,
         ),
     )(row_ptr, packed, lo, hi)
@@ -331,11 +363,13 @@ def sorted_segment_sum_csr(data, segment_ids, row_ptr, num_segments):
 
 
 def _csr_fwd(data, segment_ids, row_ptr, num_segments):
-    return sorted_segment_sum_csr(data, segment_ids, row_ptr, num_segments), segment_ids
+    out = sorted_segment_sum_csr(data, segment_ids, row_ptr, num_segments)
+    return out, (segment_ids, jnp.zeros((), data.dtype))
 
 
-def _csr_bwd(num_segments, segment_ids, ct):
-    return ct[segment_ids], None, None
+def _csr_bwd(num_segments, res, ct):
+    segment_ids, proto = res
+    return ct[segment_ids].astype(proto.dtype), None, None
 
 
 sorted_segment_sum_csr.defvjp(_csr_fwd, _csr_bwd)

@@ -41,6 +41,21 @@ def _maybe_psum(x: jnp.ndarray, axis_name: Optional[str]) -> jnp.ndarray:
     return jax.lax.psum(x, axis_name) if axis_name else x
 
 
+def _csr_kernel_eligible(data, row_ptr) -> bool:
+    """True when a sorted-COO segment sum will dispatch to the Pallas CSR
+    kernel, whose real-edge-only [lo, hi) bounds make padding-edge masking
+    unnecessary (the data layer computes row_ptr over real edges only)."""
+    return (
+        _PALLAS_MODE != "never"
+        and row_ptr is not None
+        and data.ndim == 2
+        and 128 % data.shape[1] == 0  # packed kernel only: the id-column
+        # fallback kernel sums by segment id and would include padding edges
+        and _on_tpu()
+        and (_PALLAS_MODE == "always" or data.shape[0] >= _PALLAS_MIN_EDGES)
+    )
+
+
 def _on_tpu() -> bool:
     # remote-TPU plugins may register under a different platform name
     # (e.g. "axon") while still lowering through Mosaic
@@ -274,7 +289,14 @@ gather_state_slices.defvjp(_gss_fwd, _gss_bwd)
 def _dss_impl(
     src_states, src_idx, dst_idx, emask, row_ptr, num_dst
 ):
-    m = src_states[src_idx] * emask[:, None].astype(src_states.dtype)
+    m = src_states[src_idx]
+    if _csr_kernel_eligible(m, row_ptr):
+        # padding edges fall outside the kernel's real-edge CSR bounds —
+        # no mask multiply (saves a full [E, D] HBM round trip)
+        from .pallas.segment_kernels import sorted_segment_sum_csr
+
+        return sorted_segment_sum_csr(m, dst_idx, row_ptr, num_dst)
+    m = m * emask[:, None].astype(src_states.dtype)
     return segment_sum(
         m, dst_idx, num_dst, indices_are_sorted=True, row_ptr=row_ptr
     )
@@ -330,7 +352,15 @@ def _dss_fwd(
 def _dss_bwd(num_dst, num_src, res, ct):
     proto, dst_in_src_order, emask_src_order, src_sorted, src_row_ptr = res
     dtype = proto.dtype
-    ct_edges = ct[dst_in_src_order] * emask_src_order[:, None].astype(ct.dtype)
+    ct_edges = ct[dst_in_src_order]
+    if _csr_kernel_eligible(ct_edges, src_row_ptr):
+        from .pallas.segment_kernels import sorted_segment_sum_csr
+
+        ct_src = sorted_segment_sum_csr(
+            ct_edges, src_sorted, src_row_ptr, num_src
+        )
+        return (ct_src.astype(dtype),) + (None,) * 8
+    ct_edges = ct_edges * emask_src_order[:, None].astype(ct.dtype)
     ct_src = segment_sum(
         ct_edges,
         src_sorted,
