@@ -284,8 +284,10 @@ def _packed_impl(data, row_ptr, num_segments):
     """
     e, d = data.shape
     pack = 128 // d
-    tile_n = TILE_N
+    # tile_n=128 measured best across segment counts (widening the tile
+    # multiplies one-hot MXU work faster than it amortizes grid overhead)
     chunk_rows = 256
+    tile_n = TILE_N
     n_pad = ((num_segments + tile_n - 1) // tile_n) * tile_n
 
     dtype = data.dtype if data.dtype == jnp.bfloat16 else jnp.float32
