@@ -24,7 +24,7 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ignnition_jax_cache")
 
 
-def build_case(n_links=2048, n_paths=16384, path_len=8, hs=32, iterations=8):
+def build_case(n_links=int(os.environ.get("BENCH_LINKS", 2048)), n_paths=int(os.environ.get("BENCH_PATHS", 16384)), path_len=8, hs=32, iterations=8):
     import jax
 
     from __graft_entry__ import _flagship

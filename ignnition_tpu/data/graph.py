@@ -133,6 +133,11 @@ def infer_label_domain(model_ir) -> Tuple[str, str]:
 
 
 
+# slots per windowed-sort chunk (see slice_sort_* below): the largest gather
+# footprint that still runs near the TPU's random-row-gather peak
+_SLICE_SORT_CHUNK = 131072
+
+
 def adjacency_aux_arrays(
     src: np.ndarray,
     dst: np.ndarray,
@@ -196,12 +201,29 @@ def adjacency_aux_arrays(
         slice_src[t, valid] = src[idx[valid]]
     out["slice_src"] = slice_src
     flat = slice_src.ravel()
-    sp = np.argsort(flat, kind="stable").astype(np.int32)
+    # windowed sort: XLA row gathers fall off a ~5x/row cliff once the
+    # SOURCE array exceeds ~262k rows (measured on v5e). Slots are sorted
+    # within ~equal windows of <= _SLICE_SORT_CHUNK slots; the backward then
+    # gathers each window from a SLICED (small) source with LOCAL indices.
+    # Window c's sources get segment ids offset by c*n_src_pad, so one
+    # sorted segment sum over windows*n_src segments still works, followed
+    # by a dense [windows, n_src, D] reduction.
+    n_slots = flat.size
+    n_chunks = max(1, -(-n_slots // _SLICE_SORT_CHUNK))
+    w = -(-n_slots // n_chunks)  # equal-ish window size, derivable device-side
+    perms = []
+    ids = []
+    for c in range(n_chunks):
+        lo, hi = c * w, min((c + 1) * w, n_slots)
+        p = np.argsort(flat[lo:hi], kind="stable").astype(np.int32)
+        perms.append(p)  # LOCAL window indices
+        ids.append(flat[lo:hi][p].astype(np.int64) + c * n_src_pad)
+    sp = np.concatenate(perms)
+    sorted_ids = np.concatenate(ids)
     out["slice_sort_perm"] = sp
-    sorted_ids = flat[sp].astype(np.int32)
-    out["slice_sort_ids"] = sorted_ids
+    out["slice_sort_ids"] = sorted_ids.astype(np.int32)
     out["slice_sort_row_ptr"] = np.searchsorted(
-        sorted_ids, np.arange(n_src_pad + 1)
+        sorted_ids, np.arange(n_chunks * n_src_pad + 1)
     ).astype(np.int32)
     return out
 

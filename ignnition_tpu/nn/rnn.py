@@ -208,11 +208,18 @@ def masked_update_stacked(
     lengths: jnp.ndarray,  # [num_dst]
     init_state: jnp.ndarray,  # [num_dst, units]
 ) -> jnp.ndarray:
-    """Masked recurrent scan over time-major input slices."""
+    """Masked recurrent scan over time-major input slices.
+
+    The step body is rematerialized (jax.checkpoint): without it, scan AD
+    stacks every gate tensor per time step ([L, N, 3*units] x several) into
+    HBM on the forward and reads them back on the backward — recomputing the
+    two small gate matmuls is far cheaper than that traffic.
+    """
     t_index = jnp.arange(xs.shape[0])
 
     if spec.cell_type == "GRU":
 
+        @jax.checkpoint
         def body(h, xt):
             x, t = xt
             valid = t < lengths
@@ -223,6 +230,7 @@ def masked_update_stacked(
         final, _ = jax.lax.scan(body, init_state, (xs, t_index))
         return final
 
+    @jax.checkpoint
     def body(carry, xt):
         h, c = carry
         x, t = xt

@@ -276,10 +276,35 @@ def _gss_bwd(res, ct):
     n_src, proto, slice_src, sort_perm, sort_ids, sort_row_ptr = res
     dtype = proto.dtype
     l, n, d = ct.shape
-    flat = ct.reshape(l * n, d)[sort_perm]
-    ct_states = segment_sum(
-        flat, sort_ids, n_src, indices_are_sorted=True, row_ptr=sort_row_ptr
-    )
+    n_slots = l * n
+    flat_src = ct.reshape(n_slots, d)
+    # the data layer sorts slots within ~equal windows with LOCAL indices
+    # (XLA row gathers are ~5x/row slower once the source exceeds ~262k
+    # rows); gather each window from its sliced source, then one sorted
+    # segment sum over windows*n_src segments and a dense window reduction
+    n_chunks = (sort_row_ptr.shape[0] - 1) // n_src
+    if n_chunks > 1:
+        w = -(-n_slots // n_chunks)
+        ct_states = None
+        for c in range(n_chunks):
+            lo, hi = c * w, min((c + 1) * w, n_slots)
+            part = flat_src[lo:hi][sort_perm[lo:hi]]
+            ids_c = sort_ids[lo:hi] - c * n_src
+            rp_c = jax.lax.slice(
+                sort_row_ptr, (c * n_src,), (c * n_src + n_src + 1,)
+            ) - jnp.int32(lo)
+            s = segment_sum(
+                part, ids_c, n_src, indices_are_sorted=True, row_ptr=rp_c
+            )
+            ct_states = s if ct_states is None else ct_states + s
+    else:
+        ct_states = segment_sum(
+            flat_src[sort_perm],
+            sort_ids,
+            n_src,
+            indices_are_sorted=True,
+            row_ptr=sort_row_ptr,
+        )
     return ct_states.astype(dtype), None, None, None, None
 
 
