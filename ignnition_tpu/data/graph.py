@@ -74,6 +74,9 @@ class BatchMeta:
     max_len: Tuple[Tuple[str, int], ...]  # adj name -> padded max sequence length
     interleave_len: Tuple[Tuple[str, int], ...] = ()  # dst entity -> T_out
     label_pad: int = 0
+    # adj name -> rows of the bounded out-degree backward slice map
+    # (0 = not emitted / out-degree unbounded)
+    bwd_len: Tuple[Tuple[str, int], ...] = ()
 
     def nodes(self, entity: str) -> int:
         return dict(self.node_pad)[entity]
@@ -145,6 +148,7 @@ def adjacency_aux_arrays(
     n_src_pad: int,
     n_dst_pad: int,
     max_len: int,
+    bwd_len: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Host-precomputed companions of one destination-sorted edge list.
 
@@ -190,6 +194,30 @@ def adjacency_aux_arrays(
     ).astype(np.int32)
     out["dst_in_src_order"] = dst[perm].astype(np.int32)
     out["emask_src_order"] = emask[perm].astype(np.float32)
+
+    # src-side (out-degree) slice map for the sum-aggregation backward:
+    # d_src[s] = sum_t ct[bwd_slice_dst[t, s]] masked by t < out_lens[s] —
+    # eight small table gathers beat the edge-order gather + segment kernel.
+    # Only emitted when the max out-degree is bounded (hub sources would
+    # blow the [L_out, n_src] table up).
+    src_row_ptr = out["src_row_ptr"]
+    out_lens = np.diff(src_row_ptr).astype(np.int64)
+    l_out = int(out_lens.max()) if out_lens.size else 0
+    if bwd_len is None:
+        # bucket to a multiple of 4 so batch shapes stay stable across steps
+        l_out = ((l_out + 3) // 4) * 4 if 0 < l_out <= 64 else 0
+    else:
+        l_out = int(bwd_len)  # caller-fixed (re-pad to a shared meta)
+    if l_out > 0:
+        bwd_slice = np.full((l_out, n_src_pad), n_dst_pad - 1, dtype=np.int32)
+        dst_src_order = out["dst_in_src_order"]
+        starts = src_row_ptr[:-1].astype(np.int64)
+        for t in range(l_out):
+            valid = out_lens > t
+            idx = starts + t
+            bwd_slice[t, valid] = dst_src_order[idx[valid]]
+        out["bwd_slice_dst"] = bwd_slice
+        out["out_lens"] = out_lens.astype(np.float32)
 
     L = int(max_len)
     slice_src = np.full((L, n_dst_pad), n_src_pad - 1, dtype=np.int32)
@@ -336,6 +364,7 @@ def build_batch(
         common = max(max_len[a] for a in group)
         for a in group:
             max_len[a] = common
+    bwd_len_map: Dict[str, int] = {}
     for a in adj_info:
         e_pad = edge_pad[a.name]
         # padding edges point at the LAST padded source/destination rows so
@@ -384,10 +413,14 @@ def build_batch(
         # host-precomputed index companions (CSR pointers, in-degrees,
         # source-sorted views, per-(t,dst) slice sources) — on-device
         # equivalents cost scatters/searchsorted every iteration
-        for key, value in adjacency_aux_arrays(
+        aux = adjacency_aux_arrays(
             src, dst, emask, node_pad[a.src], node_pad[a.dst], max_len[a.name]
-        ).items():
+        )
+        for key, value in aux.items():
             arrays[f"{key}_{a.name}"] = value
+        bwd_len_map[a.name] = (
+            aux["bwd_slice_dst"].shape[0] if "bwd_slice_dst" in aux else 0
+        )
 
     # ---- interleave permutations ----
     # For each interleave destination, a per-graph permutation of the merged
@@ -486,6 +519,7 @@ def build_batch(
         max_len=tuple(sorted(max_len.items())),
         interleave_len=tuple(sorted(interleave_len.items())),
         label_pad=label_pad,
+        bwd_len=tuple(sorted(bwd_len_map.items())),
     )
     return arrays, meta
 
@@ -508,6 +542,16 @@ def merge_metas(metas: Sequence[BatchMeta]) -> BatchMeta:
                 out[k] = max(out.get(k, 0), v)
         return tuple(sorted(out.items()))
 
+    # bwd_len: 0 means "out-degree unbounded, slice map not emitted" — if any
+    # batch opted out, the merged batch must too (a smaller cap would drop
+    # cotangent contributions)
+    bwd: Dict[str, int] = {}
+    for m in metas:
+        for k, v in m.bwd_len:
+            bwd[k] = 0 if (k in bwd and min(bwd[k], v) == 0) or v == 0 else max(
+                bwd.get(k, v), v
+            )
+
     return BatchMeta(
         num_graphs=next(iter(ng)),
         node_pad=_max("node_pad"),
@@ -515,6 +559,7 @@ def merge_metas(metas: Sequence[BatchMeta]) -> BatchMeta:
         max_len=_max("max_len"),
         interleave_len=_max("interleave_len"),
         label_pad=max(m.label_pad for m in metas),
+        bwd_len=tuple(sorted(bwd.items())),
     )
 
 
@@ -574,6 +619,8 @@ def repad_to_meta(
                     out[k] = pad_rows(out[k], ne)
         if name in adj_info and f"row_ptr_{name}" in out:
             a = adj_info[name]
+            for stale in (f"bwd_slice_dst_{name}", f"out_lens_{name}"):
+                out.pop(stale, None)
             for key, value in adjacency_aux_arrays(
                 out[f"src_{name}"],
                 out[f"dst_{name}"],
@@ -581,6 +628,7 @@ def repad_to_meta(
                 node_pad_t[a.src],
                 node_pad_t[a.dst],
                 dict(target.max_len)[name],
+                bwd_len=dict(target.bwd_len).get(name, 0),
             ).items():
                 out[f"{key}_{name}"] = value
 

@@ -508,6 +508,28 @@ class GnnModel:
                             sorted_coo
                             and edge_axis is None
                             and all(op.kind == "direct" for op in mp.sources[0].ops)
+                            and f"bwd_slice_dst_{a0}" in batch
+                            and f"row_ptr_{a0}" in batch
+                        ):
+                            # fused direct-assignation sum with bounded
+                            # out-degree backward: a few small table gathers
+                            # replace the edge-order cotangent gather and its
+                            # segment-sum kernel call
+                            aggregated = seg.direct_segment_sum_sliced(
+                                new_states[mp.sources[0].entity],
+                                batch[f"src_{a0}"],
+                                batch[f"dst_{a0}"],
+                                batch[f"edge_mask_{a0}"],
+                                batch[f"row_ptr_{a0}"],
+                                batch[f"bwd_slice_dst_{a0}"],
+                                batch[f"out_lens_{a0}"],
+                                n_dst,
+                                meta.nodes(mp.sources[0].entity),
+                            )
+                        elif (
+                            sorted_coo
+                            and edge_axis is None
+                            and all(op.kind == "direct" for op in mp.sources[0].ops)
                             and f"dst_in_src_order_{a0}" in batch
                             and f"row_ptr_{a0}" in batch
                         ):

@@ -399,6 +399,47 @@ def _dss_bwd(num_dst, num_src, res, ct):
 direct_segment_sum.defvjp(_dss_fwd, _dss_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def direct_segment_sum_sliced(
+    src_states,
+    src_idx,
+    dst_idx,
+    emask,
+    row_ptr,
+    bwd_slice_dst,  # [L_out, num_src] dst of the t-th edge of each source
+    out_lens,  # [num_src] real out-degree
+    num_dst,
+    num_src,
+):
+    """direct_segment_sum whose backward uses the bounded out-degree slice
+    map: ct_src[s] = sum_t ct[bwd_slice_dst[t, s]] masked by t < out_lens[s].
+    A handful of small table gathers + fused masked adds replace the
+    edge-order cotangent gather and its segment-sum kernel call."""
+    return _dss_impl(src_states, src_idx, dst_idx, emask, row_ptr, num_dst)
+
+
+def _dsss_fwd(
+    src_states, src_idx, dst_idx, emask, row_ptr, bwd_slice_dst, out_lens,
+    num_dst, num_src,
+):
+    out = _dss_impl(src_states, src_idx, dst_idx, emask, row_ptr, num_dst)
+    return out, (jnp.zeros((), src_states.dtype), bwd_slice_dst, out_lens)
+
+
+def _dsss_bwd(num_dst, num_src, res, ct):
+    proto, bwd_slice_dst, out_lens = res
+    l_out = bwd_slice_dst.shape[0]
+    acc = None
+    for t in range(l_out):
+        valid = (out_lens > t).astype(ct.dtype)[:, None]
+        part = ct[bwd_slice_dst[t]] * valid
+        acc = part if acc is None else acc + part
+    return (acc.astype(proto.dtype),) + (None,) * 6
+
+
+direct_segment_sum_sliced.defvjp(_dsss_fwd, _dsss_bwd)
+
+
 @jax.custom_vjp
 def gather_by_dst(values, dst_idx, row_ptr):
     """values[dst_idx] for a destination-SORTED edge list.
