@@ -214,10 +214,23 @@ def masked_update_stacked(
     stacks every gate tensor per time step ([L, N, 3*units] x several) into
     HBM on the forward and reads them back on the backward — recomputing the
     two small gate matmuls is far cheaper than that traffic.
+
+    An opt-in fused Pallas kernel (ops/pallas/rnn_kernels.py, env
+    IGNNITION_TPU_FUSED_RNN) can run the whole GRU scan in one pass per
+    destination tile; it is OFF by default — fast in isolation but a net
+    loss inside the flagship step (see the kernel module docstring).
     """
     t_index = jnp.arange(xs.shape[0])
 
     if spec.cell_type == "GRU":
+        from ..ops.pallas import rnn_kernels as _rk
+
+        if _rk.scan_eligible(
+            xs.shape[0], xs.shape[1], xs.shape[2], init_state.shape[1]
+        ):
+            return _rk.masked_gru_scan(
+                xs, lengths.astype(jnp.int32), init_state, params
+            )
 
         @jax.checkpoint
         def body(h, xt):
