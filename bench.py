@@ -132,6 +132,9 @@ _AUX_PREFIXES = (
     "emask_src_order_",
     "slice_src_",
     "slice_sort_",
+    "dense_inc_",
+    "bwd_slice_dst_",
+    "out_lens_",
 )
 
 

@@ -20,9 +20,11 @@ warm across steps.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
-from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+from typing import Dict, List, Mapping, Optional, Sequence, Set, Tuple
 
+import ml_dtypes
 import numpy as np
 
 from .dataset import GraphSample
@@ -140,6 +142,30 @@ def infer_label_domain(model_ir) -> Tuple[str, str]:
 # footprint that still runs near the TPU's random-row-gather peak
 _SLICE_SORT_CHUNK = 131072
 
+# dense-incidence cap: a [n_dst, n_src] bf16 multiplicity matrix replaces the
+# whole gather + segment-sum round trip of a direct-assignation sum
+# aggregation with ONE MXU matmul (out = M @ states; AD's transpose
+# d_states = M^T @ d_out replaces the backward too). Reading M is sequential
+# HBM traffic, which beats descriptor-bound random row gathers up to this
+# size (48M entries = 96 MB bf16 ~ 120 us/read on v5e vs ~400 us of gathers).
+_DENSE_INC_MAX_ENTRIES = int(
+    os.environ.get("IGNNITION_TPU_DENSE_INC_MAX_ENTRIES", 48 * 1024 * 1024)
+)
+
+
+def dense_sum_adjacencies(model_ir) -> Set[str]:
+    """Adjacencies consumed by a single-source direct-assignation `sum`
+    aggregation — the eligible set for the dense-incidence matmul path
+    (ops/segment.py direct_segment_sum_dense)."""
+    out: Set[str] = set()
+    for mp in model_ir.all_passes():
+        if mp.aggregation.kind != "sum" or len(mp.sources) != 1:
+            continue
+        src = mp.sources[0]
+        if all(op.kind == "direct" for op in src.ops):
+            out.add(src.adj_name)
+    return out
+
 
 def adjacency_aux_arrays(
     src: np.ndarray,
@@ -149,6 +175,7 @@ def adjacency_aux_arrays(
     n_dst_pad: int,
     max_len: int,
     bwd_len: Optional[int] = None,
+    want_dense_inc: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Host-precomputed companions of one destination-sorted edge list.
 
@@ -218,6 +245,14 @@ def adjacency_aux_arrays(
             bwd_slice[t, valid] = dst_src_order[idx[valid]]
         out["bwd_slice_dst"] = bwd_slice
         out["out_lens"] = out_lens.astype(np.float32)
+
+    # dense incidence (multiplicity) matrix for direct-assignation sums:
+    # one MXU matmul replaces the per-edge gather, the segment-sum kernel,
+    # AND the backward's cotangent gathers (see _DENSE_INC_MAX_ENTRIES)
+    if want_dense_inc and n_dst_pad * n_src_pad <= _DENSE_INC_MAX_ENTRIES:
+        m = np.zeros((n_dst_pad, n_src_pad), np.float32)
+        np.add.at(m, (dst[:e_real], src[:e_real]), 1.0)
+        out["dense_inc"] = m.astype(ml_dtypes.bfloat16)
 
     L = int(max_len)
     slice_src = np.full((L, n_dst_pad), n_src_pad - 1, dtype=np.int32)
@@ -364,6 +399,7 @@ def build_batch(
         common = max(max_len[a] for a in group)
         for a in group:
             max_len[a] = common
+    dense_adjs = dense_sum_adjacencies(model_ir)
     bwd_len_map: Dict[str, int] = {}
     for a in adj_info:
         e_pad = edge_pad[a.name]
@@ -414,7 +450,13 @@ def build_batch(
         # source-sorted views, per-(t,dst) slice sources) — on-device
         # equivalents cost scatters/searchsorted every iteration
         aux = adjacency_aux_arrays(
-            src, dst, emask, node_pad[a.src], node_pad[a.dst], max_len[a.name]
+            src,
+            dst,
+            emask,
+            node_pad[a.src],
+            node_pad[a.dst],
+            max_len[a.name],
+            want_dense_inc=a.name in dense_adjs,
         )
         for key, value in aux.items():
             arrays[f"{key}_{a.name}"] = value
@@ -619,7 +661,11 @@ def repad_to_meta(
                     out[k] = pad_rows(out[k], ne)
         if name in adj_info and f"row_ptr_{name}" in out:
             a = adj_info[name]
-            for stale in (f"bwd_slice_dst_{name}", f"out_lens_{name}"):
+            for stale in (
+                f"bwd_slice_dst_{name}",
+                f"out_lens_{name}",
+                f"dense_inc_{name}",
+            ):
                 out.pop(stale, None)
             for key, value in adjacency_aux_arrays(
                 out[f"src_{name}"],
@@ -629,6 +675,7 @@ def repad_to_meta(
                 node_pad_t[a.dst],
                 dict(target.max_len)[name],
                 bwd_len=dict(target.bwd_len).get(name, 0),
+                want_dense_inc=name in dense_sum_adjacencies(model_ir),
             ).items():
                 out[f"{key}_{name}"] = value
 

@@ -508,6 +508,18 @@ class GnnModel:
                             sorted_coo
                             and edge_axis is None
                             and all(op.kind == "direct" for op in mp.sources[0].ops)
+                            and f"dense_inc_{a0}" in batch
+                        ):
+                            # dense-incidence matmul: out = M @ states; the
+                            # dot's AD transpose is the whole backward
+                            aggregated = seg.direct_segment_sum_dense(
+                                new_states[mp.sources[0].entity],
+                                batch[f"dense_inc_{a0}"],
+                            )
+                        elif (
+                            sorted_coo
+                            and edge_axis is None
+                            and all(op.kind == "direct" for op in mp.sources[0].ops)
                             and f"bwd_slice_dst_{a0}" in batch
                             and f"row_ptr_{a0}" in batch
                         ):

@@ -440,6 +440,34 @@ def _dsss_bwd(num_dst, num_src, res, ct):
 direct_segment_sum_sliced.defvjp(_dsss_fwd, _dsss_bwd)
 
 
+def direct_segment_sum_dense(src_states, dense_inc):
+    """sum aggregation of direct-assignation messages via the dense
+    incidence (multiplicity) matrix: out = M @ src_states.
+
+    One MXU matmul replaces the per-edge gather + sorted segment sum, and
+    jax AD's dot transpose (d_states = M^T @ d_out) replaces the backward's
+    cotangent gathers — no gather/scatter anywhere, pure sequential HBM
+    traffic. Emitted by the data layer when n_dst*n_src is small enough
+    (data/graph.py dense_sum_adjacencies / _DENSE_INC_MAX_ENTRIES).
+
+    M is bf16 (exact for edge multiplicities up to 256); bf16 states run a
+    single DEFAULT-precision pass with f32 accumulation, f32 states use
+    HIGHEST (M's values convert exactly)."""
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if src_states.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    out = jax.lax.dot_general(
+        dense_inc.astype(src_states.dtype),
+        src_states,
+        (((1,), (0,)), ((), ())),
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(src_states.dtype)
+
+
 @jax.custom_vjp
 def gather_by_dst(values, dst_idx, row_ptr):
     """values[dst_idx] for a destination-SORTED edge list.

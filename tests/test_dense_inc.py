@@ -1,0 +1,123 @@
+"""Dense-incidence matmul path for direct-assignation sum aggregations.
+
+out = M @ states with a host-built [n_dst, n_src] bf16 multiplicity matrix
+replaces the gather + segment-sum round trip (ops/segment.py
+direct_segment_sum_dense). These tests check forward/grad parity against
+the masked reference formulation and that the data layer emits/repads the
+matrix consistently.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ignnition_tpu.data import graph as G
+from ignnition_tpu.ops import segment as seg
+from tests.test_fast_backward import _random_adjacency
+
+
+def _aux_with_dense(rng, n_src, n_dst, e_real, e_pad, n_src_pad, n_dst_pad):
+    src, dst, seq, emask = _random_adjacency(
+        rng, n_src, n_dst, e_real, e_pad, n_src_pad, n_dst_pad
+    )
+    aux = G.adjacency_aux_arrays(
+        src, dst, emask, n_src_pad, n_dst_pad, max_len=8, want_dense_inc=True
+    )
+    return src, dst, emask, aux
+
+
+def test_dense_inc_matches_edge_multiplicity():
+    rng = np.random.default_rng(5)
+    src, dst, emask, aux = _aux_with_dense(rng, 37, 23, 180, 192, 40, 24)
+    m = np.asarray(aux["dense_inc"], np.float32)
+    want = np.zeros((24, 40), np.float32)
+    for s, d, e in zip(src, dst, emask):
+        if e > 0:
+            want[d, s] += 1.0
+    np.testing.assert_array_equal(m, want)
+
+
+def test_forward_and_grad_parity_vs_masked_reference():
+    rng = np.random.default_rng(7)
+    src, dst, emask, aux = _aux_with_dense(rng, 37, 23, 180, 192, 40, 24)
+    states = jnp.asarray(rng.standard_normal((40, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((24, 8)), jnp.float32)
+    dense = jnp.asarray(aux["dense_inc"])
+
+    def fast(s):
+        return jnp.sum(seg.direct_segment_sum_dense(s, dense) * w)
+
+    def ref(s):
+        m = s[jnp.asarray(src)] * jnp.asarray(emask)[:, None]
+        return jnp.sum(
+            jax.ops.segment_sum(m, jnp.asarray(dst), num_segments=24) * w
+        )
+
+    np.testing.assert_allclose(fast(states), ref(states), rtol=1e-5, atol=1e-5)
+    g_fast = jax.grad(fast)(states)
+    g_ref = jax.grad(ref)(states)
+    np.testing.assert_allclose(
+        np.asarray(g_fast), np.asarray(g_ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_build_batch_emits_dense_inc_only_for_direct_sum():
+    import __graft_entry__ as ge
+
+    model_ir = ge._flagship(num_iterations=2, hs=8)
+    arrays, meta = ge._batch(model_ir, n_links=12, n_paths=8, max_path_len=4)
+    # stage2 (path -> link) is a direct sum: dense matrix emitted
+    assert "dense_inc_adj_paths_links" in arrays
+    m = arrays["dense_inc_adj_paths_links"]
+    assert m.shape == (
+        dict(meta.node_pad)["link"],
+        dict(meta.node_pad)["path"],
+    )
+    # stage1 (link -> path) is ordered: no dense matrix
+    assert "dense_inc_adj_links_paths" not in arrays
+
+
+def test_model_prediction_unchanged_by_dense_path():
+    import __graft_entry__ as ge
+    from ignnition_tpu.model import build
+
+    model_ir = ge._flagship(num_iterations=2, hs=8)
+    model = build(model_ir)
+    params = model.init(jax.random.PRNGKey(0))
+    arrays, meta = ge._batch(model_ir, n_links=12, n_paths=8, max_path_len=4)
+
+    with_dense = model.apply(params, arrays, meta)
+    stripped = {k: v for k, v in arrays.items() if not k.startswith("dense_inc_")}
+    without = model.apply(params, stripped, meta)
+    np.testing.assert_allclose(
+        np.asarray(with_dense), np.asarray(without), rtol=1e-4, atol=1e-5
+    )
+
+    def loss(p, b):
+        return jnp.sum(model.apply(p, b, meta) ** 2)
+
+    g1 = jax.grad(loss)(params, arrays)
+    g2 = jax.grad(loss)(params, stripped)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
+
+
+def test_repad_rebuilds_dense_inc():
+    import __graft_entry__ as ge
+
+    model_ir = ge._flagship(num_iterations=2, hs=8)
+    a1, m1 = ge._batch(model_ir, n_links=12, n_paths=8, max_path_len=4, seed=0)
+    a2, m2 = ge._batch(model_ir, n_links=20, n_paths=14, max_path_len=4, seed=1)
+    target = G.merge_metas([m1, m2])
+    r1 = G.repad_to_meta(a1, m1, target, model_ir)
+    key = "dense_inc_adj_paths_links"
+    assert r1[key].shape == (
+        dict(target.node_pad)["link"],
+        dict(target.node_pad)["path"],
+    )
+    # real multiplicities preserved under repad
+    old = np.asarray(a1[key], np.float32)
+    new = np.asarray(r1[key], np.float32)
+    np.testing.assert_array_equal(new[: old.shape[0], : old.shape[1]], old)
