@@ -147,9 +147,12 @@ _SLICE_SORT_CHUNK = 131072
 # aggregation with ONE MXU matmul (out = M @ states; AD's transpose
 # d_states = M^T @ d_out replaces the backward too). Reading M is sequential
 # HBM traffic, which beats descriptor-bound random row gathers up to this
-# size (48M entries = 96 MB bf16 ~ 120 us/read on v5e vs ~400 us of gathers).
+# size. M scales quadratically with graph size while the gathers scale
+# linearly, so there is a crossover: measured on v5e, dense wins at 33M
+# entries (245 vs 174 Medges/s) and 134M (189 vs 155), and breaks even at
+# 536M (1 GB M) — the default cap sits between the last two.
 _DENSE_INC_MAX_ENTRIES = int(
-    os.environ.get("IGNNITION_TPU_DENSE_INC_MAX_ENTRIES", 48 * 1024 * 1024)
+    os.environ.get("IGNNITION_TPU_DENSE_INC_MAX_ENTRIES", 160_000_000)
 )
 
 
