@@ -156,18 +156,25 @@ _DENSE_INC_MAX_ENTRIES = int(
 )
 
 
-def dense_sum_adjacencies(model_ir) -> Set[str]:
-    """Adjacencies consumed by a single-source direct-assignation `sum`
-    aggregation — the eligible set for the dense-incidence matmul path
-    (ops/segment.py direct_segment_sum_dense)."""
+def dense_agg_adjacencies(model_ir) -> Set[str]:
+    """Adjacencies consumed by a single-source direct-assignation vector
+    aggregation (sum / convolution / per-destination attention) — the
+    eligible set for the dense-incidence matmul paths (ops/segment.py
+    direct_segment_sum_dense / dense_attention_aggregate)."""
     out: Set[str] = set()
     for mp in model_ir.all_passes():
-        if mp.aggregation.kind != "sum" or len(mp.sources) != 1:
+        if len(mp.sources) != 1:
+            continue
+        kind = mp.aggregation.kind
+        if kind not in ("sum", "convolution", "attention"):
+            continue
+        if kind == "attention" and mp.aggregation.attention_softmax == "reference":
             continue
         src = mp.sources[0]
         if all(op.kind == "direct" for op in src.ops):
             out.add(src.adj_name)
     return out
+
 
 
 def adjacency_aux_arrays(
@@ -402,7 +409,7 @@ def build_batch(
         common = max(max_len[a] for a in group)
         for a in group:
             max_len[a] = common
-    dense_adjs = dense_sum_adjacencies(model_ir)
+    dense_adjs = dense_agg_adjacencies(model_ir)
     bwd_len_map: Dict[str, int] = {}
     for a in adj_info:
         e_pad = edge_pad[a.name]
@@ -678,7 +685,7 @@ def repad_to_meta(
                 node_pad_t[a.dst],
                 dict(target.max_len)[name],
                 bwd_len=dict(target.bwd_len).get(name, 0),
-                want_dense_inc=name in dense_sum_adjacencies(model_ir),
+                want_dense_inc=name in dense_agg_adjacencies(model_ir),
             ).items():
                 out[f"{key}_{name}"] = value
 

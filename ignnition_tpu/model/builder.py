@@ -571,30 +571,65 @@ class GnnModel:
                                 row_ptr=comb_rp,
                             )
                     elif agg.kind == "attention":
-                        aggregated = self._attention(
-                            params["aggregation"][f"s{si}/m{mi}"],
-                            agg,
-                            comb_msg,
-                            comb_dst,
-                            comb_mask,
-                            dst_states,
-                            per_source,
-                            compute_lens,
-                            n_dst,
-                            meta,
-                            edge_axis,
-                        )
+                        ap = params["aggregation"][f"s{si}/m{mi}"]
+                        a0 = per_source[0]["adj"]
+                        if (
+                            agg.attention_softmax != "reference"
+                            and sorted_coo
+                            and edge_axis is None
+                            and all(op.kind == "direct" for op in mp.sources[0].ops)
+                            and f"dense_inc_{a0}" in batch
+                        ):
+                            # dense GAT: per-node score scalars + one masked
+                            # softmax-matmul over the incidence matrix — no
+                            # per-edge gathers (seg.dense_attention_aggregate)
+                            aggregated = seg.dense_attention_aggregate(
+                                new_states[mp.sources[0].entity],
+                                dst_states,
+                                batch[f"dense_inc_{a0}"],
+                                ap["kernel1"],
+                                ap["kernel2"],
+                                ap["attn_kernel"],
+                            )
+                        else:
+                            aggregated = self._attention(
+                                ap,
+                                agg,
+                                comb_msg,
+                                comb_dst,
+                                comb_mask,
+                                dst_states,
+                                per_source,
+                                compute_lens,
+                                n_dst,
+                                meta,
+                                edge_axis,
+                            )
                     else:  # convolution
                         ap = params["aggregation"][f"s{si}/m{mi}"]
-                        weighted = comb_msg @ ap["kernel"]
-                        nsum = seg.segment_sum(
-                            weighted,
-                            comb_dst,
-                            n_dst,
-                            indices_are_sorted=sorted_coo,
-                            axis_name=edge_axis,
-                            row_ptr=comb_rp,
-                        )
+                        a0 = per_source[0]["adj"]
+                        if (
+                            sorted_coo
+                            and edge_axis is None
+                            and all(op.kind == "direct" for op in mp.sources[0].ops)
+                            and f"dense_inc_{a0}" in batch
+                        ):
+                            # dense GCN: one MXU matmul over the incidence
+                            # matrix replaces the gather + segment sum
+                            nsum = seg.direct_segment_sum_dense(
+                                new_states[mp.sources[0].entity] @ ap["kernel"],
+                                batch[f"dense_inc_{a0}"],
+                            )
+                        else:
+                            weighted = comb_msg @ ap["kernel"]
+                            nsum = seg.segment_sum(
+                                weighted,
+                                comb_dst,
+                                n_dst,
+                                indices_are_sorted=sorted_coo,
+                                axis_name=edge_axis,
+                                row_ptr=comb_rp,
+                            )
                         total = nsum + dst_states
                         deg = seg.segment_count(
                             comb_dst, n_dst, comb_mask, axis_name=edge_axis

@@ -468,6 +468,104 @@ def direct_segment_sum_dense(src_states, dense_inc):
     return out.astype(src_states.dtype)
 
 
+def _dot(a, b, dims, dtype):
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())), precision=prec, preferred_element_type=jnp.float32
+    )
+
+
+@jax.custom_vjp
+def _dense_masked_softmax_matmul(ssrc, sdst, msg_table, dense_inc):
+    """out[d] = sum_s A[d, s] * msg_table[s] with
+    A = row-softmax of LeakyReLU(sdst[d] + ssrc[s]) over the support of the
+    dense incidence matrix (multiplicity-weighted, numerically stable).
+
+    Custom VJP so the [n_dst, n_src] attention matrix is RECOMPUTED in the
+    backward from the per-node score vectors instead of being stacked as a
+    per-iteration residual of the outer MP scan (8 iterations x 64 MB
+    would dominate HBM)."""
+    out, _ = _dmsm_compute(ssrc, sdst, msg_table, dense_inc)
+    return out
+
+
+def _dmsm_compute(ssrc, sdst, msg_table, dense_inc):
+    dtype = msg_table.dtype
+    m = dense_inc.astype(jnp.float32)
+    e = jax.nn.leaky_relu(
+        sdst[:, None].astype(jnp.float32) + ssrc[None, :].astype(jnp.float32),
+        negative_slope=0.2,
+    )
+    neg = jnp.float32(-1e30)
+    row_max = jnp.max(jnp.where(m > 0, e, neg), axis=1)
+    row_max = jnp.maximum(row_max, neg * 0.5)  # empty rows: any finite shift
+    # the where guards empty rows (their shifted e would overflow exp; the
+    # m multiply would then produce inf * 0 = NaN)
+    z = jnp.where(m > 0, jnp.exp(e - row_max[:, None]), 0.0) * m
+    denom = jnp.sum(z, axis=1)
+    a = (z / jnp.maximum(denom, 1e-30)[:, None]).astype(dtype)
+    out = _dot(a, msg_table, ((1,), (0,)), dtype)
+    return out.astype(dtype), (a, e)
+
+
+def _dmsm_fwd(ssrc, sdst, msg_table, dense_inc):
+    out, _ = _dmsm_compute(ssrc, sdst, msg_table, dense_inc)
+    return out, (ssrc, sdst, msg_table, dense_inc)
+
+
+def _dmsm_bwd(res, ct):
+    ssrc, sdst, msg_table, dense_inc = res
+    dtype = msg_table.dtype
+    _, (a, e) = _dmsm_compute(ssrc, sdst, msg_table, dense_inc)
+    ct = ct.astype(dtype)
+    d_table = _dot(a, ct, ((0,), (0,)), dtype).astype(msg_table.dtype)
+    da = _dot(ct, msg_table, ((1,), (1,)), dtype)  # [n_dst, n_src] f32
+    af = a.astype(jnp.float32)
+    s_row = jnp.sum(da * af, axis=1, keepdims=True)
+    de = af * (da - s_row)
+    # LeakyReLU'(pre): e was computed FROM pre, slope 0.2 — recover the sign
+    # from e itself (leaky_relu is sign-preserving)
+    d_pre = de * jnp.where(e > 0, 1.0, 0.2)
+    d_sdst = jnp.sum(d_pre, axis=1).astype(sdst.dtype)
+    d_ssrc = jnp.sum(d_pre, axis=0).astype(ssrc.dtype)
+    return d_ssrc, d_sdst, d_table, None
+
+
+_dense_masked_softmax_matmul.defvjp(_dmsm_fwd, _dmsm_bwd)
+
+
+def dense_attention_aggregate(
+    msg_table,  # [n_src, D] per-source messages (direct assignation)
+    dst_states,  # [n_dst, Dd]
+    dense_inc,  # [n_dst, n_src] bf16 multiplicity matrix
+    kernel1,  # [D, D]
+    kernel2,  # [Dd, D]
+    attn_kernel,  # [2D, 1]
+):
+    """GAT attention aggregation computed DENSELY over the incidence matrix.
+
+    GATv1 scores decompose into per-node scalars:
+      e[d, s] = LeakyReLU(a1 . (K1 m_s) + a2 . (K2 h_d))
+    so when messages are per-source (direct assignation), the whole
+    aggregation is two tiny per-node matmuls + dense broadcast/softmax/
+    matmul over [n_dst, n_src] — no per-edge gathers, no scatters, no
+    segment ops anywhere (cf. the sorted_segment_softmax edge path).
+    Multiplicity k edges contribute k identical softmax terms, matching the
+    per-edge semantics exactly.
+    """
+    d1 = kernel1.shape[1]
+    a1 = attn_kernel[:d1]
+    a2 = attn_kernel[d1:]
+    dtype = msg_table.dtype
+    ssrc = _dot(msg_table @ kernel1, a1, ((1,), (0,)), dtype)[:, 0]
+    sdst = _dot(dst_states @ kernel2, a2, ((1,), (0,)), dtype)[:, 0]
+    return _dense_masked_softmax_matmul(ssrc, sdst, msg_table, dense_inc)
+
+
 @jax.custom_vjp
 def gather_by_dst(values, dst_idx, row_ptr):
     """values[dst_idx] for a destination-SORTED edge list.

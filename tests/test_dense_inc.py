@@ -104,6 +104,80 @@ def test_model_prediction_unchanged_by_dense_path():
         )
 
 
+def test_dense_attention_forward_and_grad_parity():
+    """dense_attention_aggregate vs an independent per-edge segment-op
+    formulation of the same GAT math (fwd + grads wrt every input)."""
+    rng = np.random.default_rng(11)
+    n_src_pad, n_dst_pad, hs = 40, 24, 8
+    src, dst, emask, aux = _aux_with_dense(rng, 37, 23, 180, 192, n_src_pad, n_dst_pad)
+    dense = jnp.asarray(aux["dense_inc"])
+    states = jnp.asarray(rng.standard_normal((n_src_pad, hs)), jnp.float32)
+    dstst = jnp.asarray(rng.standard_normal((n_dst_pad, hs)), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((hs, hs)) * 0.3, jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((hs, hs)) * 0.3, jnp.float32)
+    a = jnp.asarray(rng.standard_normal((2 * hs, 1)) * 0.3, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((n_dst_pad, hs)), jnp.float32)
+    srcj, dstj, maskj = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(emask)
+
+    def fast(states, dstst, k1, k2, a):
+        out = seg.dense_attention_aggregate(states, dstst, dense, k1, k2, a)
+        return jnp.sum(out * w)
+
+    def ref(states, dstst, k1, k2, a):
+        msg = states[srcj]
+        t1 = msg @ k1
+        t2 = dstst[dstj] @ k2
+        sc = jax.nn.leaky_relu(
+            (jnp.concatenate([t1, t2], 1) @ a)[:, 0], negative_slope=0.2
+        )
+        sc = jnp.where(maskj > 0, sc, -1e30)
+        mx = jax.ops.segment_max(sc, dstj, num_segments=n_dst_pad)
+        z = jnp.where(maskj > 0, jnp.exp(sc - mx[dstj]), 0.0)
+        den = jax.ops.segment_sum(z, dstj, num_segments=n_dst_pad)
+        wts = z / jnp.maximum(den[dstj], 1e-30)
+        out = jax.ops.segment_sum(msg * wts[:, None], dstj, num_segments=n_dst_pad)
+        return jnp.sum(out * w)
+
+    args = (states, dstst, k1, k2, a)
+    np.testing.assert_allclose(fast(*args), ref(*args), rtol=1e-4, atol=1e-4)
+    g_fast = jax.grad(fast, argnums=tuple(range(5)))(*args)
+    g_ref = jax.grad(ref, argnums=tuple(range(5)))(*args)
+    for gf, gr in zip(g_fast, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_dense_attention_empty_destination_rows_are_zero():
+    rng = np.random.default_rng(13)
+    n_src_pad, n_dst_pad, hs = 16, 8, 4
+    # destination 5 gets no edges at all
+    src = np.array([0, 1, 2, 3], np.int32)
+    dst = np.array([0, 0, 1, 2], np.int32)
+    emask = np.ones(4, np.float32)
+    aux = G.adjacency_aux_arrays(
+        src, dst, emask, n_src_pad, n_dst_pad, max_len=4, want_dense_inc=True
+    )
+    states = jnp.asarray(rng.standard_normal((n_src_pad, hs)), jnp.float32)
+    dstst = jnp.asarray(rng.standard_normal((n_dst_pad, hs)), jnp.float32)
+    eye = jnp.eye(hs, dtype=jnp.float32)
+    a = jnp.ones((2 * hs, 1), jnp.float32)
+    out = seg.dense_attention_aggregate(
+        states, dstst, jnp.asarray(aux["dense_inc"]), eye, eye, a
+    )
+    assert bool(jnp.isfinite(out).all())
+    np.testing.assert_allclose(np.asarray(out[3:]), 0.0, atol=1e-6)
+    # gradients finite too
+    g = jax.grad(
+        lambda s: jnp.sum(
+            seg.dense_attention_aggregate(
+                s, dstst, jnp.asarray(aux["dense_inc"]), eye, eye, a
+            )
+        )
+    )(states)
+    assert bool(jnp.isfinite(g).all())
+
+
 def test_repad_rebuilds_dense_inc():
     import __graft_entry__ as ge
 
