@@ -717,10 +717,21 @@ class GnnModel:
         scattered [num_dst, max_len, 1] tensor (a_c.py:336), including the
         exp(0) contributions of empty slots.
         """
+        sorted_single = len(per_source) == 1 and per_source[0]["row_ptr"] is not None
+        row_ptr = per_source[0]["row_ptr"] if sorted_single else None
         t_src = comb_msg @ ap["kernel1"]
-        t_dst = dst_states[comb_dst] @ ap["kernel2"]
-        scores = jnp.concatenate([t_src, t_dst], axis=1) @ ap["attn_kernel"]
-        scores = jax.nn.leaky_relu(scores, negative_slope=0.2).reshape(-1)
+        # decomposed scores (attn_kernel . concat = a1 . t_src + a2 . t_dst):
+        # the destination side collapses to a per-NODE scalar gathered per
+        # edge — [n_dst] instead of a [E, D] gather, and gather_by_dst's
+        # transpose is a sorted segment sum instead of a scatter-add
+        d1 = ap["kernel1"].shape[1]
+        s_src = (t_src @ ap["attn_kernel"][:d1]).reshape(-1)
+        s_dst_node = (dst_states @ ap["kernel2"]) @ ap["attn_kernel"][d1:]
+        if sorted_single and edge_axis is None:
+            s_dst = seg.gather_by_dst(s_dst_node[:, 0], comb_dst, row_ptr)
+        else:
+            s_dst = s_dst_node[comb_dst, 0]
+        scores = jax.nn.leaky_relu(s_src + s_dst, negative_slope=0.2)
 
         if agg.attention_softmax == "reference":
             # per-source seq offsets (reference generate_model.py:538-541)
@@ -766,8 +777,9 @@ class GnnModel:
             weighted,
             comb_dst,
             n_dst,
-            indices_are_sorted=len(per_source) == 1,
+            indices_are_sorted=sorted_single,
             axis_name=edge_axis,
+            row_ptr=row_ptr if edge_axis is None else None,
         )
 
     # ------------------------------------------------------------------
