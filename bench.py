@@ -86,6 +86,9 @@ def build_case(n_links=int(os.environ.get("BENCH_LINKS", 2048)), n_paths=int(os.
 
         return train_step
 
+    make_step.meta = meta  # for tools that need the static batch meta
+    make_step.model = model
+    make_step.model_ir = model_ir
     edges_per_step = iterations * (len(src_lp) + len(src_pl))
     return make_step, params, opt_state, arrays, edges_per_step
 

@@ -119,6 +119,7 @@ class Runner:
             eval_fn=eval_fn,
             eval_secs=cfg.throttle_secs,
             mesh=self.mesh,
+            accumulate_steps=cfg.accumulate_steps,
             tensorboard_dir=self.tensorboard_dir,
         )
 

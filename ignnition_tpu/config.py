@@ -41,6 +41,9 @@ class RunConfig:
     keep_checkpoint_max: int = 20
     throttle_secs: int = 300
     log_every: int = 10
+    # extension over the reference: gradient accumulation — each optimizer
+    # step consumes this many merged batches (Trainer.accum_train_step_fn)
+    accumulate_steps: int = 1
 
     @staticmethod
     def from_ini(path: str = "./train_options.ini") -> "RunConfig":
@@ -71,6 +74,7 @@ class RunConfig:
             "keep_checkpoint_max",
             "throttle_secs",
             "log_every",
+            "accumulate_steps",
         ):
             if key in to:
                 setattr(cfg, key, int(to[key]))

@@ -154,6 +154,13 @@ _SLICE_SORT_CHUNK = 131072
 _DENSE_INC_MAX_ENTRIES = int(
     os.environ.get("IGNNITION_TPU_DENSE_INC_MAX_ENTRIES", 160_000_000)
 )
+# ... and a floor: for small graphs the step is so cheap that shipping M to
+# the device every batch costs more end-to-end than the gathers it saves
+# (measured: 28 vs 81 steps/s on a 3k-edge streaming workload, identical
+# metrics). Below this many padded edges the gather path wins.
+_DENSE_INC_MIN_EDGES = int(
+    os.environ.get("IGNNITION_TPU_DENSE_INC_MIN_EDGES", 16384)
+)
 
 
 def dense_agg_adjacencies(model_ir) -> Set[str]:
@@ -259,7 +266,11 @@ def adjacency_aux_arrays(
     # dense incidence (multiplicity) matrix for direct-assignation sums:
     # one MXU matmul replaces the per-edge gather, the segment-sum kernel,
     # AND the backward's cotangent gathers (see _DENSE_INC_MAX_ENTRIES)
-    if want_dense_inc and n_dst_pad * n_src_pad <= _DENSE_INC_MAX_ENTRIES:
+    if (
+        want_dense_inc
+        and n_dst_pad * n_src_pad <= _DENSE_INC_MAX_ENTRIES
+        and len(dst) >= _DENSE_INC_MIN_EDGES
+    ):
         m = np.zeros((n_dst_pad, n_src_pad), np.float32)
         np.add.at(m, (dst[:e_real], src[:e_real]), 1.0)
         out["dense_inc"] = m.astype(ml_dtypes.bfloat16)

@@ -64,6 +64,7 @@ class Trainer:
         self.loss_fn = get_loss(self.ir.learning.loss)
         self.optimizer = build_optimizer(self.ir.learning.optimizer)
         self._train_steps: Dict[BatchMeta, Callable] = {}
+        self._accum_steps: Dict[Tuple[BatchMeta, int], Callable] = {}
         self._eval_steps: Dict[BatchMeta, Callable] = {}
 
     # ------------------------------------------------------------------
@@ -98,6 +99,53 @@ class Trainer:
 
             self._train_steps[meta] = step
         return self._train_steps[meta]
+
+    def accum_train_step_fn(self, meta: BatchMeta, n_accum: int) -> Callable:
+        """One optimizer step over `n_accum` microbatches stacked on a
+        leading axis (gradient accumulation).
+
+        Numerically equivalent to a batch `n_accum`x larger, but each
+        microbatch runs at its own (smaller, faster) shape — on TPU the
+        per-edge throughput of the training step degrades super-linearly
+        with merged-graph size (PERF.md batch-size scaling), so running
+        large effective batches as a scan over optimally-sized microbatches
+        is strictly faster than one giant merged graph."""
+        key = (meta, n_accum)
+        if key not in self._accum_steps:
+
+            @jax.jit
+            def step(params, opt_state, stacked, rng):
+                keys = jax.random.split(rng, n_accum)
+
+                def micro(carry, xs):
+                    gsum, lsum, rsum = carry
+                    batch, k = xs
+                    (_, (loss, reg)), grads = jax.value_and_grad(
+                        self._loss, has_aux=True
+                    )(params, batch, meta, k)
+                    return (
+                        jax.tree.map(jnp.add, gsum, grads),
+                        lsum + loss,
+                        rsum + reg,
+                    ), None
+
+                zero = jax.tree.map(jnp.zeros_like, params)
+                (gsum, lsum, rsum), _ = jax.lax.scan(
+                    micro, (zero, jnp.float32(0.0), jnp.float32(0.0)), (stacked, keys)
+                )
+                grads = jax.tree.map(lambda g: g / n_accum, gsum)
+                updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                loss = lsum / n_accum
+                reg = rsum / n_accum
+                return params, opt_state, {
+                    "loss": loss,
+                    "reg": reg,
+                    "total": loss + reg,
+                }
+
+            self._accum_steps[key] = step
+        return self._accum_steps[key]
 
     def eval_step_fn(self, meta: BatchMeta) -> Callable:
         if meta not in self._eval_steps:
@@ -192,6 +240,7 @@ class Trainer:
         eval_secs: int = 300,
         rng: Optional[jax.Array] = None,
         mesh=None,
+        accumulate_steps: int = 1,
         tensorboard_dir: Optional[str] = None,
         histogram_every: int = 0,
         profile_dir: Optional[str] = None,
@@ -203,6 +252,10 @@ class Trainer:
         step consumes mesh.shape['data'] merged batches (stacked, re-padded
         to a common bucket) and runs the shard_map parallel step; without a
         mesh, single-device jitted steps.
+        accumulate_steps: gradient accumulation — each optimizer step
+        consumes this many merged batches (stacked and scanned on device);
+        numerically a batch `accumulate_steps`x larger, but faster than one
+        giant merged graph (see accum_train_step_fn).
         tensorboard_dir: write loss scalars (and parameter histograms every
         `histogram_every` steps, if > 0) — the reference logs the same set
         via tf.summary (generate_model.py:754-756, 792-793).
@@ -224,6 +277,10 @@ class Trainer:
                 data_dir, batch_size, mesh, shuffle
             )
             step_cache: Dict[Any, Callable] = {}
+        elif accumulate_steps > 1:
+            batch_iter = self._stacked_batch_iter(
+                data_dir, batch_size, accumulate_steps, shuffle
+            )
         else:
             batch_iter = self.batches(
                 data_dir, batch_size, shuffle=shuffle, repeat=True
@@ -248,7 +305,11 @@ class Trainer:
                 )
                 logs = {"loss": loss, "reg": 0.0, "total": loss}
             else:
-                step_fn = self.train_step_fn(meta)
+                step_fn = (
+                    self.accum_train_step_fn(meta, accumulate_steps)
+                    if accumulate_steps > 1
+                    else self.train_step_fn(meta)
+                )
                 rng, key = jax.random.split(rng)
                 params, opt_state, logs = step_fn(
                     state.params, state.opt_state, arrays, key
@@ -293,6 +354,18 @@ class Trainer:
         if writer is not None:
             writer.close()
         return state
+
+    def _stacked_batch_iter(self, data_dir, batch_size, n_accum, shuffle):
+        """Group `n_accum` merged batches per optimizer step, stacked on a
+        leading axis (re-padded to a common bucket)."""
+        from ..parallel import stack_batches
+
+        group = []
+        for item in self.batches(data_dir, batch_size, shuffle=shuffle, repeat=True):
+            group.append(item)
+            if len(group) == n_accum:
+                yield stack_batches(group, self.ir)
+                group = []
 
     def _sharded_batch_iter(self, data_dir, batch_size, mesh, shuffle):
         """Group mesh.shape['data'] merged batches per step and stack them

@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# tests use tiny graphs; drop the dense-incidence edge-count floor so the
+# dense aggregation paths are exercised (data/graph.py _DENSE_INC_MIN_EDGES)
+os.environ.setdefault("IGNNITION_TPU_DENSE_INC_MIN_EDGES", "0")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -163,3 +163,42 @@ def test_api_verbs_end_to_end(dataset, tmp_path, caplog):
     assert os.path.exists(os.path.join(out_dir, "model.hlo.txt"))
     text = open(os.path.join(out_dir, "structure.txt")).read()
     assert "message_passing" in text and "readout" in text
+
+
+def test_grad_accumulation_matches_single_step(dataset, trainer):
+    """Accumulating two identical microbatches == one plain step on that
+    batch (grad mean of identical grads)."""
+    import jax.numpy as jnp
+    from ignnition_tpu.data import SampleSpec, build_batch, iter_samples
+
+    spec = SampleSpec.from_ir(trainer.ir)
+    samples = list(iter_samples(dataset, spec))[:4]
+    arrays, meta = build_batch(samples, trainer.ir, trainer.padding)
+
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(7)
+
+    p1, o1, logs1 = trainer.train_step_fn(meta)(
+        state.params, state.opt_state, arrays, rng
+    )
+    stacked = jax.tree.map(lambda a: np.stack([a, a], axis=0), arrays)
+    p2, o2, logs2 = trainer.accum_train_step_fn(meta, 2)(
+        state.params, state.opt_state, stacked, rng
+    )
+    np.testing.assert_allclose(
+        float(logs1["loss"]), float(logs2["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_train_loop_with_accumulation(dataset, trainer):
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    state = trainer.train(
+        state, dataset, max_steps=3, batch_size=2, accumulate_steps=2,
+        log_every=0,
+    )
+    assert state.step == 3
+    assert all(np.isfinite(x).all() for x in jax.tree.leaves(state.params))
