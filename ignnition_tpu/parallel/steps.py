@@ -165,9 +165,46 @@ def make_parallel_train_step(
         key = tuple(sorted((k, np.shape(v)) for k, v in stacked_batch.items()))
         if key not in cache:
             cache[key] = build(stacked_batch)
+        if jax.process_count() > 1:
+            # multi-host: each process holds its local slice of the 'data'
+            # axis; assemble global arrays before the jitted sharded step
+            specs = batch_partition_specs(
+                model.ir,
+                stacked_batch,
+                data_axis,
+                model_axis if use_model_axis else None,
+            )
+            stacked_batch = _globalize(
+                stacked_batch, mesh, {k: specs[k] for k in stacked_batch}
+            )
+            params = _globalize_replicated(params, mesh)
+            opt_state = _globalize_replicated(opt_state, mesh)
         return cache[key](params, opt_state, stacked_batch)
 
     return train_step
+
+
+def _globalize(tree, mesh, specs_tree):
+    """Host-local arrays -> global jax.Arrays laid out per `specs_tree`
+    (multi-host only; sharded axes concatenate across processes)."""
+    from jax.experimental import multihost_utils as mh
+
+    return mh.host_local_array_to_global_array(tree, mesh, specs_tree)
+
+
+def _globalize_replicated(tree, mesh):
+    """Replicated pytree -> global arrays; leaves that are already global
+    (e.g. outputs of the previous step) pass through."""
+    n_global = mesh.devices.size
+
+    def one(x):
+        if isinstance(x, jax.Array) and len(x.sharding.device_set) == n_global:
+            return x
+        from jax.experimental import multihost_utils as mh
+
+        return mh.host_local_array_to_global_array(x, mesh, P())
+
+    return jax.tree.map(one, tree)
 
 
 def make_parallel_apply(

@@ -1,0 +1,59 @@
+"""Worker for the 2-process jax.distributed smoke test (test_distributed.py).
+
+Each process simulates one host with 2 virtual CPU devices; the
+('data','model') pod mesh puts edge partitioning within the "host" and data
+parallelism across "hosts". Run: python _dist_worker.py <pid> <nprocs> <port>
+"""
+
+import os
+import sys
+
+pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=2"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(f"localhost:{port}", nprocs, pid)
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from __graft_entry__ import _batch, _flagship
+from ignnition_tpu.model import build
+from ignnition_tpu.parallel import distributed, make_parallel_train_step, stack_batches
+from ignnition_tpu.training import build_optimizer, get_loss
+
+
+def main():
+    assert jax.process_count() == nprocs
+    assert len(jax.devices()) == 2 * nprocs
+
+    model_ir = _flagship(num_iterations=2, hs=8)
+    model = build(model_ir)
+    params = model.init(jax.random.PRNGKey(0))  # same seed -> replicated
+    optimizer = build_optimizer(model_ir.learning.optimizer)
+    opt_state = optimizer.init(params)
+    loss_fn = get_loss(model_ir.learning.loss)
+
+    # each "host" feeds its own distinct batch (fixed padding -> same meta)
+    local = [_batch(model_ir, n_links=12, n_paths=8, max_path_len=4, seed=pid)]
+    stacked, meta = stack_batches(local, model_ir)
+
+    mesh = distributed.make_pod_mesh(model_axis_per_host=2)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "data": nprocs,
+        "model": 2,
+    }
+    step = make_parallel_train_step(model, optimizer, loss_fn, meta, mesh)
+    for i in range(2):
+        params, opt_state, loss = step(params, opt_state, stacked)
+    print(f"DIST_OK pid={pid} loss={float(loss):.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
