@@ -368,15 +368,33 @@ class Trainer:
                 group = []
 
     def _sharded_batch_iter(self, data_dir, batch_size, mesh, shuffle):
-        """Group mesh.shape['data'] merged batches per step and stack them
-        on the leading data axis (re-padded to a common bucket)."""
+        """Group this process's share of the mesh's 'data' axis per step and
+        stack it on the leading axis (re-padded to a common bucket).
+
+        Multi-host: each process groups n_data/process_count batches (its
+        local slice — make_parallel_train_step assembles the global arrays)
+        and shuffles with a process-specific seed so hosts feed DISTINCT
+        data. NOTE: multi-host runs should use a fixed-bucket PaddingConfig
+        (mode='multiple' with a generous min_size) so every host picks the
+        same padded meta — bucket divergence across hosts would make them
+        compile different programs and deadlock."""
         from ..parallel import stack_batches
 
+        n_procs = jax.process_count()
         n_data = mesh.shape["data"]
+        if n_data % n_procs != 0:
+            raise ValueError(
+                f"mesh data axis ({n_data}) must be a multiple of the "
+                f"process count ({n_procs})"
+            )
+        n_local = n_data // n_procs
+        seed = None if n_procs == 1 else 1_000_003 * (jax.process_index() + 1)
         group = []
-        for item in self.batches(data_dir, batch_size, shuffle=shuffle, repeat=True):
+        for item in self.batches(
+            data_dir, batch_size, shuffle=shuffle, repeat=True, seed=seed
+        ):
             group.append(item)
-            if len(group) == n_data:
+            if len(group) == n_local:
                 yield stack_batches(group, self.ir)
                 group = []
 

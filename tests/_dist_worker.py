@@ -54,6 +54,23 @@ def main():
         params, opt_state, loss = step(params, opt_state, stacked)
     print(f"DIST_OK pid={pid} loss={float(loss):.6f}", flush=True)
 
+    # full documented launch: Trainer.train over the pod mesh, each host
+    # streaming its own (distinctly shuffled) local data shard
+    from ignnition_tpu.data.graph import PaddingConfig
+    from ignnition_tpu.data.synthetic import write_dataset
+    from ignnition_tpu.training.trainer import Trainer
+
+    d = f"/tmp/ignnition_dist_ds_{port}_{pid}"
+    if not os.path.isdir(d):
+        write_dataset(d, 1, 4, seed=5, n_links=12, n_paths=8, max_path_len=4)
+    trainer = Trainer(
+        model, padding=PaddingConfig(mode="multiple", multiple=64, min_size=64)
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = trainer.train(state, d, max_steps=2, batch_size=2, mesh=mesh, log_every=0)
+    assert state.step == 2
+    print(f"DIST_TRAIN_OK pid={pid}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -52,3 +52,5 @@ def test_two_process_training_step():
     ]
     # the loss is a global pmean — every host must report the same value
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+    for out in outs:
+        assert "DIST_TRAIN_OK" in out  # full Trainer.train-over-mesh launch
