@@ -184,6 +184,33 @@ def dense_agg_adjacencies(model_ir) -> Set[str]:
 
 
 
+# env escape hatch: IGNNITION_TPU_NATIVE_AUX=0 forces the numpy path
+_USE_NATIVE_AUX = os.environ.get("IGNNITION_TPU_NATIVE_AUX", "1") != "0"
+
+
+def _append_dense_inc(out, src, dst, e_real, n_src_pad, n_dst_pad, want):
+    """Dense incidence (multiplicity) matrix for direct-assignation vector
+    aggregations: one MXU matmul replaces the per-edge gather, the
+    segment-sum kernel, AND the backward's cotangent gathers (see
+    _DENSE_INC_MAX_ENTRIES / _DENSE_INC_MIN_EDGES)."""
+    if not (
+        want
+        and n_dst_pad * n_src_pad <= _DENSE_INC_MAX_ENTRIES
+        and len(dst) >= _DENSE_INC_MIN_EDGES
+    ):
+        return
+    # run-length encode sorted (dst, src) pair keys straight into a bf16
+    # buffer — np.add.at into f32 + astype costs ~5x more host time
+    flat = np.zeros(n_dst_pad * n_src_pad, ml_dtypes.bfloat16)
+    if e_real:
+        keys = dst[:e_real].astype(np.int64) * n_src_pad + src[:e_real]
+        keys.sort()
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1])
+        cnts = np.diff(np.concatenate([starts, [e_real]]))
+        flat[keys[starts]] = cnts.astype(np.float32)
+    out["dense_inc"] = flat.reshape(n_dst_pad, n_src_pad)
+
+
 def adjacency_aux_arrays(
     src: np.ndarray,
     dst: np.ndarray,
@@ -211,16 +238,41 @@ def adjacency_aux_arrays(
                          per-edge messages); invalid slots -> last source row
       slice_sort_*       sort of slice_src's flattened slots by source, for
                          the transpose (a sorted segment sum)
+
+    The heavy index computations run in the native C++ core when built
+    (native/aux.cpp, O(E) counting sorts that release the GIL — the numpy
+    argsorts hold it, defeating multi-worker batch producers); the numpy
+    path below is the reference implementation and fallback, and
+    tests/test_native_aux.py enforces their exact equality.
     """
     if dst.size and np.any(np.diff(dst) < 0):
         raise ValueError(
             "internal invariant violated: edge list is not destination-sorted"
         )
-    out: Dict[str, np.ndarray] = {}
+    e_real = int(np.count_nonzero(emask))
+    out = None
+    if _USE_NATIVE_AUX:
+        from .native_loader import adjacency_aux_native
+
+        out = adjacency_aux_native(
+            src,
+            dst,
+            emask,
+            n_src_pad,
+            n_dst_pad,
+            int(max_len),
+            -1 if bwd_len is None else int(bwd_len),
+            _SLICE_SORT_CHUNK,
+        )
+    if out is not None:
+        _append_dense_inc(
+            out, src, dst, e_real, n_src_pad, n_dst_pad, want_dense_inc
+        )
+        return out
+    out = {}
     # real edges are a prefix (padding edges are appended); CSR pointers are
     # computed over REAL edges only, so the Pallas kernels' per-segment
     # [lo, hi) bounds exclude padding edges without any mask multiply
-    e_real = int(np.count_nonzero(emask))
     row_ptr = np.searchsorted(dst[:e_real], np.arange(n_dst_pad + 1)).astype(
         np.int32
     )
@@ -263,17 +315,7 @@ def adjacency_aux_arrays(
         out["bwd_slice_dst"] = bwd_slice
         out["out_lens"] = out_lens.astype(np.float32)
 
-    # dense incidence (multiplicity) matrix for direct-assignation sums:
-    # one MXU matmul replaces the per-edge gather, the segment-sum kernel,
-    # AND the backward's cotangent gathers (see _DENSE_INC_MAX_ENTRIES)
-    if (
-        want_dense_inc
-        and n_dst_pad * n_src_pad <= _DENSE_INC_MAX_ENTRIES
-        and len(dst) >= _DENSE_INC_MIN_EDGES
-    ):
-        m = np.zeros((n_dst_pad, n_src_pad), np.float32)
-        np.add.at(m, (dst[:e_real], src[:e_real]), 1.0)
-        out["dense_inc"] = m.astype(ml_dtypes.bfloat16)
+    _append_dense_inc(out, src, dst, e_real, n_src_pad, n_dst_pad, want_dense_inc)
 
     L = int(max_len)
     slice_src = np.full((L, n_dst_pad), n_src_pad - 1, dtype=np.int32)

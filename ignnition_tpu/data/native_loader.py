@@ -81,6 +81,16 @@ def _load():
     ]
     lib.ign_has_key.restype = ctypes.c_int
     lib.ign_has_key.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_char_p]
+    if hasattr(lib, "ign_adjacency_aux"):
+        I32P = ctypes.POINTER(ctypes.c_int32)
+        F32P = ctypes.POINTER(ctypes.c_float)
+        lib.ign_adjacency_aux.restype = ctypes.c_long
+        lib.ign_adjacency_aux.argtypes = (
+            [I32P, I32P, F32P]
+            + [ctypes.c_long] * 7
+            + [I32P, F32P, I32P, I32P, I32P, I32P, F32P, F32P, I32P, I32P,
+               I32P, I32P, I32P]
+        )
     _lib = lib
     return lib
 
@@ -236,3 +246,73 @@ def _convert_one(lib, handle, i, spec: SampleSpec) -> Optional[GraphSample]:
         label=label,
         extras=extras,
     )
+
+
+def adjacency_aux_native(
+    src: np.ndarray,
+    dst: np.ndarray,
+    emask: np.ndarray,
+    n_src_pad: int,
+    n_dst_pad: int,
+    max_len: int,
+    bwd_cap: int,  # -1 auto, else fixed row count (0 = skip)
+    slice_chunk: int,
+):
+    """Native adjacency index-companion precompute (native/aux.cpp).
+
+    Returns the same dict as the numpy path of
+    data.graph.adjacency_aux_arrays (minus dense_inc, which stays in
+    python), or None if the library is unavailable / rejects the input.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "ign_adjacency_aux"):
+        return None
+    e = int(len(src))
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    emask = np.ascontiguousarray(emask, np.float32)
+    bwd_rows = max(64, bwd_cap if bwd_cap > 0 else 0)
+    n_slots = int(max_len) * n_dst_pad
+    n_chunks = max(1, -(-n_slots // slice_chunk))
+    row_ptr = np.empty(n_dst_pad + 1, np.int32)
+    lens = np.empty(n_dst_pad, np.float32)
+    src_perm = np.empty(e, np.int32)
+    src_sorted = np.empty(e, np.int32)
+    src_row_ptr = np.empty(n_src_pad + 1, np.int32)
+    dst_in_src_order = np.empty(e, np.int32)
+    emask_src_order = np.empty(e, np.float32)
+    out_lens = np.empty(n_src_pad, np.float32)
+    bwd_slice = np.empty((bwd_rows, n_src_pad), np.int32)
+    slice_src = np.empty((int(max_len), n_dst_pad), np.int32)
+    slice_sort_perm = np.empty(n_slots, np.int32)
+    slice_sort_ids = np.empty(n_slots, np.int32)
+    slice_sort_row_ptr = np.empty(n_chunks * n_src_pad + 1, np.int32)
+    l_out = lib.ign_adjacency_aux(
+        _iptr(src), _iptr(dst), _fptr(emask),
+        e, n_src_pad, n_dst_pad, int(max_len), int(bwd_cap),
+        int(slice_chunk), int(bwd_rows),
+        _iptr(row_ptr), _fptr(lens), _iptr(src_perm), _iptr(src_sorted),
+        _iptr(src_row_ptr), _iptr(dst_in_src_order), _fptr(emask_src_order),
+        _fptr(out_lens), _iptr(bwd_slice), _iptr(slice_src),
+        _iptr(slice_sort_perm), _iptr(slice_sort_ids),
+        _iptr(slice_sort_row_ptr),
+    )
+    if l_out < 0:
+        return None
+    out = {
+        "row_ptr": row_ptr,
+        "lens": lens,
+        "src_perm": src_perm,
+        "src_sorted": src_sorted,
+        "src_row_ptr": src_row_ptr,
+        "dst_in_src_order": dst_in_src_order,
+        "emask_src_order": emask_src_order,
+    }
+    if l_out > 0:
+        out["bwd_slice_dst"] = bwd_slice[:l_out]
+        out["out_lens"] = out_lens
+    out["slice_src"] = slice_src
+    out["slice_sort_perm"] = slice_sort_perm
+    out["slice_sort_ids"] = slice_sort_ids
+    out["slice_sort_row_ptr"] = slice_sort_row_ptr
+    return out

@@ -172,51 +172,110 @@ class Trainer:
         training: bool = True,
         seed: Optional[int] = None,
         prefetch: int = 4,
+        workers: int = 1,
+        cache: bool = False,
     ) -> Iterator[Tuple[Dict[str, np.ndarray], BatchMeta]]:
-        """Stream (arrays, meta) merged batches, built on a background thread
+        """Stream (arrays, meta) merged batches, built on background threads
         (the reference prefetches 10 batches through tf.data,
-        generate_model.py:188-198)."""
+        generate_model.py:188-198).
+
+        workers > 1 parallelizes batch construction (the numpy-heavy
+        index-companion precompute releases the GIL in its sorts); batch
+        ORDER then becomes nondeterministic — use with shuffle.
+
+        cache=True materializes every built batch during the first epoch
+        and cycles the cached list afterwards (reshuffled per epoch) —
+        host batch construction then costs one epoch total, making steady-
+        state training compute-bound. Trades host RAM for throughput;
+        batch composition is frozen after epoch one."""
+        if cache:
+            if not repeat:
+                raise ValueError("cache=True requires repeat=True")
+            built = list(
+                self.batches(
+                    data_dir, batch_size, shuffle=shuffle, repeat=False,
+                    training=training, seed=seed, prefetch=prefetch,
+                    workers=workers,
+                )
+            )
+            rng = np.random.default_rng(seed)
+            while True:
+                order = (
+                    rng.permutation(len(built)) if shuffle else range(len(built))
+                )
+                for i in order:
+                    yield built[i]
+
         spec = SampleSpec.from_ir(self.ir, training=training)
 
-        def producer(q: queue.Queue):
-            try:
-                group = []
-                for s in iter_samples(
-                    data_dir, spec, shuffle=shuffle, seed=seed, repeat=repeat
-                ):
-                    group.append(s)
-                    if len(group) == batch_size:
-                        q.put(
-                            build_batch(
-                                group,
-                                self.ir,
-                                self.padding,
-                                training=training,
-                                normalizations=self.normalizations,
-                            )
-                        )
-                        group = []
-                if group:
-                    q.put(
-                        build_batch(
-                            group,
-                            self.ir,
-                            self.padding,
-                            training=training,
-                            normalizations=self.normalizations,
-                        )
-                    )
-            except BaseException as e:  # surface producer errors to consumer
-                q.put(e)
-            q.put(None)
+        def make(group):
+            return build_batch(
+                group,
+                self.ir,
+                self.padding,
+                training=training,
+                normalizations=self.normalizations,
+            )
+
+        def groups():
+            group = []
+            for s in iter_samples(
+                data_dir, spec, shuffle=shuffle, seed=seed, repeat=repeat
+            ):
+                group.append(s)
+                if len(group) == batch_size:
+                    yield group
+                    group = []
+            if group:
+                yield group
 
         q: queue.Queue = queue.Queue(maxsize=prefetch)
-        t = threading.Thread(target=producer, args=(q,), daemon=True)
-        t.start()
-        while True:
+        if workers <= 1:
+
+            def producer():
+                try:
+                    for g in groups():
+                        q.put(make(g))
+                except BaseException as e:  # surface errors to the consumer
+                    q.put(e)
+                q.put(None)
+
+            threading.Thread(target=producer, daemon=True).start()
+            sentinels_expected = 1
+        else:
+            gq: queue.Queue = queue.Queue(maxsize=workers * 2)
+
+            def reader():
+                try:
+                    for g in groups():
+                        gq.put(g)
+                except BaseException as e:
+                    q.put(e)
+                for _ in range(workers):
+                    gq.put(None)
+
+            def builder():
+                try:
+                    while True:
+                        g = gq.get()
+                        if g is None:
+                            break
+                        q.put(make(g))
+                except BaseException as e:
+                    q.put(e)
+                q.put(None)
+
+            threading.Thread(target=reader, daemon=True).start()
+            for _ in range(workers):
+                threading.Thread(target=builder, daemon=True).start()
+            sentinels_expected = workers
+
+        done = 0
+        while done < sentinels_expected:
             item = q.get()
             if item is None:
-                return
+                done += 1
+                continue
             if isinstance(item, BaseException):
                 raise item
             yield item
@@ -241,6 +300,8 @@ class Trainer:
         rng: Optional[jax.Array] = None,
         mesh=None,
         accumulate_steps: int = 1,
+        input_workers: int = 1,
+        cache_batches: bool = False,
         tensorboard_dir: Optional[str] = None,
         histogram_every: int = 0,
         profile_dir: Optional[str] = None,
@@ -279,11 +340,13 @@ class Trainer:
             step_cache: Dict[Any, Callable] = {}
         elif accumulate_steps > 1:
             batch_iter = self._stacked_batch_iter(
-                data_dir, batch_size, accumulate_steps, shuffle
+                data_dir, batch_size, accumulate_steps, shuffle,
+                workers=input_workers, cache=cache_batches,
             )
         else:
             batch_iter = self.batches(
-                data_dir, batch_size, shuffle=shuffle, repeat=True
+                data_dir, batch_size, shuffle=shuffle, repeat=True,
+                workers=input_workers, cache=cache_batches,
             )
 
         for arrays, meta in batch_iter:
@@ -355,13 +418,18 @@ class Trainer:
             writer.close()
         return state
 
-    def _stacked_batch_iter(self, data_dir, batch_size, n_accum, shuffle):
+    def _stacked_batch_iter(
+        self, data_dir, batch_size, n_accum, shuffle, workers=1, cache=False
+    ):
         """Group `n_accum` merged batches per optimizer step, stacked on a
         leading axis (re-padded to a common bucket)."""
         from ..parallel import stack_batches
 
         group = []
-        for item in self.batches(data_dir, batch_size, shuffle=shuffle, repeat=True):
+        for item in self.batches(
+            data_dir, batch_size, shuffle=shuffle, repeat=True, workers=workers,
+            cache=cache,
+        ):
             group.append(item)
             if len(group) == n_accum:
                 yield stack_batches(group, self.ir)

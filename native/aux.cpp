@@ -1,0 +1,174 @@
+// Native adjacency index-companion precompute.
+//
+// Mirrors ignnition_tpu/data/graph.py adjacency_aux_arrays exactly (the
+// parity test tests/test_native_aux.py pits the two against each other on
+// random adjacencies). Replaces the numpy implementation's GIL-holding
+// argsorts/fancy-indexing with O(E) counting sorts so multi-threaded batch
+// producers actually scale; per flagship-sized adjacency (131k edges) this
+// runs in ~2 ms vs ~35 ms for the numpy path.
+//
+// Invariants assumed (enforced by the data layer):
+//   * edges are destination-sorted; real edges are a prefix (emask is 1.0
+//     on the first e_real entries, 0.0 after);
+//   * padding edges carry src == n_src_pad-1 and dst == n_dst_pad-1;
+//   * 0 <= src[i] < n_src_pad, 0 <= dst[i] < n_dst_pad.
+
+#include <cstddef>
+#include <cstdint>
+#include <vector>
+
+using std::size_t;
+
+namespace {
+
+// stable counting sort of `keys[0..n)` with values < n_keys; writes the
+// permutation (original indices in sorted order) into `perm`.
+void counting_argsort(const int32_t* keys, long n, long n_keys,
+                      int32_t* perm, std::vector<long>& scratch) {
+  scratch.assign(static_cast<size_t>(n_keys) + 1, 0);
+  for (long i = 0; i < n; ++i) scratch[static_cast<size_t>(keys[i]) + 1]++;
+  for (long k = 0; k < n_keys; ++k) scratch[k + 1] += scratch[k];
+  for (long i = 0; i < n; ++i) {
+    perm[scratch[keys[i]]++] = static_cast<int32_t>(i);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Computes every index companion of one destination-sorted edge list.
+// Returns the number of bwd_slice rows filled (l_out; 0 = none emitted), or
+// -1 on invalid input. All output buffers are caller-allocated:
+//   row_ptr[n_dst+1] lens[n_dst] src_perm[e] src_sorted[e]
+//   src_row_ptr[n_src+1] dst_in_src_order[e] emask_src_order[e]
+//   out_lens[n_src] bwd_slice[bwd_rows_max * n_src]
+//   slice_src[max_len * n_dst] slice_sort_perm[max_len * n_dst]
+//   slice_sort_ids[max_len * n_dst] slice_sort_row_ptr[n_chunks*n_src + 1]
+// bwd_cap: -1 = auto-bucket (multiple of 4, only if max out-degree <= 64);
+// otherwise the fixed row count to emit (0 = skip).
+long ign_adjacency_aux(const int32_t* src, const int32_t* dst,
+                       const float* emask, long e_pad, long n_src_pad,
+                       long n_dst_pad, long max_len, long bwd_cap,
+                       long slice_chunk, long bwd_rows_max,
+                       int32_t* row_ptr, float* lens, int32_t* src_perm,
+                       int32_t* src_sorted, int32_t* src_row_ptr,
+                       int32_t* dst_in_src_order, float* emask_src_order,
+                       float* out_lens, int32_t* bwd_slice,
+                       int32_t* slice_src, int32_t* slice_sort_perm,
+                       int32_t* slice_sort_ids,
+                       int32_t* slice_sort_row_ptr) {
+  if (e_pad < 0 || n_src_pad <= 0 || n_dst_pad <= 0 || max_len <= 0)
+    return -1;
+
+  long e_real = 0;
+  for (long i = 0; i < e_pad; ++i)
+    if (emask[i] != 0.0f) ++e_real;
+
+  // validate index ranges + destination sortedness over real edges
+  for (long i = 0; i < e_pad; ++i) {
+    if (src[i] < 0 || src[i] >= n_src_pad) return -1;
+    if (dst[i] < 0 || dst[i] >= n_dst_pad) return -1;
+  }
+  for (long i = 1; i < e_real; ++i)
+    if (dst[i] < dst[i - 1]) return -1;
+
+  std::vector<long> scratch;
+
+  // ---- row_ptr (CSR over real edges) + lens ----
+  scratch.assign(static_cast<size_t>(n_dst_pad) + 1, 0);
+  for (long i = 0; i < e_real; ++i) scratch[static_cast<size_t>(dst[i]) + 1]++;
+  for (long d = 0; d < n_dst_pad; ++d) {
+    lens[d] = static_cast<float>(scratch[d + 1]);
+    scratch[d + 1] += scratch[d];
+    row_ptr[d] = static_cast<int32_t>(scratch[d]);
+  }
+  row_ptr[0] = 0;
+  row_ptr[n_dst_pad] = static_cast<int32_t>(e_real);
+  for (long d = 0; d < n_dst_pad; ++d)
+    row_ptr[d + 1] = static_cast<int32_t>(scratch[d + 1]);
+
+  // ---- stable source sort of ALL edges ----
+  counting_argsort(src, e_pad, n_src_pad, src_perm, scratch);
+  for (long i = 0; i < e_pad; ++i) {
+    const long p = src_perm[i];
+    src_sorted[i] = src[p];
+    dst_in_src_order[i] = dst[p];
+    emask_src_order[i] = emask[p];
+  }
+
+  // ---- src_row_ptr over REAL edges (real edges are a prefix of the
+  // stable source sort: padding edges carry the max key and later indices)
+  scratch.assign(static_cast<size_t>(n_src_pad) + 1, 0);
+  for (long i = 0; i < e_real; ++i) scratch[static_cast<size_t>(src[i]) + 1]++;
+  src_row_ptr[0] = 0;
+  for (long s = 0; s < n_src_pad; ++s) {
+    scratch[s + 1] += scratch[s];
+    src_row_ptr[s + 1] = static_cast<int32_t>(scratch[s + 1]);
+  }
+
+  // ---- bounded out-degree backward slice map ----
+  long l_out_real = 0;
+  for (long s = 0; s < n_src_pad; ++s) {
+    const long deg = src_row_ptr[s + 1] - src_row_ptr[s];
+    out_lens[s] = static_cast<float>(deg);
+    if (deg > l_out_real) l_out_real = deg;
+  }
+  long l_out;
+  if (bwd_cap < 0) {
+    l_out = (l_out_real > 0 && l_out_real <= 64) ? ((l_out_real + 3) / 4) * 4
+                                                 : 0;
+  } else {
+    l_out = bwd_cap;
+  }
+  if (l_out > bwd_rows_max) return -1;
+  for (long t = 0; t < l_out; ++t) {
+    int32_t* rowp = bwd_slice + t * n_src_pad;
+    for (long s = 0; s < n_src_pad; ++s) {
+      const long deg = src_row_ptr[s + 1] - src_row_ptr[s];
+      rowp[s] = (t < deg) ? dst_in_src_order[src_row_ptr[s] + t]
+                          : static_cast<int32_t>(n_dst_pad - 1);
+    }
+  }
+
+  // ---- per-(t, dst) slice sources ----
+  for (long t = 0; t < max_len; ++t) {
+    int32_t* rowp = slice_src + t * n_dst_pad;
+    for (long d = 0; d < n_dst_pad; ++d) {
+      const long len = row_ptr[d + 1] - row_ptr[d];
+      rowp[d] = (t < len) ? src[row_ptr[d] + t]
+                          : static_cast<int32_t>(n_src_pad - 1);
+    }
+  }
+
+  // ---- windowed slice sort (see graph.py: the XLA big-source gather
+  // cliff). Windows of <= slice_chunk slots, stable-sorted by source;
+  // window c's ids are offset by c * n_src_pad. ----
+  const long n_slots = max_len * n_dst_pad;
+  const long n_chunks = n_slots > 0 ? (n_slots + slice_chunk - 1) / slice_chunk
+                                    : 1;
+  const long w = (n_slots + n_chunks - 1) / n_chunks;
+  for (long c = 0; c < n_chunks; ++c) {
+    const long lo = c * w;
+    const long hi = (lo + w < n_slots) ? lo + w : n_slots;
+    counting_argsort(slice_src + lo, hi - lo, n_src_pad,
+                     slice_sort_perm + lo, scratch);
+    for (long i = lo; i < hi; ++i) {
+      slice_sort_ids[i] = static_cast<int32_t>(
+          slice_src[lo + slice_sort_perm[i]] + c * n_src_pad);
+    }
+  }
+  // global CSR over the sorted ids (ids ascend within AND across windows)
+  scratch.assign(static_cast<size_t>(n_chunks * n_src_pad) + 1, 0);
+  for (long i = 0; i < n_slots; ++i)
+    scratch[static_cast<size_t>(slice_sort_ids[i]) + 1]++;
+  slice_sort_row_ptr[0] = 0;
+  for (long k = 0; k < n_chunks * n_src_pad; ++k) {
+    scratch[k + 1] += scratch[k];
+    slice_sort_row_ptr[k + 1] = static_cast<int32_t>(scratch[k + 1]);
+  }
+
+  return l_out;
+}
+
+}  // extern "C"

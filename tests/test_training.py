@@ -202,3 +202,26 @@ def test_train_loop_with_accumulation(dataset, trainer):
     )
     assert state.step == 3
     assert all(np.isfinite(x).all() for x in jax.tree.leaves(state.params))
+
+
+def test_multi_worker_batches_complete_and_valid(dataset, trainer):
+    """workers>1 yields every batch exactly once (unordered)."""
+    one = list(trainer.batches(dataset, batch_size=4, repeat=False))
+    many = list(trainer.batches(dataset, batch_size=4, repeat=False, workers=3))
+    assert len(many) == len(one)
+    key = lambda b: tuple(sorted((k, v.shape, float(np.sum(v))) for k, v in b[0].items()))
+    assert sorted(key(b) for b in many) == sorted(key(b) for b in one)
+
+
+def test_cached_batches_cycle_and_reshuffle(dataset, trainer):
+    one_epoch = list(trainer.batches(dataset, batch_size=4, repeat=False))
+    it = trainer.batches(dataset, batch_size=4, shuffle=True, seed=2,
+                         repeat=True, cache=True)
+    n = len(one_epoch)
+    first = [next(it) for _ in range(n)]
+    second = [next(it) for _ in range(n)]
+    key = lambda b: tuple(sorted((k, float(np.sum(v))) for k, v in b[0].items()))
+    # same batch SET each epoch (composition frozen), order reshuffled
+    assert sorted(key(b) for b in first) == sorted(key(b) for b in second)
+    # covers the whole dataset (same number of batches as a plain epoch)
+    assert len(first) == len(one_epoch)
