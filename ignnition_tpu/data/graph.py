@@ -164,10 +164,15 @@ _DENSE_INC_MIN_EDGES = int(
 
 
 def dense_agg_adjacencies(model_ir) -> Set[str]:
-    """Adjacencies consumed by a single-source direct-assignation vector
+    """Adjacencies consumed by a single-source source-local vector
     aggregation (sum / convolution / per-destination attention) — the
     eligible set for the dense-incidence matmul paths (ops/segment.py
-    direct_segment_sum_dense / dense_attention_aggregate)."""
+    direct_segment_sum_dense / dense_attention_aggregate). Source-local
+    covers both direct assignation AND MLP-of-hs_source message chains
+    (frontend.ir.is_source_local): the builder evaluates the chain per
+    NODE and the matmul consumes the node-level message table."""
+    from ..frontend.ir import is_source_local
+
     out: Set[str] = set()
     for mp in model_ir.all_passes():
         if len(mp.sources) != 1:
@@ -178,7 +183,7 @@ def dense_agg_adjacencies(model_ir) -> Set[str]:
         if kind == "attention" and mp.aggregation.attention_softmax == "reference":
             continue
         src = mp.sources[0]
-        if all(op.kind == "direct" for op in src.ops):
+        if is_source_local(src.ops):
             out.add(src.adj_name)
     return out
 

@@ -115,6 +115,24 @@ class MessageOpSpec:
     mlp: Optional[MLPSpec] = None
 
 
+def is_source_local(ops: Tuple["MessageOpSpec", ...]) -> bool:
+    """True when the message chain is a function of the SOURCE NODE state
+    alone: every op is a direct assignation or an MLP reading only
+    `hs_source`, and none publishes an `output_name` (named outputs are
+    edge-level values visible to other sources' ops). The builder then runs
+    the chain once per source NODE and feeds the node-level message table
+    through the fused/dense aggregation paths instead of materializing
+    per-edge messages (model/builder.py _node_message_table)."""
+    for op in ops:
+        if op.kind == "direct":
+            continue
+        if op.output_name is not None:
+            return False
+        if any(name != "hs_source" for name in op.inputs):
+            return False
+    return True
+
+
 @dataclass(frozen=True)
 class SourceSpec:
     """A source entity feeding one message passing (reference `Source_Entity`)."""

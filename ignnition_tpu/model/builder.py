@@ -359,39 +359,65 @@ class GnnModel:
                     dst_idx = batch[f"dst_{a}"]
                     seq_pos = batch[f"seq_{a}"]
                     emask = batch[f"edge_mask_{a}"]
-                    # NOTE: a custom-vjp gather whose transpose runs the
-                    # sorted segment kernel exists (ops.segment.gather_rows),
-                    # but measured slower here: the permutation gather it
-                    # needs costs more than the scatter-add it saves. Plain
-                    # gathers keep XLA's fused transpose.
-                    gathered_src = new_states[src.entity][src_idx]
-                    gathered_dst = dst_states[dst_idx]
+                    node_table = None
+                    if IR.is_source_local(src.ops):
+                        # the whole chain is a function of the source node
+                        # state: evaluate it once per NODE (the MLP runs on
+                        # n_src rows instead of E edges) and let the fused/
+                        # dense aggregation paths below consume the table
+                        # directly — the per-edge gather here only feeds the
+                        # fallback paths and is dead code (DCE'd) otherwise
+                        node_table = new_states[src.entity]
+                        for oi, op in enumerate(src.ops):
+                            if op.kind == "direct":
+                                node_table = new_states[src.entity]
+                            else:
+                                x = jnp.concatenate(
+                                    [new_states[src.entity]] * len(op.inputs),
+                                    axis=1,
+                                )
+                                node_table = MLP.apply(
+                                    op.mlp,
+                                    params["message"][
+                                        f"s{si}/m{mi}/src{ki}/op{oi}"
+                                    ],
+                                    x,
+                                )
+                        messages = node_table[src_idx]
+                    else:
+                        # NOTE: a custom-vjp gather whose transpose runs the
+                        # sorted segment kernel exists (ops.segment.gather_rows),
+                        # but measured slower here: the permutation gather it
+                        # needs costs more than the scatter-add it saves. Plain
+                        # gathers keep XLA's fused transpose.
+                        gathered_src = new_states[src.entity][src_idx]
+                        gathered_dst = dst_states[dst_idx]
 
-                    messages = gathered_src
-                    for oi, op in enumerate(src.ops):
-                        if op.kind == "direct":
-                            messages = gathered_src
-                        else:
-                            inputs = []
-                            for name in op.inputs:
-                                if name == "hs_source":
-                                    inputs.append(gathered_src)
-                                elif name == "hs_dest":
-                                    inputs.append(gathered_dst)
-                                elif name == "edge_params":
-                                    inputs.append(
-                                        batch[f"params_{a}"].astype(jnp.float32)
-                                    )
-                                else:
-                                    inputs.append(edge_vars[name])
-                            x = jnp.concatenate(inputs, axis=1)
-                            messages = MLP.apply(
-                                op.mlp,
-                                params["message"][f"s{si}/m{mi}/src{ki}/op{oi}"],
-                                x,
-                            )
-                            if op.output_name:
-                                edge_vars[op.output_name] = messages
+                        messages = gathered_src
+                        for oi, op in enumerate(src.ops):
+                            if op.kind == "direct":
+                                messages = gathered_src
+                            else:
+                                inputs = []
+                                for name in op.inputs:
+                                    if name == "hs_source":
+                                        inputs.append(gathered_src)
+                                    elif name == "hs_dest":
+                                        inputs.append(gathered_dst)
+                                    elif name == "edge_params":
+                                        inputs.append(
+                                            batch[f"params_{a}"].astype(jnp.float32)
+                                        )
+                                    else:
+                                        inputs.append(edge_vars[name])
+                                x = jnp.concatenate(inputs, axis=1)
+                                messages = MLP.apply(
+                                    op.mlp,
+                                    params["message"][f"s{si}/m{mi}/src{ki}/op{oi}"],
+                                    x,
+                                )
+                                if op.output_name:
+                                    edge_vars[op.output_name] = messages
 
                     messages = messages * emask[:, None].astype(messages.dtype)  # zero padding edges
                     per_source.append(
@@ -403,6 +429,7 @@ class GnnModel:
                             mask=emask,
                             adj=a,
                             entity=src.entity,
+                            table=node_table,
                             row_ptr=batch.get(f"row_ptr_{a}"),
                         )
                     )
@@ -435,21 +462,20 @@ class GnnModel:
                     and edge_axis is None
                     and f"row_ptr_{per_source[0]['adj']}" in batch
                 )
-                direct_only = all(op.kind == "direct" for op in mp.sources[0].ops)
                 if (
                     fast_ordered
-                    and direct_only
+                    and per_source[0]["table"] is not None
                     and f"slice_src_{per_source[0]['adj']}" in batch
                 ):
-                    # direct-assignation ordered update: no per-edge message
+                    # source-local ordered update: no per-edge message
                     # materialization at all — the scan's time slices gather
-                    # straight from the source state table through the
+                    # straight from the node-level message table through the
                     # host-precomputed slice_src map, and the transpose is a
                     # sorted segment sum (ops.segment.gather_state_slices)
                     s0 = per_source[0]
                     a0 = s0["adj"]
                     xs = seg.gather_state_slices(
-                        new_states[mp.sources[0].entity],
+                        s0["table"],
                         batch[f"slice_src_{a0}"],
                         batch[f"slice_sort_perm_{a0}"],
                         batch[f"slice_sort_ids_{a0}"],
@@ -507,28 +533,28 @@ class GnnModel:
                         if (
                             sorted_coo
                             and edge_axis is None
-                            and all(op.kind == "direct" for op in mp.sources[0].ops)
+                            and s0["table"] is not None
                             and f"dense_inc_{a0}" in batch
                         ):
-                            # dense-incidence matmul: out = M @ states; the
+                            # dense-incidence matmul: out = M @ table; the
                             # dot's AD transpose is the whole backward
                             aggregated = seg.direct_segment_sum_dense(
-                                new_states[mp.sources[0].entity],
+                                s0["table"],
                                 batch[f"dense_inc_{a0}"],
                             )
                         elif (
                             sorted_coo
                             and edge_axis is None
-                            and all(op.kind == "direct" for op in mp.sources[0].ops)
+                            and s0["table"] is not None
                             and f"bwd_slice_dst_{a0}" in batch
                             and f"row_ptr_{a0}" in batch
                         ):
-                            # fused direct-assignation sum with bounded
+                            # fused source-local sum with bounded
                             # out-degree backward: a few small table gathers
                             # replace the edge-order cotangent gather and its
                             # segment-sum kernel call
                             aggregated = seg.direct_segment_sum_sliced(
-                                new_states[mp.sources[0].entity],
+                                s0["table"],
                                 batch[f"src_{a0}"],
                                 batch[f"dst_{a0}"],
                                 batch[f"edge_mask_{a0}"],
@@ -541,15 +567,15 @@ class GnnModel:
                         elif (
                             sorted_coo
                             and edge_axis is None
-                            and all(op.kind == "direct" for op in mp.sources[0].ops)
+                            and s0["table"] is not None
                             and f"dst_in_src_order_{a0}" in batch
                             and f"row_ptr_{a0}" in batch
                         ):
-                            # fused direct-assignation sum: backward uses
+                            # fused source-local sum: backward uses
                             # host-indexed gathers + sorted segment sums
                             # instead of scatter transposes
                             aggregated = seg.direct_segment_sum(
-                                new_states[mp.sources[0].entity],
+                                s0["table"],
                                 batch[f"src_{a0}"],
                                 batch[f"dst_{a0}"],
                                 batch[f"edge_mask_{a0}"],
@@ -577,14 +603,14 @@ class GnnModel:
                             agg.attention_softmax != "reference"
                             and sorted_coo
                             and edge_axis is None
-                            and all(op.kind == "direct" for op in mp.sources[0].ops)
+                            and per_source[0]["table"] is not None
                             and f"dense_inc_{a0}" in batch
                         ):
                             # dense GAT: per-node score scalars + one masked
                             # softmax-matmul over the incidence matrix — no
                             # per-edge gathers (seg.dense_attention_aggregate)
                             aggregated = seg.dense_attention_aggregate(
-                                new_states[mp.sources[0].entity],
+                                per_source[0]["table"],
                                 dst_states,
                                 batch[f"dense_inc_{a0}"],
                                 ap["kernel1"],
@@ -611,13 +637,13 @@ class GnnModel:
                         if (
                             sorted_coo
                             and edge_axis is None
-                            and all(op.kind == "direct" for op in mp.sources[0].ops)
+                            and per_source[0]["table"] is not None
                             and f"dense_inc_{a0}" in batch
                         ):
                             # dense GCN: one MXU matmul over the incidence
                             # matrix replaces the gather + segment sum
                             nsum = seg.direct_segment_sum_dense(
-                                new_states[mp.sources[0].entity] @ ap["kernel"],
+                                per_source[0]["table"] @ ap["kernel"],
                                 batch[f"dense_inc_{a0}"],
                             )
                         else:
