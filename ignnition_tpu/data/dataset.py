@@ -315,12 +315,18 @@ def iter_samples(
     seed: Optional[int] = None,
     repeat: bool = False,
     use_native: str = "auto",
+    readers: int = 1,
 ) -> Iterator[GraphSample]:
     """Walk `directory/*.tar.gz` and yield converted samples.
 
     use_native: "auto" uses the C++ loading core (native/loader.cpp) when its
     shared library is built, falling back to python per sample on format
     quirks; "never" forces pure python.
+
+    readers > 1 parses/converts that many ARCHIVES concurrently (the gunzip
+    and the native JSON parse release the GIL, so reader threads scale);
+    sample order across archives then becomes nondeterministic — use with
+    shuffle. Within an archive, order is preserved (or shuffled as asked).
 
     Per-sample conversion errors are reported and the offending archive is
     skipped, matching the reference generator's resilience
@@ -332,6 +338,12 @@ def iter_samples(
 
         if native_loader.available():
             native = native_loader
+
+    if readers > 1:
+        yield from _iter_samples_parallel(
+            directory, spec, shuffle, seed, repeat, readers, native
+        )
+        return
 
     rng = random.Random(seed)
     while True:
@@ -361,3 +373,85 @@ def iter_samples(
                 logging.getLogger("ignnition_tpu").error("skipping %s: %s", archive, e)
         if not repeat:
             return
+
+
+def _iter_samples_parallel(
+    directory: str,
+    spec: SampleSpec,
+    shuffle: bool,
+    seed: Optional[int],
+    repeat: bool,
+    readers: int,
+    native,
+) -> Iterator[GraphSample]:
+    """`readers` threads each gunzip+parse+convert whole archives (those
+    stages release the GIL: zlib, and the ctypes calls into
+    native/loader.cpp), feeding a bounded queue of per-archive sample lists.
+    Archive -> reader assignment is dynamic (work stealing via a task
+    queue); bounded queues cap memory at ~2 archives per reader."""
+    import logging
+    import queue as _queue
+    import threading
+
+    rng = random.Random(seed)
+    task_q: _queue.Queue = _queue.Queue(maxsize=readers * 2)
+    out_q: _queue.Queue = _queue.Queue(maxsize=readers * 2)
+
+    def feeder():
+        try:
+            while True:
+                archives = sorted(glob.glob(os.path.join(str(directory), "*.tar.gz")))
+                if not archives:
+                    raise DatasetError(
+                        f"no *.tar.gz archives found under '{directory}'"
+                    )
+                if shuffle:
+                    rng.shuffle(archives)
+                for a in archives:
+                    task_q.put(a)
+                if not repeat:
+                    break
+        except BaseException as e:  # surface to the consumer
+            out_q.put(e)
+        for _ in range(readers):
+            task_q.put(None)
+
+    def reader(worker_seed):
+        wrng = random.Random(worker_seed)
+        while True:
+            a = task_q.get()
+            if a is None:
+                break
+            try:
+                if native is not None:
+                    samples = native.convert_archive(_read_archive_bytes(a), spec)
+                else:
+                    samples = [
+                        convert_sample(r, spec) for r in _read_archive(a)
+                    ]
+                if shuffle:
+                    wrng.shuffle(samples)
+                out_q.put(samples)
+            except DatasetError as e:
+                logging.getLogger("ignnition_tpu").error("skipping %s: %s", a, e)
+            except BaseException as e:
+                out_q.put(e)
+                break
+        out_q.put(None)
+
+    threading.Thread(target=feeder, daemon=True).start()
+    for k in range(readers):
+        threading.Thread(
+            target=reader, args=(None if seed is None else seed + 1 + k,),
+            daemon=True,
+        ).start()
+
+    done = 0
+    while done < readers:
+        item = out_q.get()
+        if item is None:
+            done += 1
+            continue
+        if isinstance(item, BaseException):
+            raise item
+        yield from item

@@ -220,7 +220,8 @@ class Trainer:
         def groups():
             group = []
             for s in iter_samples(
-                data_dir, spec, shuffle=shuffle, seed=seed, repeat=repeat
+                data_dir, spec, shuffle=shuffle, seed=seed, repeat=repeat,
+                readers=max(1, workers),  # archive parse is the host bottleneck
             ):
                 group.append(s)
                 if len(group) == batch_size:

@@ -104,3 +104,29 @@ def test_qsize_interleave_batch():
     assert perm.shape == (1, t_out)
     # a permutation: every input slot appears exactly once
     assert sorted(perm[0].tolist()) == list(range(t_out))
+
+
+def test_parallel_readers_yield_same_sample_multiset(tmp_path):
+    d = str(tmp_path / "ds")
+    write_dataset(d, num_archives=3, samples_per_archive=4, seed=5)
+    ir = _ir()
+    spec = ds.SampleSpec.from_ir(ir)
+
+    def key(s):
+        return tuple(
+            sorted((k, v.shape, round(float(np.sum(v)), 4)) for k, v in s.features.items())
+        ) + (round(float(np.sum(s.label)), 4),)
+
+    serial = sorted(key(s) for s in ds.iter_samples(d, spec))
+    par = sorted(key(s) for s in ds.iter_samples(d, spec, readers=3))
+    assert par == serial
+    # shuffle + seed works with readers too (same multiset)
+    shuf = sorted(key(s) for s in ds.iter_samples(d, spec, readers=2, shuffle=True, seed=1))
+    assert shuf == serial
+
+
+def test_parallel_readers_missing_dir_raises(tmp_path):
+    ir = _ir()
+    spec = ds.SampleSpec.from_ir(ir)
+    with pytest.raises(ds.DatasetError):
+        list(ds.iter_samples(str(tmp_path / "nope"), spec, readers=2))
