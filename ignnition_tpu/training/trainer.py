@@ -179,9 +179,11 @@ class Trainer:
         (the reference prefetches 10 batches through tf.data,
         generate_model.py:188-198).
 
-        workers > 1 parallelizes batch construction (the numpy-heavy
-        index-companion precompute releases the GIL in its sorts); batch
-        ORDER then becomes nondeterministic — use with shuffle.
+        workers > 1 parallelizes archive reading (iter_samples readers —
+        the gunzip and native JSON parse release the GIL) AND batch
+        construction; batch order and composition then become
+        nondeterministic — use with shuffle. Every sample still appears
+        exactly once per epoch.
 
         cache=True materializes every built batch during the first epoch
         and cycles the cached list afterwards (reshuffled per epoch) —

@@ -205,12 +205,20 @@ def test_train_loop_with_accumulation(dataset, trainer):
 
 
 def test_multi_worker_batches_complete_and_valid(dataset, trainer):
-    """workers>1 yields every batch exactly once (unordered)."""
+    """workers>1 yields every SAMPLE exactly once; batch composition is
+    nondeterministic (parallel archive readers interleave samples)."""
     one = list(trainer.batches(dataset, batch_size=4, repeat=False))
     many = list(trainer.batches(dataset, batch_size=4, repeat=False, workers=3))
     assert len(many) == len(one)
-    key = lambda b: tuple(sorted((k, v.shape, float(np.sum(v))) for k, v in b[0].items()))
-    assert sorted(key(b) for b in many) == sorted(key(b) for b in one)
+
+    def labels(batches):
+        out = []
+        for arrays, _ in batches:
+            m = np.asarray(arrays["label_mask"]) > 0
+            out.extend(np.round(np.asarray(arrays["label"])[m], 5).tolist())
+        return sorted(out)
+
+    assert labels(many) == labels(one)
 
 
 def test_cached_batches_cycle_and_reshuffle(dataset, trainer):
