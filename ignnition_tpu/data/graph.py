@@ -331,14 +331,64 @@ def adjacency_aux_arrays(
         idx = starts + t
         slice_src[t, valid] = src[idx[valid]]
     out["slice_src"] = slice_src
+    out.update(slice_sort_companions(slice_src, n_src_pad))
+    return out
+
+
+def interleave_slice_companions(
+    mp, perm: np.ndarray, arrays: Mapping[str, np.ndarray], node_pad, max_len
+) -> Dict[str, np.ndarray]:
+    """Fast-interleave index companions (recurrent updates).
+
+    A slice map over the CONCATENATION of the source entities' node tables:
+    ilv_slice[t, d] = combined row of the message at interleaved position t
+    for destination d (entity-k padding row when that slot is empty — zero
+    after the builder's node-mask multiply). Lets the ordered-update
+    slice-gather machinery (ops.segment.gather_state_slices) replace the
+    per-edge scatter + take_along_axis permutation entirely
+    (model/builder.py fast_ilv). Composes the per-adjacency slice_src maps
+    with the per-graph interleave permutation host-side.
+    """
+    dst = mp.destination
+    block_lens = [max_len[s.adj_name] for s in mp.sources]
+    offsets = np.concatenate([[0], np.cumsum(block_lens)])[:-1]
+    gid = np.asarray(arrays[f"graph_id_{dst}"])  # [n_dst_pad]
+    rows = np.asarray(perm)[gid]  # [n_dst_pad, t_out] out-slot -> in-slot
+    ent_sizes = [node_pad[s.entity] for s in mp.sources]
+    ent_off = np.concatenate([[0], np.cumsum(ent_sizes)])[:-1]
+    n_comb = int(sum(ent_sizes))
+    comb = np.full(rows.shape, n_comb - 1, np.int64)
+    for src_s, off_in, e_off in zip(mp.sources, offsets, ent_off):
+        l_k = max_len[src_s.adj_name]
+        ss = np.asarray(arrays[f"slice_src_{src_s.adj_name}"])  # [l_k, n_dst]
+        sel = (rows >= off_in) & (rows < off_in + l_k)
+        d_idx, t_idx = np.nonzero(sel)
+        lt = rows[d_idx, t_idx] - off_in
+        comb[d_idx, t_idx] = e_off + ss[lt, d_idx]
+    comb_t = np.ascontiguousarray(comb.T).astype(np.int32)  # [t_out, n_dst]
+    cs = slice_sort_companions(comb_t, n_comb)
+    return {
+        "ilv_slice": comb_t,
+        "ilv_sort_perm": cs["slice_sort_perm"],
+        "ilv_sort_ids": cs["slice_sort_ids"],
+        "ilv_sort_row_ptr": cs["slice_sort_row_ptr"],
+    }
+
+
+def slice_sort_companions(
+    slice_src: np.ndarray, n_src_pad: int
+) -> Dict[str, np.ndarray]:
+    """Windowed sort companions of a [T, n_dst] slice-source table, for the
+    gather_state_slices backward (ops/segment.py _gss_bwd).
+
+    Windowed sort: XLA row gathers fall off a ~5x/row cliff once the
+    SOURCE array exceeds ~262k rows (measured on v5e). Slots are sorted
+    within ~equal windows of <= _SLICE_SORT_CHUNK slots; the backward then
+    gathers each window from a SLICED (small) source with LOCAL indices.
+    Window c's sources get segment ids offset by c*n_src_pad, so one
+    sorted segment sum over windows*n_src segments still works, followed
+    by a dense [windows, n_src, D] reduction."""
     flat = slice_src.ravel()
-    # windowed sort: XLA row gathers fall off a ~5x/row cliff once the
-    # SOURCE array exceeds ~262k rows (measured on v5e). Slots are sorted
-    # within ~equal windows of <= _SLICE_SORT_CHUNK slots; the backward then
-    # gathers each window from a SLICED (small) source with LOCAL indices.
-    # Window c's sources get segment ids offset by c*n_src_pad, so one
-    # sorted segment sum over windows*n_src segments still works, followed
-    # by a dense [windows, n_src, D] reduction.
     n_slots = flat.size
     n_chunks = max(1, -(-n_slots // _SLICE_SORT_CHUNK))
     w = -(-n_slots // n_chunks)  # equal-ish window size, derivable device-side
@@ -351,12 +401,13 @@ def adjacency_aux_arrays(
         ids.append(flat[lo:hi][p].astype(np.int64) + c * n_src_pad)
     sp = np.concatenate(perms)
     sorted_ids = np.concatenate(ids)
-    out["slice_sort_perm"] = sp
-    out["slice_sort_ids"] = sorted_ids.astype(np.int32)
-    out["slice_sort_row_ptr"] = np.searchsorted(
-        sorted_ids, np.arange(n_chunks * n_src_pad + 1)
-    ).astype(np.int32)
-    return out
+    return {
+        "slice_sort_perm": sp,
+        "slice_sort_ids": sorted_ids.astype(np.int32),
+        "slice_sort_row_ptr": np.searchsorted(
+            sorted_ids, np.arange(n_chunks * n_src_pad + 1)
+        ).astype(np.int32),
+    }
 
 
 def build_batch(
@@ -569,6 +620,12 @@ def build_batch(
             p[free_out] = free_in[: len(free_out)]
             perm[g] = p
         arrays[f"interleave_perm_{dst}"] = perm
+
+        if mp.update.kind == "recurrent":
+            for key, value in interleave_slice_companions(
+                mp, perm, arrays, node_pad, max_len
+            ).items():
+                arrays[f"{key}_{dst}"] = value
     # ---- labels ----
     label_pad = 0
     if training and any(s.label is not None for s in samples):
@@ -782,5 +839,18 @@ def repad_to_meta(
             p[p < 0] = np.asarray(free, np.int32)
             new[g] = p
         out[key] = new
+
+    # fast-interleave companions depend on node padding AND block layout:
+    # rebuild them from the repadded slice_src maps + remapped permutation
+    for mp in model_ir.all_passes():
+        if mp.aggregation.kind != "interleave":
+            continue
+        dst = mp.destination
+        if f"ilv_slice_{dst}" not in out:
+            continue
+        for key, value in interleave_slice_companions(
+            mp, out[f"interleave_perm_{dst}"], out, node_pad_t, ml_t
+        ).items():
+            out[f"{key}_{dst}"] = value
 
     return out

@@ -515,6 +515,47 @@ class GnnModel:
                     new_states[dst] = new_state * node_mask[:, None].astype(new_state.dtype)
                     continue
 
+                fast_ilv = (
+                    agg.kind == "interleave"
+                    and mp.update.kind == "recurrent"
+                    and edge_axis is None
+                    and f"ilv_slice_{dst}" in batch
+                    and all(s["table"] is not None for s in per_source)
+                    and len({int(s["table"].shape[1]) for s in per_source}) == 1
+                )
+                if fast_ilv:
+                    # source-local interleave: the scan's time slices gather
+                    # straight from the concatenated node-level message
+                    # tables through the host-precomputed combined slice map
+                    # — no per-edge scatter, no take_along_axis permutation.
+                    # Padding rows are zeroed so empty interleave slots
+                    # contribute exact zeros (matching the scatter path).
+                    tables = [
+                        s["table"]
+                        * batch[f"node_mask_{s['entity']}"][:, None].astype(
+                            s["table"].dtype
+                        )
+                        for s in per_source
+                    ]
+                    comb_tbl = jnp.concatenate(tables, 0)
+                    xs = seg.gather_state_slices(
+                        comb_tbl,
+                        batch[f"ilv_slice_{dst}"],
+                        batch[f"ilv_sort_perm_{dst}"],
+                        batch[f"ilv_sort_ids_{dst}"],
+                        batch[f"ilv_sort_row_ptr_{dst}"],
+                    )
+                    lens_total = sum(compute_lens()).astype(jnp.int32)
+                    node_mask = batch[f"node_mask_{dst}"]
+                    up = params["update"][f"{dst}_update"]
+                    new_state = RNN.masked_update_stacked(
+                        mp.update.rnn, up, xs, lens_total, dst_states
+                    )
+                    new_states[dst] = new_state * node_mask[:, None].astype(
+                        new_state.dtype
+                    )
+                    continue
+
                 if agg.kind in _VECTOR_AGGS:
                     comb_msg = jnp.concatenate([s["messages"] for s in per_source], 0)
                     comb_dst = jnp.concatenate([s["dst_idx"] for s in per_source], 0)
