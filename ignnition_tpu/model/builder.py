@@ -556,6 +556,55 @@ class GnnModel:
                     )
                     continue
 
+                concat_axis = agg.concat_axis if agg.kind == "concat" else 1
+                fast_concat = (
+                    agg.kind in ("concat", "ordered")
+                    and mp.update.kind == "recurrent"
+                    and edge_axis is None
+                    and all(s["table"] is not None for s in per_source)
+                    and all(f"slice_src_{s['adj']}" in batch for s in per_source)
+                    and (
+                        len({int(s["table"].shape[1]) for s in per_source}) == 1
+                        if concat_axis != 2
+                        else len({meta.maxlen(s["adj"]) for s in per_source}) == 1
+                    )
+                )
+                if fast_concat:
+                    # source-local concat (and multi-source ordered, which
+                    # flat-concats blocks too): per-source slice gathers from
+                    # the node-mask-zeroed message tables replace the
+                    # per-edge scatters; axis 1 stacks blocks on the time
+                    # axis, axis 2 on features.
+                    xs_blocks = [
+                        seg.gather_state_slices(
+                            s["table"]
+                            * batch[f"node_mask_{s['entity']}"][:, None].astype(
+                                s["table"].dtype
+                            ),
+                            batch[f"slice_src_{s['adj']}"],
+                            batch[f"slice_sort_perm_{s['adj']}"],
+                            batch[f"slice_sort_ids_{s['adj']}"],
+                            batch[f"slice_sort_row_ptr_{s['adj']}"],
+                        )
+                        for s in per_source
+                    ]
+                    lens = compute_lens()
+                    if concat_axis == 2:
+                        xs = jnp.concatenate(xs_blocks, axis=2)
+                        lens_total = lens[0].astype(jnp.int32)
+                    else:
+                        xs = jnp.concatenate(xs_blocks, axis=0)
+                        lens_total = sum(lens).astype(jnp.int32)
+                    node_mask = batch[f"node_mask_{dst}"]
+                    up = params["update"][f"{dst}_update"]
+                    new_state = RNN.masked_update_stacked(
+                        mp.update.rnn, up, xs, lens_total, dst_states
+                    )
+                    new_states[dst] = new_state * node_mask[:, None].astype(
+                        new_state.dtype
+                    )
+                    continue
+
                 if agg.kind in _VECTOR_AGGS:
                     comb_msg = jnp.concatenate([s["messages"] for s in per_source], 0)
                     comb_dst = jnp.concatenate([s["dst_idx"] for s in per_source], 0)

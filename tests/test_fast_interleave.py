@@ -144,3 +144,56 @@ def test_repad_rebuilds_interleave_companions():
         np.asarray(p1)[: real.sum()], np.asarray(p2)[: real.sum()],
         rtol=1e-4, atol=1e-5,
     )
+
+
+def _mk_agg(aggregation, seed=0, n=3):
+    """Q-size-shaped model with stage1's aggregation swapped."""
+    d = qsize_description(num_iterations=2, hs=HS)
+    d["message_passing"]["stages"][0]["stage_mp"][0]["aggregation"] = dict(
+        aggregation
+    )
+    model_ir = parse_model_description(d, DIMS)
+    model = build(model_ir)
+    params = model.init(jax.random.PRNGKey(seed))
+    spec = SampleSpec.from_ir(model_ir)
+    rng = np.random.default_rng(seed + 29)
+    samples = [convert_sample(s, spec) for s in _random_samples(rng, n)]
+    arrays, meta = build_batch(samples, model_ir)
+    return model, params, arrays, meta
+
+
+def _strip_slices(arrays):
+    """Remove the slice companions so the scatter fallback runs."""
+    return {
+        k: v
+        for k, v in arrays.items()
+        if not k.startswith(("ilv_", "slice_src_", "slice_sort_", "row_ptr_"))
+    }
+
+
+@pytest.mark.parametrize(
+    "agg",
+    [
+        {"type": "concat", "concat_axis": 1},
+        {"type": "concat", "concat_axis": 2},
+        {"type": "ordered"},  # multi-source ordered flat-concats blocks
+    ],
+    ids=["concat1", "concat2", "ordered-multi"],
+)
+def test_fast_concat_matches_scatter_fallback(agg):
+    model, params, arrays, meta = _mk_agg(agg)
+    fast = model.apply(params, arrays, meta)
+    slow = model.apply(params, _strip_slices(arrays), meta)
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(slow), rtol=1e-4, atol=1e-5
+    )
+
+    def loss(p, b):
+        return jnp.sum(model.apply(p, b, meta) ** 2)
+
+    g1 = jax.grad(loss)(params, arrays)
+    g2 = jax.grad(loss)(params, _strip_slices(arrays))
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
