@@ -175,16 +175,19 @@ def dense_agg_adjacencies(model_ir) -> Set[str]:
 
     out: Set[str] = set()
     for mp in model_ir.all_passes():
-        if len(mp.sources) != 1:
-            continue
         kind = mp.aggregation.kind
         if kind not in ("sum", "convolution", "attention"):
             continue
+        # sums decompose per source (builder _one_source_sum), so every
+        # source-local source of a multi-source sum is eligible; attention/
+        # convolution dense paths handle a single source only
+        if kind != "sum" and len(mp.sources) != 1:
+            continue
         if kind == "attention" and mp.aggregation.attention_softmax == "reference":
             continue
-        src = mp.sources[0]
-        if is_source_local(src.ops):
-            out.add(src.adj_name)
+        for src in mp.sources:
+            if is_source_local(src.ops):
+                out.add(src.adj_name)
     return out
 
 

@@ -618,66 +618,7 @@ class GnnModel:
                         else None
                     )
                     if agg.kind == "sum":
-                        s0 = per_source[0]
-                        a0 = s0["adj"]
-                        if (
-                            sorted_coo
-                            and edge_axis is None
-                            and s0["table"] is not None
-                            and f"dense_inc_{a0}" in batch
-                        ):
-                            # dense-incidence matmul: out = M @ table; the
-                            # dot's AD transpose is the whole backward
-                            aggregated = seg.direct_segment_sum_dense(
-                                s0["table"],
-                                batch[f"dense_inc_{a0}"],
-                            )
-                        elif (
-                            sorted_coo
-                            and edge_axis is None
-                            and s0["table"] is not None
-                            and f"bwd_slice_dst_{a0}" in batch
-                            and f"row_ptr_{a0}" in batch
-                        ):
-                            # fused source-local sum with bounded
-                            # out-degree backward: a few small table gathers
-                            # replace the edge-order cotangent gather and its
-                            # segment-sum kernel call
-                            aggregated = seg.direct_segment_sum_sliced(
-                                s0["table"],
-                                batch[f"src_{a0}"],
-                                batch[f"dst_{a0}"],
-                                batch[f"edge_mask_{a0}"],
-                                batch[f"row_ptr_{a0}"],
-                                batch[f"bwd_slice_dst_{a0}"],
-                                batch[f"out_lens_{a0}"],
-                                n_dst,
-                                meta.nodes(mp.sources[0].entity),
-                            )
-                        elif (
-                            sorted_coo
-                            and edge_axis is None
-                            and s0["table"] is not None
-                            and f"dst_in_src_order_{a0}" in batch
-                            and f"row_ptr_{a0}" in batch
-                        ):
-                            # fused source-local sum: backward uses
-                            # host-indexed gathers + sorted segment sums
-                            # instead of scatter transposes
-                            aggregated = seg.direct_segment_sum(
-                                s0["table"],
-                                batch[f"src_{a0}"],
-                                batch[f"dst_{a0}"],
-                                batch[f"edge_mask_{a0}"],
-                                batch[f"row_ptr_{a0}"],
-                                batch[f"dst_in_src_order_{a0}"],
-                                batch[f"emask_src_order_{a0}"],
-                                batch[f"src_sorted_{a0}"],
-                                batch[f"src_row_ptr_{a0}"],
-                                n_dst,
-                                meta.nodes(mp.sources[0].entity),
-                            )
-                        else:
+                        if edge_axis is not None:
                             aggregated = seg.segment_sum(
                                 comb_msg,
                                 comb_dst,
@@ -685,6 +626,15 @@ class GnnModel:
                                 indices_are_sorted=sorted_coo,
                                 axis_name=edge_axis,
                                 row_ptr=comb_rp,
+                            )
+                        else:
+                            # per-source decomposition: each source's edge
+                            # list is destination-sorted by construction, so
+                            # EVERY source rides its own best fused path
+                            # (multi-source sums included); the results add.
+                            aggregated = sum(
+                                self._one_source_sum(s, batch, meta, n_dst)
+                                for s in per_source
                             )
                     elif agg.kind == "attention":
                         ap = params["aggregation"][f"s{si}/m{mi}"]
@@ -807,6 +757,67 @@ class GnnModel:
                 new_states[dst] = new_state * node_mask[:, None].astype(new_state.dtype)
 
         return new_states
+
+    # ------------------------------------------------------------------
+
+    def _one_source_sum(self, s, batch, meta, n_dst):
+        """Best available sum lowering for ONE destination-sorted source
+        (single-device path). Preference order: dense-incidence matmul >
+        bounded out-degree sliced backward > fused host-indexed backward >
+        sorted segment sum over the per-edge messages (see PERF.md)."""
+        a0 = s["adj"]
+        if s["table"] is not None and f"dense_inc_{a0}" in batch:
+            # dense-incidence matmul: out = M @ table; the dot's AD
+            # transpose is the whole backward
+            return seg.direct_segment_sum_dense(
+                s["table"], batch[f"dense_inc_{a0}"]
+            )
+        if (
+            s["table"] is not None
+            and f"bwd_slice_dst_{a0}" in batch
+            and f"row_ptr_{a0}" in batch
+        ):
+            # fused source-local sum with bounded out-degree backward: a few
+            # small table gathers replace the edge-order cotangent gather
+            # and its segment-sum kernel call
+            return seg.direct_segment_sum_sliced(
+                s["table"],
+                batch[f"src_{a0}"],
+                batch[f"dst_{a0}"],
+                batch[f"edge_mask_{a0}"],
+                batch[f"row_ptr_{a0}"],
+                batch[f"bwd_slice_dst_{a0}"],
+                batch[f"out_lens_{a0}"],
+                n_dst,
+                meta.nodes(s["entity"]),
+            )
+        if (
+            s["table"] is not None
+            and f"dst_in_src_order_{a0}" in batch
+            and f"row_ptr_{a0}" in batch
+        ):
+            # fused source-local sum: backward uses host-indexed gathers +
+            # sorted segment sums instead of scatter transposes
+            return seg.direct_segment_sum(
+                s["table"],
+                batch[f"src_{a0}"],
+                batch[f"dst_{a0}"],
+                batch[f"edge_mask_{a0}"],
+                batch[f"row_ptr_{a0}"],
+                batch[f"dst_in_src_order_{a0}"],
+                batch[f"emask_src_order_{a0}"],
+                batch[f"src_sorted_{a0}"],
+                batch[f"src_row_ptr_{a0}"],
+                n_dst,
+                meta.nodes(s["entity"]),
+            )
+        return seg.segment_sum(
+            s["messages"],
+            s["dst_idx"],
+            n_dst,
+            indices_are_sorted=True,
+            row_ptr=batch.get(f"row_ptr_{a0}"),
+        )
 
     # ------------------------------------------------------------------
 

@@ -197,3 +197,33 @@ def test_fast_concat_matches_scatter_fallback(agg):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
         )
+
+
+def test_multi_source_sum_decomposition_matches_fallback():
+    """Multi-source sums decompose into per-source fused sums (dense
+    incidence per adjacency); parity vs the plain segment-sum fallback."""
+    model, params, arrays, meta = _mk_agg({"type": "sum"})
+    assert "dense_inc_adj_links_paths" in arrays
+    assert "dense_inc_adj_nodes_paths" in arrays
+    fast = model.apply(params, arrays, meta)
+    stripped = {
+        k: v
+        for k, v in arrays.items()
+        if not k.startswith(("dense_inc_", "bwd_slice_dst_", "out_lens_",
+                             "dst_in_src_order_", "emask_src_order_",
+                             "src_sorted_", "src_row_ptr_", "row_ptr_"))
+    }
+    slow = model.apply(params, stripped, meta)
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(slow), rtol=1e-4, atol=1e-5
+    )
+
+    def loss(p, b):
+        return jnp.sum(model.apply(p, b, meta) ** 2)
+
+    g1 = jax.grad(loss)(params, arrays)
+    g2 = jax.grad(loss)(params, stripped)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
