@@ -390,7 +390,17 @@ def slice_sort_companions(
     gathers each window from a SLICED (small) source with LOCAL indices.
     Window c's sources get segment ids offset by c*n_src_pad, so one
     sorted segment sum over windows*n_src segments still works, followed
-    by a dense [windows, n_src, D] reduction."""
+    by a dense [windows, n_src, D] reduction.
+
+    Runs natively (native/aux.cpp ign_slice_sort, O(slots) counting sorts,
+    GIL released) when the library is built; numpy argsort fallback below,
+    exact-parity tested (tests/test_native_aux.py)."""
+    if _USE_NATIVE_AUX:
+        from .native_loader import slice_sort_native
+
+        out = slice_sort_native(slice_src, n_src_pad, _SLICE_SORT_CHUNK)
+        if out is not None:
+            return out
     flat = slice_src.ravel()
     n_slots = flat.size
     n_chunks = max(1, -(-n_slots // _SLICE_SORT_CHUNK))

@@ -81,6 +81,12 @@ def _load():
     ]
     lib.ign_has_key.restype = ctypes.c_int
     lib.ign_has_key.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_char_p]
+    if hasattr(lib, "ign_slice_sort"):
+        I32P_ = ctypes.POINTER(ctypes.c_int32)
+        lib.ign_slice_sort.restype = ctypes.c_long
+        lib.ign_slice_sort.argtypes = (
+            [I32P_] + [ctypes.c_long] * 3 + [I32P_, I32P_, I32P_]
+        )
     if hasattr(lib, "ign_adjacency_aux"):
         I32P = ctypes.POINTER(ctypes.c_int32)
         F32P = ctypes.POINTER(ctypes.c_float)
@@ -316,3 +322,30 @@ def adjacency_aux_native(
     out["slice_sort_ids"] = slice_sort_ids
     out["slice_sort_row_ptr"] = slice_sort_row_ptr
     return out
+
+
+def slice_sort_native(slice_src: np.ndarray, n_src_pad: int, slice_chunk: int):
+    """Native windowed slice sort (native/aux.cpp ign_slice_sort).
+
+    Returns the slice_sort_{perm,ids,row_ptr} dict of
+    data.graph.slice_sort_companions, or None if the library is
+    unavailable / rejects the input."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ign_slice_sort"):
+        return None
+    flat = np.ascontiguousarray(slice_src, np.int32).reshape(-1)
+    n_slots = int(flat.size)
+    n_chunks = max(1, -(-n_slots // slice_chunk))
+    perm = np.empty(n_slots, np.int32)
+    ids = np.empty(n_slots, np.int32)
+    row_ptr = np.empty(n_chunks * int(n_src_pad) + 1, np.int32)
+    if lib.ign_slice_sort(
+        _iptr(flat), n_slots, int(n_src_pad), int(slice_chunk),
+        _iptr(perm), _iptr(ids), _iptr(row_ptr),
+    ) < 0:
+        return None
+    return {
+        "slice_sort_perm": perm,
+        "slice_sort_ids": ids,
+        "slice_sort_row_ptr": row_ptr,
+    }

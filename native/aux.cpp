@@ -33,9 +33,54 @@ void counting_argsort(const int32_t* keys, long n, long n_keys,
   }
 }
 
+// windowed slice sort shared by ign_adjacency_aux and ign_slice_sort (see
+// graph.py slice_sort_companions: the XLA big-source gather cliff).
+void slice_sort_impl(const int32_t* flat, long n_slots, long n_src_pad,
+                     long slice_chunk, int32_t* sort_perm, int32_t* sort_ids,
+                     int32_t* sort_row_ptr, std::vector<long>& scratch) {
+  const long n_chunks =
+      n_slots > 0 ? (n_slots + slice_chunk - 1) / slice_chunk : 1;
+  const long w = (n_slots + n_chunks - 1) / n_chunks;
+  for (long c = 0; c < n_chunks; ++c) {
+    const long lo = c * w;
+    const long hi = (lo + w < n_slots) ? lo + w : n_slots;
+    counting_argsort(flat + lo, hi - lo, n_src_pad, sort_perm + lo, scratch);
+    for (long i = lo; i < hi; ++i) {
+      sort_ids[i] =
+          static_cast<int32_t>(flat[lo + sort_perm[i]] + c * n_src_pad);
+    }
+  }
+  // global CSR over the sorted ids (ids ascend within AND across windows)
+  scratch.assign(static_cast<size_t>(n_chunks * n_src_pad) + 1, 0);
+  for (long i = 0; i < n_slots; ++i)
+    scratch[static_cast<size_t>(sort_ids[i]) + 1]++;
+  sort_row_ptr[0] = 0;
+  for (long k = 0; k < n_chunks * n_src_pad; ++k) {
+    scratch[k + 1] += scratch[k];
+    sort_row_ptr[k + 1] = static_cast<int32_t>(scratch[k + 1]);
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Standalone windowed slice sort of a flattened [T, n_dst] slice-source
+// table (values in [0, n_src_pad)); used for the interleave companions
+// (graph.py interleave_slice_companions). Buffers: sort_perm[n_slots],
+// sort_ids[n_slots], sort_row_ptr[n_chunks*n_src_pad + 1]. Returns 0, or
+// -1 on invalid input.
+long ign_slice_sort(const int32_t* flat, long n_slots, long n_src_pad,
+                    long slice_chunk, int32_t* sort_perm, int32_t* sort_ids,
+                    int32_t* sort_row_ptr) {
+  if (n_slots < 0 || n_src_pad <= 0 || slice_chunk <= 0) return -1;
+  for (long i = 0; i < n_slots; ++i)
+    if (flat[i] < 0 || flat[i] >= n_src_pad) return -1;
+  std::vector<long> scratch;
+  slice_sort_impl(flat, n_slots, n_src_pad, slice_chunk, sort_perm, sort_ids,
+                  sort_row_ptr, scratch);
+  return 0;
+}
 
 // Computes every index companion of one destination-sorted edge list.
 // Returns the number of bwd_slice rows filled (l_out; 0 = none emitted), or
@@ -144,29 +189,9 @@ long ign_adjacency_aux(const int32_t* src, const int32_t* dst,
   // ---- windowed slice sort (see graph.py: the XLA big-source gather
   // cliff). Windows of <= slice_chunk slots, stable-sorted by source;
   // window c's ids are offset by c * n_src_pad. ----
-  const long n_slots = max_len * n_dst_pad;
-  const long n_chunks = n_slots > 0 ? (n_slots + slice_chunk - 1) / slice_chunk
-                                    : 1;
-  const long w = (n_slots + n_chunks - 1) / n_chunks;
-  for (long c = 0; c < n_chunks; ++c) {
-    const long lo = c * w;
-    const long hi = (lo + w < n_slots) ? lo + w : n_slots;
-    counting_argsort(slice_src + lo, hi - lo, n_src_pad,
-                     slice_sort_perm + lo, scratch);
-    for (long i = lo; i < hi; ++i) {
-      slice_sort_ids[i] = static_cast<int32_t>(
-          slice_src[lo + slice_sort_perm[i]] + c * n_src_pad);
-    }
-  }
-  // global CSR over the sorted ids (ids ascend within AND across windows)
-  scratch.assign(static_cast<size_t>(n_chunks * n_src_pad) + 1, 0);
-  for (long i = 0; i < n_slots; ++i)
-    scratch[static_cast<size_t>(slice_sort_ids[i]) + 1]++;
-  slice_sort_row_ptr[0] = 0;
-  for (long k = 0; k < n_chunks * n_src_pad; ++k) {
-    scratch[k + 1] += scratch[k];
-    slice_sort_row_ptr[k + 1] = static_cast<int32_t>(scratch[k + 1]);
-  }
+  slice_sort_impl(slice_src, max_len * n_dst_pad, n_src_pad, slice_chunk,
+                  slice_sort_perm, slice_sort_ids, slice_sort_row_ptr,
+                  scratch);
 
   return l_out;
 }

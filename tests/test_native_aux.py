@@ -77,3 +77,24 @@ def test_multi_window_slice_sort_parity(monkeypatch):
     native, ref = _both(src, dst, emask, 40, 256, 8)
     for k in ref:
         np.testing.assert_array_equal(np.asarray(native[k]), np.asarray(ref[k]), err_msg=k)
+
+
+@pytest.mark.parametrize("chunk", [300, 10**9])
+def test_native_slice_sort_matches_numpy(chunk, monkeypatch):
+    rng = np.random.default_rng(21)
+    n_src_pad = 40
+    slice_src = rng.integers(0, n_src_pad, size=(16, 256)).astype(np.int32)
+    native = NL.slice_sort_native(slice_src, n_src_pad, chunk)
+    assert native is not None
+    monkeypatch.setattr(G, "_SLICE_SORT_CHUNK", chunk)
+    monkeypatch.setattr(G, "_USE_NATIVE_AUX", False)
+    ref = G.slice_sort_companions(slice_src, n_src_pad)
+    assert set(native) == set(ref)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(native[k]), np.asarray(ref[k]), err_msg=k)
+        assert native[k].dtype == ref[k].dtype, k
+
+
+def test_native_slice_sort_rejects_out_of_range():
+    bad = np.array([[0, 50]], np.int32)  # 50 >= n_src_pad
+    assert NL.slice_sort_native(bad, 40, 1000) is None
