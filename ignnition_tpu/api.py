@@ -84,13 +84,20 @@ class Runner:
             return None
         return normalizations().get(denorm)
 
-    def train_and_evaluate(self) -> TrainState:
+    def train_and_evaluate(self, run_dir: Optional[str] = None) -> TrainState:
+        """Train with periodic eval/checkpointing (reference
+        train_and_evaluate, framework_operations.py:108-166).
+
+        run_dir: checkpoint directory override. Default mints a fresh
+        timestamped `experiment_<now>` under model_dir (reference
+        f_o.py:123-124); pass a previous run's directory to RESUME it from
+        its latest checkpoint."""
         cfg = self.model.config
         state = self.trainer.init_state(jax.random.PRNGKey(self.seed))
         if cfg.warm_start_path:
             state = warm_start(state, cfg.warm_start_path)
             log.info("warm-started parameters from %s", cfg.warm_start_path)
-        run_dir = os.path.join(
+        run_dir = run_dir or os.path.join(
             cfg.model_dir,
             "experiment_" + datetime.datetime.now().strftime("%Y%m%d_%H%M%S"),
         )

@@ -328,6 +328,17 @@ class Trainer:
         manager = None
         if checkpoint_dir:
             manager = _make_checkpoint_manager(checkpoint_dir, keep_max)
+            # resume-within-run: continue from the latest checkpoint in this
+            # directory if one exists (the reference inherits this from
+            # tf.estimator's model_dir behavior, SURVEY.md §5.4)
+            restored = restore_checkpoint(manager, state)
+            if restored.step > state.step:
+                log.info(
+                    "resuming from checkpoint step %d in %s",
+                    restored.step,
+                    checkpoint_dir,
+                )
+                state = restored
         writer = None
         if tensorboard_dir:
             from tensorboardX import SummaryWriter

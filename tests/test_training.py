@@ -233,3 +233,29 @@ def test_cached_batches_cycle_and_reshuffle(dataset, trainer):
     assert sorted(key(b) for b in first) == sorted(key(b) for b in second)
     # covers the whole dataset (same number of batches as a plain epoch)
     assert len(first) == len(one_epoch)
+
+
+def test_resume_within_run_from_latest_checkpoint(dataset, trainer, tmp_path):
+    """A second train() over the same checkpoint_dir resumes at the saved
+    step instead of restarting (reference: estimator model_dir behavior)."""
+    ckpt = str(tmp_path / "run")
+    s1 = trainer.train(
+        trainer.init_state(), dataset, max_steps=4, batch_size=4,
+        checkpoint_dir=ckpt, save_secs=0,
+    )
+    assert s1.step == 4
+    # fresh state; the checkpoint should take over
+    s2 = trainer.train(
+        trainer.init_state(jax.random.PRNGKey(9)), dataset, max_steps=7,
+        batch_size=4, checkpoint_dir=ckpt, save_secs=10**9,
+    )
+    assert s2.step == 7
+    # a third call with max_steps already reached trains zero steps and
+    # returns the checkpointed state
+    s3 = trainer.train(
+        trainer.init_state(jax.random.PRNGKey(3)), dataset, max_steps=7,
+        batch_size=4, checkpoint_dir=ckpt, save_secs=10**9,
+    )
+    assert s3.step == 7
+    for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(s3.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
