@@ -127,6 +127,8 @@ class Runner:
             eval_secs=cfg.throttle_secs,
             mesh=self.mesh,
             accumulate_steps=cfg.accumulate_steps,
+            input_workers=cfg.input_workers,
+            cache_batches=cfg.cache_batches,
             tensorboard_dir=self.tensorboard_dir,
         )
 

@@ -44,6 +44,11 @@ class RunConfig:
     # extension over the reference: gradient accumulation — each optimizer
     # step consumes this many merged batches (Trainer.accum_train_step_fn)
     accumulate_steps: int = 1
+    # extensions over the reference: host input-pipeline knobs
+    # (Trainer.batches — parallel archive readers + batch builders, and
+    # first-epoch batch caching; see PERF.md 'Host input pipeline')
+    input_workers: int = 1
+    cache_batches: bool = False
 
     @staticmethod
     def from_ini(path: str = "./train_options.ini") -> "RunConfig":
@@ -75,10 +80,11 @@ class RunConfig:
             "throttle_secs",
             "log_every",
             "accumulate_steps",
+            "input_workers",
         ):
             if key in to:
                 setattr(cfg, key, int(to[key]))
-        for key in ("shuffle_train_samples", "shuffle_eval_samples"):
+        for key in ("shuffle_train_samples", "shuffle_eval_samples", "cache_batches"):
             if key in to:
                 setattr(cfg, key, _str_to_bool(to[key]))
         return cfg

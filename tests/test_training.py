@@ -259,3 +259,17 @@ def test_resume_within_run_from_latest_checkpoint(dataset, trainer, tmp_path):
     assert s3.step == 7
     for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(s3.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_runconfig_ini_pipeline_keys(tmp_path):
+    ini = tmp_path / "train_options.ini"
+    ini.write_text(
+        "[PATHS]\ntrain_dataset = /tmp/x\njson_path = m.json\n"
+        "[TRAINING_OPTIONS]\nbatch_size = 5\ninput_workers = 3\n"
+        "cache_batches = True\naccumulate_steps = 2\n"
+    )
+    cfg = RunConfig.from_ini(str(ini))
+    assert cfg.batch_size == 5
+    assert cfg.input_workers == 3
+    assert cfg.cache_batches is True
+    assert cfg.accumulate_steps == 2
