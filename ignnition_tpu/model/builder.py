@@ -387,11 +387,26 @@ class GnnModel:
                     else:
                         # NOTE: a custom-vjp gather whose transpose runs the
                         # sorted segment kernel exists (ops.segment.gather_rows),
-                        # but measured slower here: the permutation gather it
-                        # needs costs more than the scatter-add it saves. Plain
-                        # gathers keep XLA's fused transpose.
-                        gathered_src = new_states[src.entity][src_idx]
-                        gathered_dst = dst_states[dst_idx]
+                        # but measured slower for the SOURCE side: the
+                        # permutation gather it needs costs more than the
+                        # scatter-add it saves. The DESTINATION side needs no
+                        # permutation (edge lists are destination-sorted), so
+                        # its transpose is a sorted segment sum for free.
+                        if edge_axis is None:
+                            gathered_src = seg.gather_rows(
+                                new_states[src.entity],
+                                src_idx,
+                                perm=batch.get(f"src_perm_{a}"),
+                                row_ptr=batch.get(f"src_row_ptr_{a}"),
+                            )
+                        else:
+                            gathered_src = new_states[src.entity][src_idx]
+                        rp = batch.get(f"row_ptr_{a}")
+                        gathered_dst = (
+                            seg.gather_by_dst(dst_states, dst_idx, rp)
+                            if rp is not None and edge_axis is None
+                            else dst_states[dst_idx]
+                        )
 
                         messages = gathered_src
                         for oi, op in enumerate(src.ops):

@@ -207,11 +207,17 @@ def _gather_rows_csr(states, idx, perm, row_ptr):
 
 
 def _gr_fwd(states, idx, perm, row_ptr):
-    return states[idx], (states.shape[0], idx, perm, row_ptr)
+    return states[idx], (
+        states.shape[0],
+        jnp.zeros((), states.dtype),
+        idx,
+        perm,
+        row_ptr,
+    )
 
 
 def _gr_bwd(res, ct):
-    n, idx, perm, row_ptr = res
+    n, proto, idx, perm, row_ptr = res
     ct_states = segment_sum(
         ct[perm],
         idx[perm],
@@ -219,7 +225,7 @@ def _gr_bwd(res, ct):
         indices_are_sorted=True,
         row_ptr=row_ptr,
     )
-    return ct_states, None, None, None
+    return ct_states.astype(proto.dtype), None, None, None
 
 
 _gather_rows_csr.defvjp(_gr_fwd, _gr_bwd)
