@@ -870,7 +870,10 @@ class GnnModel:
         s_src = (t_src @ ap["attn_kernel"][:d1]).reshape(-1)
         s_dst_node = (dst_states @ ap["kernel2"]) @ ap["attn_kernel"][d1:]
         if sorted_single and edge_axis is None:
-            s_dst = seg.gather_by_dst(s_dst_node[:, 0], comb_dst, row_ptr)
+            # width-8 broadcast: a width-1 [N]->[E] row gather costs ~10x
+            # the 8-lane one on v5e (see seg.sorted_softmax_aggregate)
+            s_dst8 = jnp.broadcast_to(s_dst_node, (s_dst_node.shape[0], 8))
+            s_dst = seg.gather_by_dst(s_dst8, comb_dst, row_ptr)[:, 0]
         else:
             s_dst = s_dst_node[comb_dst, 0]
         scores = jax.nn.leaky_relu(s_src + s_dst, negative_slope=0.2)
@@ -902,7 +905,10 @@ class GnnModel:
             and edge_axis is None
             and per_source[0]["row_ptr"] is not None
         ):
-            weights = seg.sorted_segment_softmax(
+            # fused: normalize AFTER aggregation — no per-edge weights or
+            # width-1 gathers anywhere (seg.sorted_softmax_aggregate)
+            return seg.sorted_softmax_aggregate(
+                comb_msg,
                 scores,
                 comb_dst,
                 n_dst,

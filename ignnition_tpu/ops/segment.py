@@ -622,3 +622,39 @@ def sorted_segment_softmax(
     )[:, 0]
     denom = jnp.where(denom > 0, denom, 1.0)
     return exp / gather_by_dst(denom, dst_idx, row_ptr)
+
+
+def sorted_softmax_aggregate(
+    messages: jnp.ndarray,  # [E, D] destination-sorted per-edge messages
+    scores: jnp.ndarray,  # [E] destination-sorted edge scores
+    dst_idx: jnp.ndarray,
+    num_segments: int,
+    mask: jnp.ndarray,
+    row_ptr: jnp.ndarray,
+) -> jnp.ndarray:
+    """Fused masked softmax-weighted aggregation for sorted edge lists:
+    out[d] = sum_e exp(s_e) m_e / sum_e exp(s_e).
+
+    Normalizing AFTER aggregation (two sorted segment sums + a per-NODE
+    division) removes every width-1 per-edge op from both passes — the
+    per-edge attention weights are never materialized. Measured on v5e:
+    a width-1 [N]->[E] row gather costs 2.7 ms at 262k edges while the
+    width-8 one is ~free, so the denominator reduction runs 8 lanes wide
+    (its backward is then a width-8 gather + column sum). Same global-max
+    stabilization as sorted_segment_softmax."""
+    scores = scores.reshape(-1)
+    stab = jnp.max(jnp.where(mask > 0, scores, -jnp.inf))
+    stab = jnp.where(jnp.isfinite(stab), stab, 0.0)
+    exp = jnp.where(mask > 0, jnp.exp(scores - stab), 0.0)
+    num = segment_sum(
+        messages * exp[:, None].astype(messages.dtype),
+        dst_idx,
+        num_segments,
+        indices_are_sorted=True,
+        row_ptr=row_ptr,
+    )
+    exp8 = jnp.broadcast_to(exp[:, None], (exp.shape[0], 8))
+    den = segment_sum(
+        exp8, dst_idx, num_segments, indices_are_sorted=True, row_ptr=row_ptr
+    )[:, :1]
+    return num / jnp.where(den > 0, den, 1.0).astype(num.dtype)
