@@ -712,9 +712,9 @@ class GnnModel:
                                 row_ptr=comb_rp,
                             )
                         total = nsum + dst_states
-                        deg = seg.segment_count(
-                            comb_dst, n_dst, comb_mask, axis_name=edge_axis
-                        )
+                        # host-precomputed in-degrees when available (the
+                        # device-side count is a width-1 scatter)
+                        deg = sum(compute_lens())
                         normalized = total / jnp.maximum(deg, 1.0)[:, None]
                         aggregated = activation(agg.activation)(normalized)
                     final_len = None
