@@ -1,6 +1,9 @@
 """Effective-4x batch via gradient accumulation over four 1x microbatches
 vs the native 4x merged batch (PERF.md batch-size scaling)."""
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import os
 import time
 

@@ -1,6 +1,9 @@
 """A/B the attention aggregation: dense incidence path vs per-edge
 segment-softmax path, at flagship shapes (stage2 = attention)."""
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import copy
 import os
 import time

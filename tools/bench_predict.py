@@ -1,6 +1,9 @@
 """Inference (serving) throughput: forward-only jitted predict at flagship
 shapes, bf16 and f32."""
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import os
 import time
 

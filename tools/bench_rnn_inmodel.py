@@ -2,6 +2,9 @@
 step with the kernel on vs off (separate jitted function objects — jax
 caches traces per function object, so a shared one would not retrace)."""
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import os
 import time
 

@@ -1,5 +1,8 @@
 """Microbench: fused Pallas masked-GRU-scan vs lax.scan at flagship shapes."""
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import os
 import time
 
