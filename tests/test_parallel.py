@@ -167,3 +167,40 @@ def test_trainer_tensorboard_writes_events(tmp_path):
     )
     files = os.listdir(tb)
     assert any("tfevents" in f for f in files)
+
+
+def test_dp_qsize_interleave_matches_single_device():
+    """Data-parallel apply over a Q-size model: the fast-interleave
+    companions must survive stacking/repadding and match single-device."""
+    from helpers import qsize_description
+
+    ir = parser.parse_model_description(
+        qsize_description(num_iterations=2, hs=8),
+        {"link_capacity": 1, "traffic": 1, "queue_sizes": 1},
+    )
+    model = build(ir)
+    params = model.init(jax.random.PRNGKey(0))
+    spec = SampleSpec.from_ir(ir)
+    rng = np.random.default_rng(11)
+    pad = PaddingConfig(mode="multiple", multiple=64, min_size=64)
+    batches = [
+        build_batch(
+            [
+                convert_sample(
+                    make_routenet_sample(rng, 10, 8, 3, with_nodes=True), spec
+                )
+                for _ in range(2)
+            ],
+            ir,
+            pad,
+        )
+        for _ in range(4)
+    ]
+    stacked, meta = stack_batches(batches, ir)
+    assert "ilv_slice_path" in stacked  # companions survive stacking
+    mesh = make_mesh(data=4, model=1)
+    apply_fn = make_parallel_apply(model, meta, mesh)
+    preds = np.asarray(apply_fn(params, stacked))
+    for i, (arrays, m) in enumerate(batches):
+        want = np.asarray(model.apply(params, arrays, m))
+        np.testing.assert_allclose(preds[i], want, rtol=1e-4, atol=1e-5)
