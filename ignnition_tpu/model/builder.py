@@ -37,6 +37,14 @@ from ..ops import segment as seg
 from ..data.graph import BatchMeta, infer_readout_domains
 
 _SEQUENCE_AGGS = ("ordered", "concat", "interleave")
+
+# iteration-body rematerialization (IGNNITION_TPU_ITER_REMAT=always): OFF by
+# default — measured a net LOSS at flagship shapes for direct (243->199
+# Medges/s), AND for per-edge message models (22.3->26.0 ms): the backward's
+# recomputed gathers cost more than the residual-stack traffic they avoid
+# (PERF.md 'Failed experiments'). Kept as an opt-in for memory-constrained
+# giant batches, where halving scan residual memory matters more than speed.
+_ITER_REMAT = __import__("os").environ.get("IGNNITION_TPU_ITER_REMAT", "never")
 _VECTOR_AGGS = ("sum", "attention", "convolution")
 
 
@@ -315,9 +323,15 @@ class GnnModel:
                 tuple(st[k] for k in entity_order) if return_iteration_states else None
             )
 
+        body = one_iteration
+        if _ITER_REMAT == "always":
+            # memory-for-speed trade: halves scan residual memory, measured
+            # slower at flagship shapes for every model family (PERF.md)
+            body = jax.checkpoint(one_iteration)
+
         init_tuple = tuple(states[k] for k in entity_order)
         final_tuple, per_iter = jax.lax.scan(
-            one_iteration, init_tuple, None, length=model_ir.num_iterations
+            body, init_tuple, None, length=model_ir.num_iterations
         )
         states = dict(zip(entity_order, final_tuple))
 
