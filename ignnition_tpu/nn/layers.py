@@ -63,4 +63,4 @@ def orthogonal(rng, shape, dtype=jnp.float32):
     return jax.nn.initializers.orthogonal()(rng, shape, dtype)
 
 
-SUPPORTED_LAYERS = ("Dense", "Dropout", "Activation")
+SUPPORTED_LAYERS = ("Dense", "Dropout", "Activation", "LayerNormalization")

@@ -46,10 +46,22 @@ def init(
             dim = int(units)
         elif layer.kind in ("Dropout", "Activation"):
             params.append({})
+        elif layer.kind == "LayerNormalization":
+            # Keras defaults: axis=-1, epsilon=1e-3, center/scale True,
+            # gamma ones, beta zeros.
+            p = {}
+            if bool(layer.extra.get("scale", True)):
+                p["gamma"] = jnp.ones((dim,), jnp.float32)
+            if bool(layer.extra.get("center", True)):
+                p["beta"] = jnp.zeros((dim,), jnp.float32)
+            params.append(p)
         else:
             raise ValueError(
                 f"unsupported layer type '{layer.kind}' in network '{spec.name}'; "
-                f"supported: Dense, Dropout, Activation"
+                f"supported: Dense, Dropout, Activation, LayerNormalization "
+                f"(BatchNormalization is intentionally unsupported: the "
+                f"reference's manual-gradient estimator path never runs its "
+                f"moving-average update ops, see docs/dsl.md)"
             )
     return {"layers": tuple(params)}, dim
 
@@ -77,6 +89,15 @@ def apply(
                 rng, key = jax.random.split(rng)
                 keep = jax.random.bernoulli(key, 1.0 - layer.rate, x.shape)
                 x = jnp.where(keep, x / (1.0 - layer.rate), 0.0)
+        elif layer.kind == "LayerNormalization":
+            eps = float(layer.extra.get("epsilon", 1e-3))
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+            x = (x - mean) * jax.lax.rsqrt(var + eps)
+            if "gamma" in p:
+                x = x * p["gamma"]
+            if "beta" in p:
+                x = x + p["beta"]
     return x
 
 

@@ -78,3 +78,44 @@ def test_lstm_masked_update_runs():
     out = rnn.masked_update(spec, params, seqs, jnp.asarray([3, 1]), jnp.zeros((2, 4)))
     assert out.shape == (2, 4)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_layernorm_matches_numpy():
+    spec = ir.MLPSpec(
+        name="m",
+        layers=(
+            ir.LayerSpec(kind="Dense", units=8, activation=None),
+            ir.LayerSpec(kind="LayerNormalization"),
+        ),
+    )
+    params, out = mlp.init(jax.random.PRNGKey(3), spec, in_dim=5)
+    assert out == 8
+    ln = params["layers"][1]
+    assert ln["gamma"].shape == (8,) and ln["beta"].shape == (8,)
+    x = np.random.default_rng(3).normal(size=(4, 5)).astype(np.float32)
+    y = np.asarray(mlp.apply(spec, params, jnp.asarray(x)))
+    h = x @ np.asarray(params["layers"][0]["kernel"]) + np.asarray(
+        params["layers"][0]["bias"]
+    )
+    mean = h.mean(-1, keepdims=True)
+    var = ((h - mean) ** 2).mean(-1, keepdims=True)
+    want = (h - mean) / np.sqrt(var + 1e-3)  # keras default epsilon
+    np.testing.assert_allclose(y, want, rtol=1e-5, atol=1e-5)
+
+
+def test_layernorm_scale_center_flags():
+    spec = ir.MLPSpec(
+        name="m",
+        layers=(
+            ir.LayerSpec(
+                kind="LayerNormalization",
+                extra={"scale": False, "center": False, "epsilon": 1e-5},
+            ),
+        ),
+    )
+    params, out = mlp.init(jax.random.PRNGKey(4), spec, in_dim=6)
+    assert out == 6 and params["layers"][0] == {}
+    x = np.random.default_rng(4).normal(size=(3, 6)).astype(np.float32)
+    y = np.asarray(mlp.apply(spec, params, jnp.asarray(x)))
+    np.testing.assert_allclose(y.mean(-1), 0.0, atol=1e-5)
+    np.testing.assert_allclose(y.std(-1), 1.0, atol=1e-3)
