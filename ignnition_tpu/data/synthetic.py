@@ -128,3 +128,87 @@ def write_dataset(
             info = tarfile.TarInfo("data.json")
             info.size = len(payload)
             tar.addfile(info, BytesIO(payload))
+
+
+# --------------------------------------------------------------------------
+# Homogeneous graph-property dataset (GAT/GCN-family example)
+# --------------------------------------------------------------------------
+
+
+def make_graphprop_sample(
+    rng: np.random.Generator,
+    n_nodes: int = 24,
+    out_degree: int = 3,
+    diffusion_steps: int = 3,
+) -> dict:
+    """One homogeneous-graph sample with a graph-level label.
+
+    A single `node` entity with per-node injection `x` and capacity `cap`;
+    a symmetric random `adj_nodes_nodes` adjacency; and a graph-level label
+    `y` produced by a `diffusion_steps`-step nonlinear mean-diffusion of `x`
+    over the graph, read out as a capacity-weighted mean:
+
+        h_0     = x
+        h_{k+1} = tanh(mean over in-neighbors of h_k + 0.5 * x)
+        y       = mean(h_K * cap)
+
+    A K-iteration GNN whose aggregation is (near-)mean — attention with
+    learned-uniform weights, or degree-normalized convolution — can represent
+    the label exactly, so training has real signal.
+    """
+    entities = {f"n{i}": "node" for i in range(n_nodes)}
+    x = rng.normal(0.0, 1.0, n_nodes)
+    cap = rng.uniform(0.5, 2.0, n_nodes)
+
+    neighbors: List[set] = [set() for _ in range(n_nodes)]
+    for i in range(n_nodes):
+        for j in rng.choice(n_nodes, size=out_degree, replace=False):
+            j = int(j)
+            if j != i:
+                neighbors[i].add(j)
+                neighbors[j].add(i)  # symmetric
+    # every node keeps at least one neighbor so the mean is well-defined
+    for i in range(n_nodes):
+        if not neighbors[i]:
+            j = (i + 1) % n_nodes
+            neighbors[i].add(j)
+            neighbors[j].add(i)
+
+    h = x.copy()
+    for _ in range(diffusion_steps):
+        agg = np.array([np.mean(h[list(neighbors[d])]) for d in range(n_nodes)])
+        h = np.tanh(agg + 0.5 * x)
+    y = float(np.mean(h * cap))
+
+    adj_nodes_nodes = {
+        f"n{d}": [f"n{s}" for s in sorted(neighbors[d])] for d in range(n_nodes)
+    }
+    return {
+        "entities": entities,
+        "x": x.tolist(),
+        "cap": cap.tolist(),
+        "y": [y],
+        "adj_nodes_nodes": adj_nodes_nodes,
+    }
+
+
+def write_graphprop_dataset(
+    directory: str,
+    num_archives: int = 2,
+    samples_per_archive: int = 10,
+    seed: int = 0,
+    **sample_kw,
+) -> None:
+    os.makedirs(directory, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for a in range(num_archives):
+        samples = [
+            make_graphprop_sample(rng, **sample_kw)
+            for _ in range(samples_per_archive)
+        ]
+        payload = json.dumps(samples).encode()
+        path = os.path.join(directory, f"sample_{a}.tar.gz")
+        with tarfile.open(path, "w:gz") as tar:
+            info = tarfile.TarInfo("data.json")
+            info.size = len(payload)
+            tar.addfile(info, BytesIO(payload))
