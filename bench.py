@@ -136,6 +136,7 @@ _AUX_PREFIXES = (
     "slice_src_",
     "slice_sort_",
     "dense_inc_",
+    "inc_blocks_",
     "bwd_slice_dst_",
     "out_lens_",
 )

@@ -79,6 +79,9 @@ class BatchMeta:
     # adj name -> rows of the bounded out-degree backward slice map
     # (0 = not emitted / out-degree unbounded)
     bwd_len: Tuple[Tuple[str, int], ...] = ()
+    # adj name -> (G, bd, bs) block-diagonal incidence shape (uniform merged
+    # batches only; see block_sum_adjacencies)
+    inc_blocks: Tuple[Tuple[str, Tuple[int, int, int]], ...] = ()
 
     def nodes(self, entity: str) -> int:
         return dict(self.node_pad)[entity]
@@ -191,9 +194,36 @@ def dense_agg_adjacencies(model_ir) -> Set[str]:
     return out
 
 
+def block_sum_adjacencies(model_ir) -> Set[str]:
+    """Adjacencies eligible for the BLOCK-DIAGONAL batched-matmul sum path.
+
+    The dense incidence matrix of a merged batch of G graphs is
+    block-diagonal by graph, so for G equal-sized graphs `M @ states` is a
+    [G, bd, bs] batched matmul over per-graph blocks — G x fewer HBM bytes
+    than the [G*bd, G*bs] dense matrix, restoring linear throughput scaling
+    with batch size (the dense matrix grows quadratically and falls off its
+    cap; see PERF.md). Eligibility matches the dense set — sum, convolution,
+    and (non-reference-quirk) attention all have block-form lowerings
+    (ops/segment.py direct_segment_sum_blocks /
+    dense_attention_aggregate_blocks)."""
+    return dense_agg_adjacencies(model_ir)
+
+
 
 # env escape hatch: IGNNITION_TPU_NATIVE_AUX=0 forces the numpy path
 _USE_NATIVE_AUX = os.environ.get("IGNNITION_TPU_NATIVE_AUX", "1") != "0"
+
+
+def _rle_multiplicities_into(flat, src, dst, n_src):
+    """Run-length encode sorted (dst, src) pair keys straight into a bf16
+    buffer — np.add.at into f32 + astype costs ~5x more host time."""
+    if not len(dst):
+        return
+    keys = dst.astype(np.int64) * n_src + src
+    keys.sort()
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1])
+    cnts = np.diff(np.concatenate([starts, [len(keys)]]))
+    flat[keys[starts]] = cnts.astype(np.float32)
 
 
 def _append_dense_inc(out, src, dst, e_real, n_src_pad, n_dst_pad, want):
@@ -207,15 +237,8 @@ def _append_dense_inc(out, src, dst, e_real, n_src_pad, n_dst_pad, want):
         and len(dst) >= _DENSE_INC_MIN_EDGES
     ):
         return
-    # run-length encode sorted (dst, src) pair keys straight into a bf16
-    # buffer — np.add.at into f32 + astype costs ~5x more host time
     flat = np.zeros(n_dst_pad * n_src_pad, ml_dtypes.bfloat16)
-    if e_real:
-        keys = dst[:e_real].astype(np.int64) * n_src_pad + src[:e_real]
-        keys.sort()
-        starts = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1])
-        cnts = np.diff(np.concatenate([starts, [e_real]]))
-        flat[keys[starts]] = cnts.astype(np.float32)
+    _rle_multiplicities_into(flat, src[:e_real], dst[:e_real], n_src_pad)
     out["dense_inc"] = flat.reshape(n_dst_pad, n_src_pad)
 
 
@@ -532,6 +555,8 @@ def build_batch(
         for a in group:
             max_len[a] = common
     dense_adjs = dense_agg_adjacencies(model_ir)
+    block_adjs = block_sum_adjacencies(model_ir)
+    inc_blocks_meta: Dict[str, Tuple[int, int, int]] = {}
     bwd_len_map: Dict[str, int] = {}
     for a in adj_info:
         e_pad = edge_pad[a.name]
@@ -578,6 +603,37 @@ def build_batch(
         arrays[f"edge_mask_{a.name}"] = emask
         if params is not None:
             arrays[f"params_{a.name}"] = params
+        # block-diagonal incidence for uniform merged batches: graph g's
+        # real src rows occupy [g*bs, (g+1)*bs) in the merged table (offsets
+        # are cumsums of uniform real counts), so the batched matmul needs no
+        # gathers — pure reshapes around one [G, bd, bs] dot_general
+        if a.name in block_adjs and num_graphs >= 2:
+            ns_list = [s.num_nodes.get(a.src, 0) for s in samples]
+            nd_list = [s.num_nodes.get(a.dst, 0) for s in samples]
+            bs_, bd_ = ns_list[0], nd_list[0]
+            if (
+                bs_ > 0
+                and bd_ > 0
+                and all(v == bs_ for v in ns_list)
+                and all(v == bd_ for v in nd_list)
+                and num_graphs * bd_ * bs_ <= _DENSE_INC_MAX_ENTRIES
+                and len(dst) >= _DENSE_INC_MIN_EDGES
+            ):
+                blocks = np.zeros(
+                    (num_graphs, bd_ * bs_), ml_dtypes.bfloat16
+                )
+                for g, s in enumerate(samples):
+                    arrs = s.adjacencies[a.name]
+                    _rle_multiplicities_into(
+                        blocks[g],
+                        arrs.src_idx.astype(np.int64),
+                        arrs.dst_idx.astype(np.int64),
+                        bs_,
+                    )
+                arrays[f"inc_blocks_{a.name}"] = blocks.reshape(
+                    num_graphs, bd_, bs_
+                )
+                inc_blocks_meta[a.name] = (num_graphs, bd_, bs_)
         # host-precomputed index companions (CSR pointers, in-degrees,
         # source-sorted views, per-(t,dst) slice sources) — on-device
         # equivalents cost scatters/searchsorted every iteration
@@ -588,7 +644,8 @@ def build_batch(
             node_pad[a.src],
             node_pad[a.dst],
             max_len[a.name],
-            want_dense_inc=a.name in dense_adjs,
+            want_dense_inc=a.name in dense_adjs
+            and a.name not in inc_blocks_meta,
         )
         for key, value in aux.items():
             arrays[f"{key}_{a.name}"] = value
@@ -700,6 +757,7 @@ def build_batch(
         interleave_len=tuple(sorted(interleave_len.items())),
         label_pad=label_pad,
         bwd_len=tuple(sorted(bwd_len_map.items())),
+        inc_blocks=tuple(sorted(inc_blocks_meta.items())),
     )
     return arrays, meta
 
@@ -732,6 +790,14 @@ def merge_metas(metas: Sequence[BatchMeta]) -> BatchMeta:
                 bwd.get(k, v), v
             )
 
+    # inc_blocks: block shapes depend on per-graph REAL counts, so stacked
+    # device batches can only share the block path when every batch emitted
+    # identical shapes — otherwise drop (repad removes the arrays)
+    ib: Dict[str, Tuple[int, int, int]] = dict(metas[0].inc_blocks)
+    for m in metas[1:]:
+        d = dict(m.inc_blocks)
+        ib = {k: v for k, v in ib.items() if d.get(k) == v}
+
     return BatchMeta(
         num_graphs=next(iter(ng)),
         node_pad=_max("node_pad"),
@@ -740,6 +806,7 @@ def merge_metas(metas: Sequence[BatchMeta]) -> BatchMeta:
         interleave_len=_max("interleave_len"),
         label_pad=max(m.label_pad for m in metas),
         bwd_len=tuple(sorted(bwd.items())),
+        inc_blocks=tuple(sorted(ib.items())),
     )
 
 
@@ -805,6 +872,10 @@ def repad_to_meta(
                 f"dense_inc_{name}",
             ):
                 out.pop(stale, None)
+            # blocks only cover REAL rows, which trailing padding growth
+            # never touches — keep them iff the target meta kept them
+            if name not in dict(target.inc_blocks):
+                out.pop(f"inc_blocks_{name}", None)
             for key, value in adjacency_aux_arrays(
                 out[f"src_{name}"],
                 out[f"dst_{name}"],
@@ -813,7 +884,8 @@ def repad_to_meta(
                 node_pad_t[a.dst],
                 dict(target.max_len)[name],
                 bwd_len=dict(target.bwd_len).get(name, 0),
-                want_dense_inc=name in dense_agg_adjacencies(model_ir),
+                want_dense_inc=name in dense_agg_adjacencies(model_ir)
+                and name not in dict(target.inc_blocks),
             ).items():
                 out[f"{key}_{name}"] = value
 

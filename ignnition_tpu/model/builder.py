@@ -673,6 +673,25 @@ class GnnModel:
                             and sorted_coo
                             and edge_axis is None
                             and per_source[0]["table"] is not None
+                            and f"inc_blocks_{a0}" in batch
+                        ):
+                            # block-diagonal dense GAT (uniform merged
+                            # batches): within-block softmax == merged dense
+                            # softmax, G x fewer HBM bytes
+                            aggregated = seg.dense_attention_aggregate_blocks(
+                                per_source[0]["table"],
+                                dst_states,
+                                batch[f"inc_blocks_{a0}"],
+                                ap["kernel1"],
+                                ap["kernel2"],
+                                ap["attn_kernel"],
+                                n_dst,
+                            )
+                        elif (
+                            agg.attention_softmax != "reference"
+                            and sorted_coo
+                            and edge_axis is None
+                            and per_source[0]["table"] is not None
                             and f"dense_inc_{a0}" in batch
                         ):
                             # dense GAT: per-node score scalars + one masked
@@ -704,6 +723,18 @@ class GnnModel:
                         ap = params["aggregation"][f"s{si}/m{mi}"]
                         a0 = per_source[0]["adj"]
                         if (
+                            sorted_coo
+                            and edge_axis is None
+                            and per_source[0]["table"] is not None
+                            and f"inc_blocks_{a0}" in batch
+                        ):
+                            # block-diagonal dense GCN (uniform merged batches)
+                            nsum = seg.direct_segment_sum_blocks(
+                                per_source[0]["table"] @ ap["kernel"],
+                                batch[f"inc_blocks_{a0}"],
+                                n_dst,
+                            )
+                        elif (
                             sorted_coo
                             and edge_axis is None
                             and per_source[0]["table"] is not None
@@ -795,6 +826,12 @@ class GnnModel:
         bounded out-degree sliced backward > fused host-indexed backward >
         sorted segment sum over the per-edge messages (see PERF.md)."""
         a0 = s["adj"]
+        if s["table"] is not None and f"inc_blocks_{a0}" in batch:
+            # block-diagonal batched matmul (uniform merged batches): reads
+            # G x fewer HBM bytes than the dense merged matrix
+            return seg.direct_segment_sum_blocks(
+                s["table"], batch[f"inc_blocks_{a0}"], n_dst
+            )
         if s["table"] is not None and f"dense_inc_{a0}" in batch:
             # dense-incidence matmul: out = M @ table; the dot's AD
             # transpose is the whole backward

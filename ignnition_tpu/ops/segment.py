@@ -474,6 +474,43 @@ def direct_segment_sum_dense(src_states, dense_inc):
     return out.astype(src_states.dtype)
 
 
+def direct_segment_sum_blocks(src_states, blocks, n_dst_pad):
+    """Block-diagonal batched form of `direct_segment_sum_dense` for merged
+    batches of G equal-sized graphs.
+
+    The merged batch's incidence matrix is block-diagonal by graph; for
+    uniform graphs graph g's real rows occupy [g*bs, (g+1)*bs) of the merged
+    node table, so the whole aggregation is reshapes around ONE batched
+    matmul over [G, bd, bs] per-graph blocks — G x fewer HBM bytes than the
+    [G*bd, G*bs] dense matrix (whose off-diagonal is structurally zero),
+    restoring linear throughput scaling with batch size. AD's dot transpose
+    (d_states = blocks^T @ d_out, batched) is the whole backward; padded
+    tail rows fall out of the slice/pad and get exactly zero
+    output/cotangent, matching the dense path.
+    """
+    g, bd, bs = blocks.shape
+    d = src_states.shape[-1]
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if src_states.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    x = src_states[: g * bs].reshape(g, bs, d)
+    out = jax.lax.dot_general(
+        blocks.astype(src_states.dtype),
+        x,
+        (((2,), (1,)), ((0,), (0,))),
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    out = out.reshape(g * bd, d).astype(src_states.dtype)
+    if n_dst_pad > g * bd:
+        out = jnp.concatenate(
+            [out, jnp.zeros((n_dst_pad - g * bd, d), out.dtype)], axis=0
+        )
+    return out
+
+
 def _dot(a, b, dims, dtype):
     prec = (
         jax.lax.Precision.HIGHEST
@@ -542,6 +579,106 @@ def _dmsm_bwd(res, ct):
 
 
 _dense_masked_softmax_matmul.defvjp(_dmsm_fwd, _dmsm_bwd)
+
+
+def _bdot(a, b, dims, dtype):
+    """Batched (leading-axis) dot_general with the dense-path precision
+    policy."""
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    return jax.lax.dot_general(
+        a,
+        b,
+        (dims, ((0,), (0,))),
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+
+
+@jax.custom_vjp
+def _blocks_masked_softmax_matmul(ssrc, sdst, msg_table, blocks):
+    """Block-diagonal form of `_dense_masked_softmax_matmul` for uniform
+    merged batches: per-graph [bd, bs] attention softmax + matmul, batched
+    over G graphs. ssrc is [G*bs], sdst [G*bd], msg_table [G*bs, D] (callers
+    slice the real rows; cross-graph support is structurally absent, so
+    within-block softmax equals the merged dense softmax). Same custom VJP
+    rationale: the [G, bd, bs] attention tensor is recomputed in the
+    backward instead of stacked per MP iteration."""
+    out, _ = _bmsm_compute(ssrc, sdst, msg_table, blocks)
+    return out
+
+
+def _bmsm_compute(ssrc, sdst, msg_table, blocks):
+    g, bd, bs = blocks.shape
+    dtype = msg_table.dtype
+    m = blocks.astype(jnp.float32)
+    e = jax.nn.leaky_relu(
+        sdst.reshape(g, bd, 1).astype(jnp.float32)
+        + ssrc.reshape(g, 1, bs).astype(jnp.float32),
+        negative_slope=0.2,
+    )
+    neg = jnp.float32(-1e30)
+    row_max = jnp.max(jnp.where(m > 0, e, neg), axis=2)
+    row_max = jnp.maximum(row_max, neg * 0.5)  # empty rows: any finite shift
+    z = jnp.where(m > 0, jnp.exp(e - row_max[:, :, None]), 0.0) * m
+    denom = jnp.sum(z, axis=2)
+    a = (z / jnp.maximum(denom, 1e-30)[:, :, None]).astype(dtype)
+    x = msg_table.reshape(g, bs, -1)
+    out = _bdot(a, x, ((2,), (1,)), dtype)  # [g, bd, D]
+    return out.reshape(g * bd, -1).astype(dtype), (a, e)
+
+
+def _bmsm_fwd(ssrc, sdst, msg_table, blocks):
+    out, _ = _bmsm_compute(ssrc, sdst, msg_table, blocks)
+    return out, (ssrc, sdst, msg_table, blocks)
+
+
+def _bmsm_bwd(res, ct):
+    ssrc, sdst, msg_table, blocks = res
+    g, bd, bs = blocks.shape
+    dtype = msg_table.dtype
+    _, (a, e) = _bmsm_compute(ssrc, sdst, msg_table, blocks)
+    ct3 = ct.reshape(g, bd, -1).astype(dtype)
+    x = msg_table.reshape(g, bs, -1)
+    d_table = _bdot(a, ct3, ((1,), (1,)), dtype)  # [g, bs, D]
+    d_table = d_table.reshape(g * bs, -1).astype(msg_table.dtype)
+    da = _bdot(ct3, x, ((2,), (2,)), dtype)  # [g, bd, bs] f32
+    af = a.astype(jnp.float32)
+    s_row = jnp.sum(da * af, axis=2, keepdims=True)
+    de = af * (da - s_row)
+    d_pre = de * jnp.where(e > 0, 1.0, 0.2)
+    d_sdst = jnp.sum(d_pre, axis=2).reshape(g * bd).astype(sdst.dtype)
+    d_ssrc = jnp.sum(d_pre, axis=1).reshape(g * bs).astype(ssrc.dtype)
+    return d_ssrc, d_sdst, d_table, None
+
+
+_blocks_masked_softmax_matmul.defvjp(_bmsm_fwd, _bmsm_bwd)
+
+
+def dense_attention_aggregate_blocks(
+    msg_table, dst_states, blocks, kernel1, kernel2, attn_kernel, n_dst_pad
+):
+    """Block-diagonal form of `dense_attention_aggregate` for uniform merged
+    batches — G x fewer HBM bytes than the merged [G*bd, G*bs] matrix."""
+    g, bd, bs = blocks.shape
+    d1 = kernel1.shape[1]
+    a1 = attn_kernel[:d1]
+    a2 = attn_kernel[d1:]
+    dtype = msg_table.dtype
+    ssrc = _dot(msg_table @ kernel1, a1, ((1,), (0,)), dtype)[:, 0]
+    sdst = _dot(dst_states @ kernel2, a2, ((1,), (0,)), dtype)[:, 0]
+    out = _blocks_masked_softmax_matmul(
+        ssrc[: g * bs], sdst[: g * bd], msg_table[: g * bs], blocks
+    )
+    if n_dst_pad > g * bd:
+        out = jnp.concatenate(
+            [out, jnp.zeros((n_dst_pad - g * bd, out.shape[-1]), out.dtype)],
+            axis=0,
+        )
+    return out
 
 
 def dense_attention_aggregate(

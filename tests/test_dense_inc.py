@@ -65,16 +65,24 @@ def test_build_batch_emits_dense_inc_only_for_direct_sum():
     import __graft_entry__ as ge
 
     model_ir = ge._flagship(num_iterations=2, hs=8)
+    # multi-graph uniform batch: the block-diagonal form supplants the dense
+    # merged matrix for the direct-sum stage2 (path -> link)
     arrays, meta = ge._batch(model_ir, n_links=12, n_paths=8, max_path_len=4)
-    # stage2 (path -> link) is a direct sum: dense matrix emitted
-    assert "dense_inc_adj_paths_links" in arrays
-    m = arrays["dense_inc_adj_paths_links"]
-    assert m.shape == (
-        dict(meta.node_pad)["link"],
-        dict(meta.node_pad)["path"],
+    assert "inc_blocks_adj_paths_links" in arrays
+    assert "dense_inc_adj_paths_links" not in arrays
+    # single-graph batch: dense matrix emitted
+    arrays1, meta1 = ge._batch(
+        model_ir, n_links=12, n_paths=8, max_path_len=4, n_graphs=1
     )
-    # stage1 (link -> path) is ordered: no dense matrix
+    assert "dense_inc_adj_paths_links" in arrays1
+    m = arrays1["dense_inc_adj_paths_links"]
+    assert m.shape == (
+        dict(meta1.node_pad)["link"],
+        dict(meta1.node_pad)["path"],
+    )
+    # stage1 (link -> path) is ordered: neither form emitted
     assert "dense_inc_adj_links_paths" not in arrays
+    assert "inc_blocks_adj_links_paths" not in arrays
 
 
 def test_model_prediction_unchanged_by_dense_path():
@@ -182,8 +190,12 @@ def test_repad_rebuilds_dense_inc():
     import __graft_entry__ as ge
 
     model_ir = ge._flagship(num_iterations=2, hs=8)
-    a1, m1 = ge._batch(model_ir, n_links=12, n_paths=8, max_path_len=4, seed=0)
-    a2, m2 = ge._batch(model_ir, n_links=20, n_paths=14, max_path_len=4, seed=1)
+    a1, m1 = ge._batch(
+        model_ir, n_links=12, n_paths=8, max_path_len=4, n_graphs=1, seed=0
+    )
+    a2, m2 = ge._batch(
+        model_ir, n_links=20, n_paths=14, max_path_len=4, n_graphs=1, seed=1
+    )
     target = G.merge_metas([m1, m2])
     r1 = G.repad_to_meta(a1, m1, target, model_ir)
     key = "dense_inc_adj_paths_links"
@@ -195,3 +207,195 @@ def test_repad_rebuilds_dense_inc():
     old = np.asarray(a1[key], np.float32)
     new = np.asarray(r1[key], np.float32)
     np.testing.assert_array_equal(new[: old.shape[0], : old.shape[1]], old)
+
+
+# ----------------------------------------------------------------------
+# block-diagonal batched path (uniform merged batches)
+# ----------------------------------------------------------------------
+
+
+def _uniform_batch(n_graphs=4, n_links=12, n_paths=8):
+    import __graft_entry__ as ge
+    import ignnition_tpu as ig
+    from ignnition_tpu.data.dataset import convert_sample
+    from ignnition_tpu.data.synthetic import make_routenet_sample
+
+    model_ir = ge._flagship(num_iterations=2, hs=8)
+    spec = ig.SampleSpec.from_ir(model_ir)
+    rng = np.random.default_rng(11)
+    samples = [
+        convert_sample(
+            make_routenet_sample(rng, n_links=n_links, n_paths=n_paths, max_path_len=4),
+            spec,
+        )
+        for _ in range(n_graphs)
+    ]
+    return model_ir, samples
+
+
+def test_blocks_emitted_and_dense_suppressed():
+    model_ir, samples = _uniform_batch()
+    arrays, meta = G.build_batch(samples, model_ir)
+    assert "inc_blocks_adj_paths_links" in arrays
+    assert arrays["inc_blocks_adj_paths_links"].shape == (4, 12, 8)
+    assert "dense_inc_adj_paths_links" not in arrays
+    assert dict(meta.inc_blocks)["adj_paths_links"] == (4, 12, 8)
+    # per-graph block g holds graph g's multiplicities
+    s0 = samples[0].adjacencies["adj_paths_links"]
+    want = np.zeros((12, 8), np.float32)
+    for s, d in zip(s0.src_idx, s0.dst_idx):
+        want[d, s] += 1.0
+    np.testing.assert_array_equal(
+        np.asarray(arrays["inc_blocks_adj_paths_links"][0], np.float32), want
+    )
+
+
+def test_blocks_forward_and_grad_parity():
+    rng = np.random.default_rng(13)
+    g_, bd, bs, d = 3, 6, 5, 4
+    blocks = np.zeros((g_, bd, bs), np.float32)
+    edges = []
+    for g in range(g_):
+        for _ in range(14):
+            s, t = rng.integers(0, bs), rng.integers(0, bd)
+            blocks[g, t, s] += 1.0
+            edges.append((g * bs + s, g * bd + t))
+    src = np.array([e[0] for e in edges], np.int32)
+    dst = np.array([e[1] for e in edges], np.int32)
+    n_src_pad, n_dst_pad = g_ * bs + 3, g_ * bd + 5
+    states = jnp.asarray(rng.standard_normal((n_src_pad, d)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((n_dst_pad, d)), jnp.float32)
+    bl = jnp.asarray(blocks)
+
+    def fast(s):
+        return jnp.sum(seg.direct_segment_sum_blocks(s, bl, n_dst_pad) * w)
+
+    def ref(s):
+        return jnp.sum(
+            jax.ops.segment_sum(s[jnp.asarray(src)], jnp.asarray(dst), num_segments=n_dst_pad)
+            * w
+        )
+
+    np.testing.assert_allclose(fast(states), ref(states), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(fast)(states)),
+        np.asarray(jax.grad(ref)(states)),
+        rtol=1e-5,
+        atol=1e-5,
+    )
+
+
+def test_blocks_model_prediction_matches_per_graph():
+    import ignnition_tpu as ig
+
+    model_ir, samples = _uniform_batch()
+    model = ig.build(model_ir)
+    params = model.init(jax.random.PRNGKey(2))
+    a4, m4 = G.build_batch(samples, model_ir)
+    p4 = np.asarray(model.apply(params, a4, m4))
+    for g in range(4):
+        a1, m1 = G.build_batch(samples[g : g + 1], model_ir)
+        p1 = np.asarray(model.apply(params, a1, m1))
+        np.testing.assert_allclose(p4[g * 8 : (g + 1) * 8], p1[:8], rtol=1e-4, atol=1e-5)
+
+
+def test_blocks_merge_and_repad_rules():
+    model_ir, samples = _uniform_batch()
+    a_uni, m_uni = G.build_batch(samples, model_ir)
+    _, samples_b = _uniform_batch(n_links=12, n_paths=8)
+    a_b, m_b = G.build_batch(samples_b, model_ir)
+    # identical block shapes survive the merge
+    merged = G.merge_metas([m_uni, m_b])
+    assert dict(merged.inc_blocks)["adj_paths_links"] == (4, 12, 8)
+    out = G.repad_to_meta(a_uni, m_uni, merged, model_ir)
+    assert "inc_blocks_adj_paths_links" in out
+
+    # a batch without blocks (different graph sizes) drops them for everyone
+    _, samples_c = _uniform_batch(n_links=10, n_paths=8)
+    a_c, m_c = G.build_batch(samples_c, model_ir)
+    assert "inc_blocks_adj_paths_links" in a_c  # uniform within itself, 10x8
+    merged2 = G.merge_metas([m_uni, m_c])
+    assert dict(merged2.inc_blocks) == {}
+    out2 = G.repad_to_meta(a_uni, m_uni, merged2, model_ir)
+    assert "inc_blocks_adj_paths_links" not in out2
+    # the dense matrix must come back as the fallback fast path
+    assert "dense_inc_adj_paths_links" in out2
+
+
+def test_blocks_attention_matches_dense():
+    """Op-level: the block softmax-matmul equals the merged dense one on a
+    block-diagonal incidence (fwd + grads)."""
+    rng = np.random.default_rng(17)
+    g_, bd, bs, d, dd = 3, 5, 4, 6, 6
+    blocks = np.zeros((g_, bd, bs), np.float32)
+    for g in range(g_):
+        for _ in range(9):
+            blocks[g, rng.integers(0, bd), rng.integers(0, bs)] += 1.0
+    dense = np.zeros((g_ * bd + 2, g_ * bs + 3), np.float32)
+    for g in range(g_):
+        dense[g * bd : (g + 1) * bd, g * bs : (g + 1) * bs] = blocks[g]
+    n_dst_pad, n_src_pad = dense.shape
+    table = jnp.asarray(rng.standard_normal((n_src_pad, d)), jnp.float32)
+    dst_states = jnp.asarray(rng.standard_normal((n_dst_pad, dd)), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((d, d)) * 0.3, jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((dd, d)) * 0.3, jnp.float32)
+    ak = jnp.asarray(rng.standard_normal((2 * d, 1)) * 0.3, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((n_dst_pad, d)), jnp.float32)
+    bl = jnp.asarray(blocks)
+    dn = jnp.asarray(dense)
+
+    def f_blocks(t, ds):
+        out = seg.dense_attention_aggregate_blocks(t, ds, bl, k1, k2, ak, n_dst_pad)
+        return jnp.sum(out * w)
+
+    def f_dense(t, ds):
+        out = seg.dense_attention_aggregate(t, ds, dn, k1, k2, ak)
+        return jnp.sum(out * w)
+
+    np.testing.assert_allclose(
+        f_blocks(table, dst_states), f_dense(table, dst_states), rtol=1e-5, atol=1e-5
+    )
+    gb = jax.grad(f_blocks, argnums=(0, 1))(table, dst_states)
+    gd = jax.grad(f_dense, argnums=(0, 1))(table, dst_states)
+    for a, b in zip(gb, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_blocks_attention_and_conv_model_parity():
+    """Model-level: merged uniform batches (block paths) produce the same
+    predictions as per-graph batches (dense paths) for attention and
+    convolution aggregations."""
+    import ignnition_tpu as ig
+    from tests.helpers import routenet_description
+
+    for agg in ({"type": "attention"}, {"type": "convolution"}):
+        d = routenet_description(num_iterations=2, hs=8)
+        # stage2 (path -> link) becomes the dense-eligible aggregation
+        d["message_passing"]["stages"][1]["stage_mp"][0]["aggregation"] = dict(agg)
+        model_ir = ig.parse_model_description(
+            d, {"link_capacity": 1, "traffic": 1}
+        )
+        from ignnition_tpu.data.dataset import convert_sample
+        from ignnition_tpu.data.synthetic import make_routenet_sample
+
+        spec = ig.SampleSpec.from_ir(model_ir)
+        rng = np.random.default_rng(23)
+        samples = [
+            convert_sample(
+                make_routenet_sample(rng, n_links=8, n_paths=8, max_path_len=4),
+                spec,
+            )
+            for _ in range(3)
+        ]
+        a3, m3 = G.build_batch(samples, model_ir)
+        assert "inc_blocks_adj_paths_links" in a3, agg
+        model = ig.build(model_ir)
+        params = model.init(jax.random.PRNGKey(4))
+        p3 = np.asarray(model.apply(params, a3, m3))
+        for g in range(3):
+            a1, m1 = G.build_batch(samples[g : g + 1], model_ir)
+            assert "dense_inc_adj_paths_links" in a1, agg
+            p1 = np.asarray(model.apply(params, a1, m1))
+            np.testing.assert_allclose(
+                p3[g * 8 : (g + 1) * 8], p1[:8], rtol=1e-4, atol=1e-5
+            )
