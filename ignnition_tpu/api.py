@@ -69,6 +69,8 @@ class Runner:
         batches per step (graph-batch data parallelism x edge partitioning)."""
         self.model = model
         self.gnn = build(model.ir)
+        if padding is None and getattr(model.config, "per_graph_padding", False):
+            padding = PaddingConfig(per_graph=True)
         self.trainer = Trainer(self.gnn, padding=padding)
         self.seed = seed
         self.mesh = mesh

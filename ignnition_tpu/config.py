@@ -49,6 +49,10 @@ class RunConfig:
     # first-epoch batch caching; see PERF.md 'Host input pipeline')
     input_workers: int = 1
     cache_batches: bool = False
+    # pad every graph's node blocks to the batch max so merged batches are
+    # uniform and ride the block-diagonal incidence fast paths
+    # (data/graph.py PaddingConfig.per_graph)
+    per_graph_padding: bool = False
 
     @staticmethod
     def from_ini(path: str = "./train_options.ini") -> "RunConfig":
@@ -84,7 +88,12 @@ class RunConfig:
         ):
             if key in to:
                 setattr(cfg, key, int(to[key]))
-        for key in ("shuffle_train_samples", "shuffle_eval_samples", "cache_batches"):
+        for key in (
+            "shuffle_train_samples",
+            "shuffle_eval_samples",
+            "cache_batches",
+            "per_graph_padding",
+        ):
             if key in to:
                 setattr(cfg, key, _str_to_bool(to[key]))
         return cfg

@@ -46,6 +46,12 @@ class PaddingConfig:
     multiple: int = 64
     min_size: int = 8
     seq_multiple: int = 4  # bucket for max_len (RNN time axis)
+    # pad every graph's per-entity node block to the batch max (rounded by
+    # mode/multiple) so merged batches are ALWAYS uniform and the
+    # block-diagonal incidence fast paths apply to streaming workloads of
+    # slightly-different-sized samples (see block_sum_adjacencies); costs
+    # (max/mean - 1) extra padded rows per entity
+    per_graph: bool = False
 
     def pad_size(self, n: int) -> int:
         n = max(int(n), 1)
@@ -497,35 +503,52 @@ def build_batch(
         for e in entities:
             node_offsets[e.name].append(node_totals[e.name])
             node_totals[e.name] += s.num_nodes.get(e.name, 0)
-    node_pad = {e.name: padding.pad_size(node_totals[e.name]) for e in entities}
+    if padding.per_graph:
+        # uniform per-graph blocks: graph g's entity block occupies
+        # [g*size, (g+1)*size) regardless of its real count, so the merged
+        # batch is always uniform (block-diagonal incidence eligible)
+        per_graph_size = {
+            e.name: padding.pad_size(
+                max((s.num_nodes.get(e.name, 0) for s in samples), default=1)
+            )
+            for e in entities
+        }
+        node_offsets = {
+            e.name: [g * per_graph_size[e.name] for g in range(num_graphs)]
+            for e in entities
+        }
+        node_pad = {
+            e.name: num_graphs * per_graph_size[e.name] for e in entities
+        }
+    else:
+        node_pad = {
+            e.name: padding.pad_size(node_totals[e.name]) for e in entities
+        }
 
     arrays: Dict[str, np.ndarray] = {}
 
     for e in entities:
         n_real, n_pad = node_totals[e.name], node_pad[e.name]
         mask = np.zeros(n_pad, dtype=np.float32)
-        mask[:n_real] = 1.0
-        gid = np.zeros(n_pad, dtype=np.int32)
-        pos = 0
-        for g, s in enumerate(samples):
-            n = s.num_nodes.get(e.name, 0)
-            gid[pos : pos + n] = g
-            pos += n
         # padding nodes belong to a sentinel graph slot (last graph) but are
         # masked everywhere it matters
-        gid[n_real:] = max(num_graphs - 1, 0)
+        gid = np.full(n_pad, max(num_graphs - 1, 0), dtype=np.int32)
+        for g, s in enumerate(samples):
+            n = s.num_nodes.get(e.name, 0)
+            off = node_offsets[e.name][g]
+            mask[off : off + n] = 1.0
+            gid[off : off + n] = g
         arrays[f"node_mask_{e.name}"] = mask
         arrays[f"graph_id_{e.name}"] = gid
         arrays[f"num_{e.name}"] = np.asarray(n_real, dtype=np.int32)
 
         for f in e.features:
             buf = np.zeros((n_pad, f.size), dtype=np.float32)
-            pos = 0
-            for s in samples:
+            for g, s in enumerate(samples):
                 v = s.features[f.name]
                 v = normalize(f.name, v, feature_norm[f.name])
-                buf[pos : pos + v.shape[0]] = v
-                pos += v.shape[0]
+                off = node_offsets[e.name][g]
+                buf[off : off + v.shape[0]] = v
             arrays[f.name] = buf
 
     # ---- adjacencies ----
@@ -610,12 +633,22 @@ def build_batch(
         if a.name in block_adjs and num_graphs >= 2:
             ns_list = [s.num_nodes.get(a.src, 0) for s in samples]
             nd_list = [s.num_nodes.get(a.dst, 0) for s in samples]
-            bs_, bd_ = ns_list[0], nd_list[0]
+            if padding.per_graph:
+                # uniform block layout by construction; blocks span the
+                # whole per-graph slot (real rows are a prefix of each)
+                bs_ = node_pad[a.src] // num_graphs
+                bd_ = node_pad[a.dst] // num_graphs
+                uniform = bs_ > 0 and bd_ > 0
+            else:
+                bs_, bd_ = ns_list[0], nd_list[0]
+                uniform = (
+                    bs_ > 0
+                    and bd_ > 0
+                    and all(v == bs_ for v in ns_list)
+                    and all(v == bd_ for v in nd_list)
+                )
             if (
-                bs_ > 0
-                and bd_ > 0
-                and all(v == bs_ for v in ns_list)
-                and all(v == bd_ for v in nd_list)
+                uniform
                 and num_graphs * bd_ * bs_ <= _DENSE_INC_MAX_ENTRIES
                 and len(dst) >= _DENSE_INC_MIN_EDGES
             ):
@@ -706,12 +739,11 @@ def build_batch(
             n_pad = node_pad[domain[1]]
             label = np.zeros(n_pad, dtype=np.float32)
             lmask = np.zeros(n_pad, dtype=np.float32)
-            pos = 0
-            for s in samples:
+            for g, s in enumerate(samples):
                 v = s.label
-                label[pos : pos + len(v)] = v
-                lmask[pos : pos + len(v)] = 1.0
-                pos += len(v)
+                off = node_offsets[domain[1]][g]
+                label[off : off + len(v)] = v
+                lmask[off : off + len(v)] = 1.0
             label_pad = n_pad
         elif domain[0] == "graph":
             label = np.zeros(num_graphs, dtype=np.float32)

@@ -399,3 +399,67 @@ def test_blocks_attention_and_conv_model_parity():
             np.testing.assert_allclose(
                 p3[g * 8 : (g + 1) * 8], p1[:8], rtol=1e-4, atol=1e-5
             )
+
+
+def test_per_graph_padding_uniform_blocks_and_parity():
+    """per_graph padding makes NON-uniform merged batches uniform: blocks are
+    emitted and predictions/labels match the per-sample computation at the
+    per-graph offsets."""
+    import ignnition_tpu as ig
+    from ignnition_tpu.data.dataset import convert_sample
+    from ignnition_tpu.data.synthetic import make_routenet_sample
+
+    import __graft_entry__ as ge
+
+    model_ir = ge._flagship(num_iterations=2, hs=8)
+    spec = ig.SampleSpec.from_ir(model_ir)
+    rng = np.random.default_rng(31)
+    sizes = [(12, 8), (10, 7), (9, 8)]
+    samples = [
+        convert_sample(
+            make_routenet_sample(rng, n_links=nl, n_paths=np_, max_path_len=4), spec
+        )
+        for nl, np_ in sizes
+    ]
+    pad = G.PaddingConfig(mode="multiple", multiple=4, min_size=4, per_graph=True)
+    a3, m3 = G.build_batch(samples, model_ir, pad)
+    assert "inc_blocks_adj_paths_links" in a3
+    g_, bd, bs = a3["inc_blocks_adj_paths_links"].shape
+    assert g_ == 3 and bd == dict(m3.node_pad)["link"] // 3
+    model = ig.build(model_ir)
+    params = model.init(jax.random.PRNGKey(6))
+    p3 = np.asarray(model.apply(params, a3, m3))
+    path_stride = dict(m3.node_pad)["path"] // 3
+    for g, (nl, np_) in enumerate(sizes):
+        a1, m1 = G.build_batch(samples[g : g + 1], model_ir, G.PaddingConfig(mode="multiple", multiple=4, min_size=4))
+        p1 = np.asarray(model.apply(params, a1, m1))
+        got = p3[g * path_stride : g * path_stride + np_]
+        np.testing.assert_allclose(got, p1[:np_], rtol=1e-4, atol=1e-5)
+        # labels laid out at the same offsets
+        np.testing.assert_allclose(
+            a3["label_mask"][g * path_stride : g * path_stride + np_], 1.0
+        )
+    # total real labels conserved
+    assert a3["label_mask"].sum() == sum(np_ for _, np_ in sizes)
+
+
+def test_per_graph_padding_eval_metrics_match_default_layout():
+    """Same data, same params: evaluation metrics are layout-invariant."""
+    import ignnition_tpu as ig
+    from ignnition_tpu.data.synthetic import write_dataset
+    from ignnition_tpu.training import Trainer
+    import tempfile
+
+    import __graft_entry__ as ge
+
+    model_ir = ge._flagship(num_iterations=2, hs=8)
+    d = tempfile.mkdtemp()
+    write_dataset(d, 1, 8, seed=9, n_links=12, n_paths=8, max_path_len=4)
+    model = ig.build(model_ir)
+    t_def = Trainer(model, padding=G.PaddingConfig(min_size=16))
+    t_pg = Trainer(model, padding=G.PaddingConfig(min_size=16, per_graph=True))
+    state = t_def.init_state(jax.random.PRNGKey(0))
+    out_def = t_def.evaluate(state, d, num_batches=2, batch_size=4)
+    out_pg = t_pg.evaluate(state, d, num_batches=2, batch_size=4)
+    for k in ("label/mean", "mae", "r-squared", "loss"):
+        np.testing.assert_allclose(out_def[k], out_pg[k], rtol=1e-4, atol=1e-6)

@@ -21,7 +21,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ignnition_jax_cache")
 import numpy as np
 
 
-def build_merged_case(n_graphs, n_links=2048, n_paths=16384, path_len=8):
+def build_merged_case(n_graphs, n_links=2048, n_paths=16384, path_len=8, stage2_agg=None):
     import jax
 
     from __graft_entry__ import _flagship
@@ -32,6 +32,19 @@ def build_merged_case(n_graphs, n_links=2048, n_paths=16384, path_len=8):
     from ignnition_tpu.training import build_optimizer, get_loss
 
     model_ir = _flagship(num_iterations=8, hs=32)
+    if stage2_agg is not None:
+        # swap stage2 (path -> link sum) for the requested aggregation
+        from dataclasses import replace
+
+        mp = model_ir.stages[1].passes[0]
+        mp2 = replace(mp, aggregation=replace(mp.aggregation, kind=stage2_agg))
+        model_ir = replace(
+            model_ir,
+            stages=(
+                model_ir.stages[0],
+                replace(model_ir.stages[1], passes=(mp2,)),
+            ),
+        )
     rng = np.random.default_rng(0)
 
     samples = []
@@ -95,8 +108,17 @@ def build_merged_case(n_graphs, n_links=2048, n_paths=16384, path_len=8):
 def main():
     from bench import time_step
 
-    for n_graphs in [int(a) for a in sys.argv[1:]] or [2, 4]:
-        step, params, opt_state, arrays, edges = build_merged_case(n_graphs)
+    agg = None
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--agg="):
+            agg = a.split("=", 1)[1]
+        else:
+            args.append(int(a))
+    for n_graphs in args or [2, 4]:
+        step, params, opt_state, arrays, edges = build_merged_case(
+            n_graphs, stage2_agg=agg
+        )
         blocked = {
             k: v for k, v in arrays.items() if not k.startswith("inc_blocks_")
         }
