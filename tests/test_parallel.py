@@ -204,3 +204,35 @@ def test_dp_qsize_interleave_matches_single_device():
     for i, (arrays, m) in enumerate(batches):
         want = np.asarray(model.apply(params, arrays, m))
         np.testing.assert_allclose(preds[i], want, rtol=1e-4, atol=1e-5)
+
+
+def test_dp_stacking_mixed_block_batches():
+    """One device batch emits block-diagonal incidence, the other doesn't
+    (non-uniform graphs): stacking must drop blocks for everyone and still
+    match single-device predictions."""
+    ir = parser.parse_model_description(
+        routenet_description(num_iterations=2, hs=8),
+        {"link_capacity": 1, "traffic": 1},
+    )
+    model = build(ir)
+    params = model.init(jax.random.PRNGKey(0))
+    spec = SampleSpec.from_ir(ir)
+    rng = np.random.default_rng(7)
+    pad = PaddingConfig(mode="multiple", multiple=64, min_size=64)
+    uni = [convert_sample(make_routenet_sample(rng, 14, 10, 4), spec) for _ in range(2)]
+    mixed = [
+        convert_sample(make_routenet_sample(rng, 14, 10, 4), spec),
+        convert_sample(make_routenet_sample(rng, 12, 10, 4), spec),
+    ]
+    b_uni = build_batch(uni, ir, pad)
+    b_mix = build_batch(mixed, ir, pad)
+    assert "inc_blocks_adj_paths_links" in b_uni[0]
+    assert "inc_blocks_adj_paths_links" not in b_mix[0]
+    stacked, meta = stack_batches([b_uni, b_mix], ir)
+    assert "inc_blocks_adj_paths_links" not in stacked
+    mesh = make_mesh(data=2, model=1)
+    apply_fn = make_parallel_apply(model, meta, mesh)
+    preds = np.asarray(apply_fn(params, stacked))
+    for i, (arrays, m) in enumerate([b_uni, b_mix]):
+        want = np.asarray(model.apply(params, arrays, m))
+        np.testing.assert_allclose(preds[i, : want.shape[0]], want, rtol=1e-5, atol=1e-6)
