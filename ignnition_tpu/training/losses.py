@@ -56,6 +56,29 @@ def binary_crossentropy(labels, preds, mask):
     return _masked_mean(-(labels * jnp.log(p) + (1 - labels) * jnp.log(1 - p)), mask)
 
 
+def poisson(labels, preds, mask):
+    # keras: mean(preds - labels * log(preds + eps))
+    return _masked_mean(preds - labels * jnp.log(preds + 1e-7), mask)
+
+
+def kl_divergence(labels, preds, mask):
+    eps = 1e-7
+    y = jnp.clip(labels, eps, 1.0)
+    p = jnp.clip(preds, eps, 1.0)
+    return _masked_mean(y * jnp.log(y / p), mask)
+
+
+def hinge(labels, preds, mask):
+    # keras converts {0,1} labels to {-1,1}
+    y = jnp.where(labels <= 0.0, -1.0, labels)
+    return _masked_mean(jnp.maximum(1.0 - y * preds, 0.0), mask)
+
+
+def squared_hinge(labels, preds, mask):
+    y = jnp.where(labels <= 0.0, -1.0, labels)
+    return _masked_mean(jnp.maximum(1.0 - y * preds, 0.0) ** 2, mask)
+
+
 LOSSES: Dict[str, Callable] = {
     "MeanSquaredError": mean_squared_error,
     "MeanAbsoluteError": mean_absolute_error,
@@ -64,6 +87,10 @@ LOSSES: Dict[str, Callable] = {
     "Huber": huber,
     "LogCosh": log_cosh,
     "BinaryCrossentropy": binary_crossentropy,
+    "Poisson": poisson,
+    "KLDivergence": kl_divergence,
+    "Hinge": hinge,
+    "SquaredHinge": squared_hinge,
 }
 
 

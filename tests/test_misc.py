@@ -57,6 +57,45 @@ def test_losses_match_formulas():
     )
 
 
+def test_extra_losses_match_formulas():
+    m = np.ones(2, np.float32)
+    l = np.array([1.0, 2.0], np.float32)
+    p = np.array([1.5, 1.0], np.float32)
+    np.testing.assert_allclose(
+        float(get_loss("Poisson")(l, p, m)),
+        np.mean(p - l * np.log(p + 1e-7)),
+        rtol=1e-6,
+    )
+    # KL over clipped distributions
+    lq = np.array([0.4, 0.6], np.float32)
+    pq = np.array([0.5, 0.5], np.float32)
+    np.testing.assert_allclose(
+        float(get_loss("KLDivergence")(lq, pq, m)),
+        np.mean(lq * np.log(lq / pq)),
+        rtol=1e-5,
+    )
+    # hinge: {0,1} labels map to {-1,1}
+    lh = np.array([0.0, 1.0], np.float32)
+    ph = np.array([0.3, 0.8], np.float32)
+    np.testing.assert_allclose(
+        float(get_loss("Hinge")(lh, ph, m)),
+        np.mean([max(0.0, 1 + 0.3), max(0.0, 1 - 0.8)]),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(get_loss("SquaredHinge")(lh, ph, m)),
+        np.mean([max(0.0, 1 + 0.3) ** 2, max(0.0, 1 - 0.8) ** 2]),
+        rtol=1e-6,
+    )
+    # masked rows are excluded
+    mm = np.array([1.0, 0.0], np.float32)
+    np.testing.assert_allclose(
+        float(get_loss("Poisson")(l, p, mm)),
+        p[0] - l[0] * np.log(p[0] + 1e-7),
+        rtol=1e-6,
+    )
+
+
 def test_additional_dataset_input_in_readout():
     """A readout product against a raw dataset vector (the reference's
     additional_input path, json_operations.py:458-475)."""
