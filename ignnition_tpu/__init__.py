@@ -61,4 +61,8 @@ def __getattr__(name):
         from . import api
 
         return getattr(api, name)
+    if name in ("export_serving", "load_serving", "ServingModel"):
+        from . import serving
+
+        return getattr(serving, name)
     raise AttributeError(name)

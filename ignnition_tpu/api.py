@@ -179,6 +179,51 @@ class Runner:
         return outputs
 
 
+    def export_serving(
+        self,
+        out_dir: str,
+        state: Optional[TrainState] = None,
+        dataset: Optional[str] = None,
+        batch_size: Optional[int] = None,
+        compute_dtype=None,
+        platforms=None,
+    ) -> str:
+        """Freeze the forward pass into a reloadable serving artifact
+        (serving.export_serving). Shapes come from the first batch of
+        `dataset` (default: predict_dataset, else train_dataset) at
+        `batch_size` (default: config batch_size); params from `state` or
+        the config's warm_start_path."""
+        cfg = self.model.config
+        dataset = dataset or cfg.predict_dataset or cfg.train_dataset
+        batch_size = batch_size or cfg.batch_size
+        if state is None:
+            if not cfg.warm_start_path:
+                raise ValueError(
+                    "the path of the model to export is unspecified; pass a "
+                    "TrainState or add warm_start_path to the config"
+                )
+            state = self.trainer.init_state(jax.random.PRNGKey(self.seed))
+            state = warm_start(state, cfg.warm_start_path)
+        arrays, meta = next(
+            iter(
+                self.trainer.batches(
+                    dataset, batch_size, shuffle=False, repeat=False,
+                    training=False,
+                )
+            )
+        )
+        from .frontend import load_description
+        from .serving import export_serving as _export
+
+        path = _export(
+            self.gnn, state.params, meta, arrays, out_dir,
+            compute_dtype=compute_dtype, platforms=platforms,
+            description=load_description(cfg.json_path),
+        )
+        log.info("serving artifact written to %s", path)
+        return path
+
+
 # --------------------------------------------------------------------------
 # module-level verbs (reference-style)
 # --------------------------------------------------------------------------

@@ -458,6 +458,7 @@ def build_batch(
     padding: Optional[PaddingConfig] = None,
     training: bool = True,
     normalizations: Optional[Mapping[str, object]] = None,
+    target: Optional[BatchMeta] = None,
 ) -> Tuple[Dict[str, np.ndarray], BatchMeta]:
     """Merge samples into one padded batch.
 
@@ -468,6 +469,14 @@ def build_batch(
     value`; feature and label normalizations declared in the IR are applied
     here, host-side (the reference applies them in a tf.data map,
     generate_model.py:179-186 — preprocessing, not model).
+
+    `target` pins every padded size to an existing BatchMeta (serving
+    artifacts, cross-host shape alignment): the returned meta equals
+    `target`, block-diagonal incidence is emitted exactly where `target`
+    has it (using its per-graph slot sizes), and a friendly ValueError is
+    raised when any real size does not fit. Additional readout inputs
+    (model_ir.additional_inputs) still pad by `padding` — their sizes are
+    not recorded in BatchMeta.
     """
     padding = padding or PaddingConfig()
     if normalizations is None:
@@ -477,6 +486,28 @@ def build_batch(
     num_graphs = len(samples)
     entities = model_ir.entities
     adj_info = model_ir.adjacency_info()
+
+    # target pinning: per-entity slot sizes implied by the target's
+    # block-diagonal incidence shapes (graph g's rows must occupy
+    # [g*slot, (g+1)*slot) for those entities)
+    pinned_slots: Dict[str, int] = {}
+    if target is not None:
+        if target.num_graphs != num_graphs:
+            raise ValueError(
+                f"target meta was built for {target.num_graphs} graphs per "
+                f"batch, got {num_graphs} samples"
+            )
+        for a in adj_info:
+            blk = dict(target.inc_blocks).get(a.name)
+            if blk is None:
+                continue
+            _, bd_, bs_ = blk
+            for ent, size in ((a.src, bs_), (a.dst, bd_)):
+                if pinned_slots.setdefault(ent, size) != size:
+                    raise ValueError(
+                        "target meta has inconsistent per-graph block sizes "
+                        f"for entity '{ent}'"
+                    )
 
     feature_entities = {}
     feature_norm = {}
@@ -503,7 +534,27 @@ def build_batch(
         for e in entities:
             node_offsets[e.name].append(node_totals[e.name])
             node_totals[e.name] += s.num_nodes.get(e.name, 0)
-    if padding.per_graph:
+    if target is not None:
+        node_pad_t = dict(target.node_pad)
+        node_pad = dict(node_pad_t)
+        for e in entities:
+            slot = pinned_slots.get(e.name)
+            if slot is not None:
+                mx = max((s.num_nodes.get(e.name, 0) for s in samples), default=0)
+                if mx > slot or num_graphs * slot > node_pad_t[e.name]:
+                    raise ValueError(
+                        f"entity '{e.name}' does not fit the target meta: "
+                        f"max per-graph count {mx} vs block slot {slot} "
+                        f"(node pad {node_pad_t[e.name]})"
+                    )
+                node_offsets[e.name] = [g * slot for g in range(num_graphs)]
+            elif node_totals[e.name] > node_pad_t[e.name]:
+                raise ValueError(
+                    f"entity '{e.name}' does not fit the target meta: "
+                    f"{node_totals[e.name]} real rows vs padded "
+                    f"{node_pad_t[e.name]}"
+                )
+    elif padding.per_graph:
         # uniform per-graph blocks: graph g's entity block occupies
         # [g*size, (g+1)*size) regardless of its real count, so the merged
         # batch is always uniform (block-diagonal incidence eligible)
@@ -564,19 +615,30 @@ def build_batch(
     ]
     for a in adj_info:
         e_total = sum(len(s.adjacencies[a.name].src_idx) for s in samples)
-        e_pad = padding.pad_size(e_total)
         ml = 1
         for s in samples:
             seq = s.adjacencies[a.name].seq
             if len(seq):
                 ml = max(ml, int(seq.max()) + 1)
-        ml_pad = padding.pad_len(ml)
+        if target is not None:
+            e_pad = target.edges(a.name)
+            ml_pad = target.maxlen(a.name)
+            if e_total > e_pad or ml > ml_pad:
+                raise ValueError(
+                    f"adjacency '{a.name}' does not fit the target meta: "
+                    f"{e_total} edges / max_len {ml} vs padded "
+                    f"{e_pad} / {ml_pad}"
+                )
+        else:
+            e_pad = padding.pad_size(e_total)
+            ml_pad = padding.pad_len(ml)
         edge_pad[a.name] = e_pad
         max_len[a.name] = ml_pad
-    for group in concat2_groups:
-        common = max(max_len[a] for a in group)
-        for a in group:
-            max_len[a] = common
+    if target is None:
+        for group in concat2_groups:
+            common = max(max_len[a] for a in group)
+            for a in group:
+                max_len[a] = common
     dense_adjs = dense_agg_adjacencies(model_ir)
     block_adjs = block_sum_adjacencies(model_ir)
     inc_blocks_meta: Dict[str, Tuple[int, int, int]] = {}
@@ -630,10 +692,19 @@ def build_batch(
         # real src rows occupy [g*bs, (g+1)*bs) in the merged table (offsets
         # are cumsums of uniform real counts), so the batched matmul needs no
         # gathers — pure reshapes around one [G, bd, bs] dot_general
-        if a.name in block_adjs and num_graphs >= 2:
+        want_blocks = a.name in block_adjs and num_graphs >= 2
+        if target is not None:
+            # emit blocks exactly where the target meta has them, at its
+            # block shape (node offsets already follow the pinned slots)
+            blk = dict(target.inc_blocks).get(a.name)
+            want_blocks = blk is not None
+        if want_blocks:
             ns_list = [s.num_nodes.get(a.src, 0) for s in samples]
             nd_list = [s.num_nodes.get(a.dst, 0) for s in samples]
-            if padding.per_graph:
+            if target is not None:
+                _, bd_, bs_ = dict(target.inc_blocks)[a.name]
+                uniform = True
+            elif padding.per_graph:
                 # uniform block layout by construction; blocks span the
                 # whole per-graph slot (real rows are a prefix of each)
                 bs_ = node_pad[a.src] // num_graphs
@@ -647,7 +718,7 @@ def build_batch(
                     and all(v == bs_ for v in ns_list)
                     and all(v == bd_ for v in nd_list)
                 )
-            if (
+            if target is not None or (
                 uniform
                 and num_graphs * bd_ * bs_ <= _DENSE_INC_MAX_ENTRIES
                 and len(dst) >= _DENSE_INC_MIN_EDGES
@@ -677,9 +748,22 @@ def build_batch(
             node_pad[a.src],
             node_pad[a.dst],
             max_len[a.name],
+            bwd_len=(
+                dict(target.bwd_len).get(a.name, 0)
+                if target is not None
+                else None
+            ),
             want_dense_inc=a.name in dense_adjs
             and a.name not in inc_blocks_meta,
         )
+        if target is not None and "out_lens" in aux:
+            fixed = dict(target.bwd_len).get(a.name, 0)
+            if fixed and aux["out_lens"].max(initial=0) > fixed:
+                raise ValueError(
+                    f"adjacency '{a.name}' does not fit the target meta: max "
+                    f"out-degree {int(aux['out_lens'].max())} exceeds the "
+                    f"target's backward slice height {fixed}"
+                )
         for key, value in aux.items():
             arrays[f"{key}_{a.name}"] = value
         bwd_len_map[a.name] = (
