@@ -143,6 +143,50 @@ def test_serving_smaller_samples_pinned_batch(setup, tmp_path):
         build_batch(samples[:2], ir, training=False, target=meta)
 
 
+def test_serving_qsize_interleave(tmp_path):
+    """Full-DSL surface through the artifact: Q-size (3 entities, interleave
+    aggregation) exports, reloads, and serves raw samples."""
+    from helpers import qsize_description
+
+    d = tmp_path / "qsize_ds"
+    write_dataset(str(d), num_archives=1, samples_per_archive=6, seed=13,
+                  with_nodes=True)
+    desc = qsize_description(num_iterations=2, hs=8)
+    ir = parser.parse_model_description(
+        desc, {"link_capacity": 1, "traffic": 1, "queue_sizes": 1}
+    )
+    model = build(ir)
+    params = model.init(jax.random.PRNGKey(2))
+    spec = SampleSpec.from_ir(ir, training=False)
+    samples = list(iter_samples(str(d), spec))
+    arrays, meta = build_batch(samples[:3], ir, training=False)
+
+    out = export_serving(
+        model, params, meta, arrays, str(tmp_path / "artifact"),
+        description=desc,
+    )
+    sm = load_serving(out)
+    want = np.asarray(model.apply(params, arrays, meta))
+    got = sm.predict(_strip(arrays), denormalize=False)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    served = sm.predict_samples(samples[3:6], denormalize=False)
+    direct_arrays, direct_meta = build_batch(
+        samples[3:6], ir, training=False, target=meta
+    )
+    direct = np.asarray(model.apply(params, direct_arrays, direct_meta))
+    np.testing.assert_allclose(
+        served,
+        direct[np.asarray(direct_arrays[f"node_mask_{sm.label_domain[1]}"]) > 0],
+        rtol=1e-6,
+        atol=1e-6,
+    )
+
+
+def _strip(arrays):
+    return {k: v for k, v in arrays.items() if k not in ("label", "label_mask")}
+
+
 def test_runner_export_serving(dataset, tmp_path):
     import ignnition_tpu as ig
 
