@@ -131,6 +131,7 @@ class Runner:
             accumulate_steps=cfg.accumulate_steps,
             input_workers=cfg.input_workers,
             cache_batches=cfg.cache_batches,
+            device_prefetch=cfg.device_prefetch,
             tensorboard_dir=self.tensorboard_dir,
         )
 

@@ -48,7 +48,13 @@ class RunConfig:
     # (Trainer.batches — parallel archive readers + batch builders, and
     # first-epoch batch caching; see PERF.md 'Host input pipeline')
     input_workers: int = 1
-    cache_batches: bool = False
+    # False | True (host cache after epoch one) | "device" (also keep every
+    # cached batch device-resident: zero steady-state transfer cost)
+    cache_batches: "bool | str" = False
+    # opt-in: batches staged onto the device ahead of the running step
+    # (Trainer._device_prefetch); 0 disables (measured loss on the tunnel
+    # backend, see trainer.train docstring)
+    device_prefetch: int = 0
     # pad every graph's node blocks to the batch max so merged batches are
     # uniform and ride the block-diagonal incidence fast paths
     # (data/graph.py PaddingConfig.per_graph)
@@ -85,15 +91,18 @@ class RunConfig:
             "log_every",
             "accumulate_steps",
             "input_workers",
+            "device_prefetch",
         ):
             if key in to:
                 setattr(cfg, key, int(to[key]))
         for key in (
             "shuffle_train_samples",
             "shuffle_eval_samples",
-            "cache_batches",
             "per_graph_padding",
         ):
             if key in to:
                 setattr(cfg, key, _str_to_bool(to[key]))
+        if "cache_batches" in to:
+            v = to["cache_batches"]
+            cfg.cache_batches = "device" if v.lower() == "device" else _str_to_bool(v)
         return cfg

@@ -35,6 +35,7 @@ from ..model.builder import GnnModel
 from .losses import get_loss
 from .metrics import MetricAccumulator
 from .optimizers import build_optimizer
+from .packing import pack_arrays, pack_layout, unpack_arrays
 
 log = logging.getLogger("ignnition_tpu")
 
@@ -85,11 +86,18 @@ class Trainer:
         reg = self.model.regularization_loss(params)
         return loss + reg, (loss, reg)
 
-    def train_step_fn(self, meta: BatchMeta) -> Callable:
-        if meta not in self._train_steps:
+    def train_step_fn(self, meta: BatchMeta, layout=None) -> Callable:
+        """layout: optional packed-transfer layout (training.packing) — the
+        step then takes the packed per-dtype buffers instead of the batch
+        dict and unpacks with static slices inside the jit (free on device;
+        cuts the per-array H2D dispatch cost for streaming batches)."""
+        key = (meta, layout)
+        if key not in self._train_steps:
 
             @jax.jit
             def step(params, opt_state, batch, rng):
+                if layout is not None:
+                    batch = unpack_arrays(batch, layout)
                 (total, (loss, reg)), grads = jax.value_and_grad(
                     self._loss, has_aux=True
                 )(params, batch, meta, rng)
@@ -97,10 +105,12 @@ class Trainer:
                 params = optax.apply_updates(params, updates)
                 return params, opt_state, {"loss": loss, "reg": reg, "total": total}
 
-            self._train_steps[meta] = step
-        return self._train_steps[meta]
+            self._train_steps[key] = step
+        return self._train_steps[key]
 
-    def accum_train_step_fn(self, meta: BatchMeta, n_accum: int) -> Callable:
+    def accum_train_step_fn(
+        self, meta: BatchMeta, n_accum: int, layout=None
+    ) -> Callable:
         """One optimizer step over `n_accum` microbatches stacked on a
         leading axis (gradient accumulation).
 
@@ -110,11 +120,13 @@ class Trainer:
         with merged-graph size (PERF.md batch-size scaling), so running
         large effective batches as a scan over optimally-sized microbatches
         is strictly faster than one giant merged graph."""
-        key = (meta, n_accum)
+        key = (meta, n_accum, layout)
         if key not in self._accum_steps:
 
             @jax.jit
             def step(params, opt_state, stacked, rng):
+                if layout is not None:
+                    stacked = unpack_arrays(stacked, layout)
                 keys = jax.random.split(rng, n_accum)
 
                 def micro(carry, xs):
@@ -189,7 +201,13 @@ class Trainer:
         and cycles the cached list afterwards (reshuffled per epoch) —
         host batch construction then costs one epoch total, making steady-
         state training compute-bound. Trades host RAM for throughput;
-        batch composition is frozen after epoch one."""
+        batch composition is frozen after epoch one.
+
+        cache="device" additionally places every cached batch on the
+        device, so steady-state steps pay NO host->device transfer at all
+        (the per-step dispatch cost of a host-resident batch dominates
+        small-graph streaming — PERF.md 'Streaming H2D'). Trades device
+        HBM for throughput: dataset_bytes must fit alongside the model."""
         if cache:
             if not repeat:
                 raise ValueError("cache=True requires repeat=True")
@@ -200,6 +218,8 @@ class Trainer:
                     workers=workers,
                 )
             )
+            if cache == "device":
+                built = [(jax.device_put(a), m) for a, m in built]
             rng = np.random.default_rng(seed)
             while True:
                 order = (
@@ -283,6 +303,34 @@ class Trainer:
                 raise item
             yield item
 
+    @staticmethod
+    def _device_prefetch(batch_iter, size: int = 2):
+        """Stage upcoming batches onto the device from a background thread.
+
+        Host batches are numpy; dispatching a step on them pays the H2D
+        transfer synchronously inside the step. Staging `size` batches
+        ahead through `jax.device_put` on a worker thread overlaps the
+        transfer with the running step — the device-side half of the
+        reference's tf.data prefetch (generate_model.py:188-198)."""
+        q: queue.Queue = queue.Queue(maxsize=size)
+
+        def worker():
+            try:
+                for arrays, meta in batch_iter:
+                    q.put((jax.device_put(arrays), meta))
+            except BaseException as e:  # surface errors to the consumer
+                q.put(e)
+            q.put(None)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     # ------------------------------------------------------------------
     # loops
     # ------------------------------------------------------------------
@@ -304,7 +352,9 @@ class Trainer:
         mesh=None,
         accumulate_steps: int = 1,
         input_workers: int = 1,
-        cache_batches: bool = False,
+        cache_batches=False,
+        device_prefetch: int = 0,
+        pack_transfer: bool = False,
         tensorboard_dir: Optional[str] = None,
         histogram_every: int = 0,
         profile_dir: Optional[str] = None,
@@ -323,6 +373,18 @@ class Trainer:
         tensorboard_dir: write loss scalars (and parameter histograms every
         `histogram_every` steps, if > 0) — the reference logs the same set
         via tf.summary (generate_model.py:754-756, 792-793).
+        cache_batches: True caches built batches host-side after epoch one;
+        "device" also keeps them device-resident (steps then pay zero
+        host->device cost — the fastest streaming mode when the dataset
+        fits in HBM).
+        device_prefetch / pack_transfer: opt-in transfer tuning for
+        host-resident streams — stage batches onto the device from a
+        background thread / ship one buffer per dtype instead of ~40
+        arrays. Defaults off: measured on the remote-tunnel backend both
+        LOSE to plain per-array dispatch (in-flight transfers serialize
+        against running steps; many small transfers pipeline better over a
+        high-latency link — PERF.md 'Streaming H2D'). On direct-attached
+        TPU hosts the usual guidance applies; measure before enabling.
         """
         rng = rng if rng is not None else jax.random.PRNGKey(42)
         manager = None
@@ -362,6 +424,24 @@ class Trainer:
                 data_dir, batch_size, shuffle=shuffle, repeat=True,
                 workers=input_workers, cache=cache_batches,
             )
+        layouts: Dict[BatchMeta, Any] = {}
+        on_device = cache_batches == "device"  # nothing left to transfer
+        if mesh is None and pack_transfer and not on_device:
+            # ship each batch as one buffer per dtype instead of ~40 arrays
+            # (per-array H2D dispatch dominates at streaming sizes; the jit
+            # step unpacks with static slices — see training/packing.py)
+            def _packed(it):
+                for arrays, meta in it:
+                    lay = layouts.get(meta)
+                    if lay is None:
+                        lay = layouts[meta] = pack_layout(arrays)
+                    yield pack_arrays(arrays, lay), meta
+
+            batch_iter = _packed(batch_iter)
+        if mesh is None and device_prefetch > 0 and not on_device:
+            # mesh batches need sharding-aware placement (the parallel step
+            # handles it); single-device batches stage ahead onto the chip
+            batch_iter = self._device_prefetch(batch_iter, device_prefetch)
 
         for arrays, meta in batch_iter:
             if state.step >= max_steps:
@@ -382,10 +462,11 @@ class Trainer:
                 )
                 logs = {"loss": loss, "reg": 0.0, "total": loss}
             else:
+                lay = layouts.get(meta)
                 step_fn = (
-                    self.accum_train_step_fn(meta, accumulate_steps)
+                    self.accum_train_step_fn(meta, accumulate_steps, layout=lay)
                     if accumulate_steps > 1
-                    else self.train_step_fn(meta)
+                    else self.train_step_fn(meta, layout=lay)
                 )
                 rng, key = jax.random.split(rng)
                 params, opt_state, logs = step_fn(

@@ -273,3 +273,90 @@ def test_runconfig_ini_pipeline_keys(tmp_path):
     assert cfg.input_workers == 3
     assert cfg.cache_batches is True
     assert cfg.accumulate_steps == 2
+
+
+def test_packed_transfer_roundtrip_and_step_parity(dataset, trainer):
+    """pack/unpack round-trips every dtype (incl. extension dtypes) and the
+    packed jit step is bit-identical to the per-array step."""
+    import ml_dtypes
+
+    from ignnition_tpu.data import SampleSpec, build_batch, iter_samples
+    from ignnition_tpu.training.packing import (
+        pack_arrays, pack_layout, unpack_arrays,
+    )
+
+    # round-trip, mixed dtypes
+    arrs = {
+        "a": np.arange(12, dtype=np.float32).reshape(3, 4),
+        "b": np.arange(5, dtype=np.int32),
+        "c": np.array([[1, 0], [0, 1]], dtype=bool),
+        "d": np.arange(6, dtype=ml_dtypes.bfloat16).reshape(2, 3),
+    }
+    layout = pack_layout(arrs)
+    back = unpack_arrays(pack_arrays(arrs, layout), layout)
+    for k, v in arrs.items():
+        assert back[k].dtype == v.dtype
+        np.testing.assert_array_equal(np.asarray(back[k]), v)
+
+    # jit-step parity on a real batch
+    spec = SampleSpec.from_ir(trainer.ir)
+    samples = list(iter_samples(dataset, spec))[:3]
+    arrays, meta = build_batch(samples, trainer.ir, trainer.padding)
+    layout = pack_layout(arrays)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(5)
+    p1, o1, l1 = trainer.train_step_fn(meta)(
+        state.params, state.opt_state, arrays, rng
+    )
+    p2, o2, l2 = trainer.train_step_fn(meta, layout=layout)(
+        state.params, state.opt_state, pack_arrays(arrays, layout), rng
+    )
+    np.testing.assert_array_equal(float(l1["loss"]), float(l2["loss"]))
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_loop_packed_vs_unpacked(dataset, trainer):
+    """Trainer.train with pack_transfer on/off walks the same parameter
+    trajectory (same batches, same rngs)."""
+    kw = dict(
+        max_steps=3, batch_size=2, shuffle=False, log_every=0,
+        device_prefetch=0, rng=jax.random.PRNGKey(11),
+    )
+    s1 = trainer.train(
+        trainer.init_state(jax.random.PRNGKey(4)), dataset,
+        pack_transfer=False, **kw,
+    )
+    s2 = trainer.train(
+        trainer.init_state(jax.random.PRNGKey(4)), dataset,
+        pack_transfer=True, **kw,
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_loop_device_cached_batches(dataset, trainer):
+    """cache_batches="device" trains identically to host batches (same
+    batches, same rngs) with zero steady-state transfers."""
+    kw = dict(
+        max_steps=4, batch_size=2, shuffle=False, log_every=0,
+        rng=jax.random.PRNGKey(11),
+    )
+    s1 = trainer.train(trainer.init_state(jax.random.PRNGKey(4)), dataset, **kw)
+    s2 = trainer.train(
+        trainer.init_state(jax.random.PRNGKey(4)), dataset,
+        cache_batches="device", **kw,
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_runconfig_ini_cache_device(tmp_path):
+    ini = tmp_path / "train_options.ini"
+    ini.write_text(
+        "[PATHS]\ntrain_dataset = /tmp/x\njson_path = m.json\n"
+        "[TRAINING_OPTIONS]\ncache_batches = device\ndevice_prefetch = 3\n"
+    )
+    cfg = RunConfig.from_ini(str(ini))
+    assert cfg.cache_batches == "device"
+    assert cfg.device_prefetch == 3
