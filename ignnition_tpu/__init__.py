@@ -57,7 +57,7 @@ __all__ = [
 def __getattr__(name):
     # API verbs live in .api, which pulls in training deps (optax/orbax);
     # import lazily so light-weight uses stay light.
-    if name in ("create_model", "train_and_evaluate", "predict", "debug", "Runner"):
+    if name in ("create_model", "train_and_evaluate", "predict", "debug", "Runner", "Model"):
         from . import api
 
         return getattr(api, name)

@@ -175,6 +175,13 @@ class Runner:
             if domain[0] == "entity":
                 mask = arrays[f"node_mask_{domain[1]}"] > 0
                 outputs.append(preds[mask])
+            elif domain[0] == "edge":
+                # back to the sample's original (insertion-order) edge order
+                # — the merged batch destination-sorts edge lists
+                perm = arrays.get("label_perm")
+                p = preds[np.asarray(perm)] if perm is not None else preds
+                n = int(np.sum(np.asarray(arrays[f"edge_mask_{domain[1]}"]) > 0))
+                outputs.append(p[:n])
             else:
                 outputs.append(preds)
         return outputs

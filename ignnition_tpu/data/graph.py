@@ -643,6 +643,10 @@ def build_batch(
     block_adjs = block_sum_adjacencies(model_ir)
     inc_blocks_meta: Dict[str, Tuple[int, int, int]] = {}
     bwd_len_map: Dict[str, int] = {}
+    # per-adjacency destination-sort permutation over the real-edge prefix
+    # (sorted[i] = insertion_order[order[i]]) — edge-domain labels and
+    # user-facing edge predictions must follow the same reordering
+    edge_sort_order: Dict[str, np.ndarray] = {}
     for a in adj_info:
         e_pad = edge_pad[a.name]
         # padding edges point at the LAST padded source/destination rows so
@@ -677,6 +681,7 @@ def build_batch(
         # (dst, seq), and the sorted-COO fast paths / CSR companions require
         # global destination order (stable sort keeps per-dst seq ascending)
         order = np.argsort(dst[:pos], kind="stable")
+        edge_sort_order[a.name] = order
         src[:pos] = src[:pos][order]
         dst[:pos] = dst[:pos][order]
         seq_arr[:pos] = seq_arr[:pos][order]
@@ -846,6 +851,13 @@ def build_batch(
                 label[pos : pos + len(v)] = v
                 lmask[pos : pos + len(v)] = 1.0
                 pos += len(v)
+            # samples list edge labels in the adjacency dict's insertion
+            # order; the merged edge arrays were destination-sorted above —
+            # reorder the label the same way so row i matches edge i
+            order = edge_sort_order.get(adj)
+            if order is not None and len(order):
+                label[: len(order)] = label[: len(order)][order]
+                lmask[: len(order)] = lmask[: len(order)][order]
             label_pad = e_pad
         safe = np.where(lmask > 0, label, 1.0)  # keep norm fns off padding zeros
         label = np.where(
@@ -855,6 +867,22 @@ def build_batch(
         ).astype(np.float32)
         arrays["label"] = label
         arrays["label_mask"] = lmask
+
+    if not training:
+        # predict batches of edge-domain models carry the inverse sort
+        # permutation so user-facing predictions can be returned in each
+        # sample's original (insertion-order) edge order:
+        # preds_original = preds_sorted[label_perm]
+        domain = infer_label_domain(model_ir)
+        if domain[0] == "edge":
+            e_pad_d = edge_pad[domain[1]]
+            perm = np.arange(e_pad_d, dtype=np.int32)
+            order = edge_sort_order.get(domain[1])
+            if order is not None and len(order):
+                inv = np.empty(len(order), dtype=np.int32)
+                inv[order] = np.arange(len(order), dtype=np.int32)
+                perm[: len(order)] = inv
+            arrays["label_perm"] = perm
 
     # ---- additional readout inputs ----
     for name in model_ir.additional_inputs():
@@ -1008,6 +1036,16 @@ def repad_to_meta(
     if out.get("label") is not None and "label" in out:
         out["label"] = pad_rows(out["label"], target.label_pad)
         out["label_mask"] = pad_rows(out["label_mask"], target.label_pad)
+    if "label_perm" in out:
+        ne = target.edges(infer_label_domain(model_ir)[1])
+        if ne > len(out["label_perm"]):
+            # padding slots map to themselves (real edges stay a prefix)
+            out["label_perm"] = np.concatenate(
+                [
+                    out["label_perm"],
+                    np.arange(len(out["label_perm"]), ne, dtype=np.int32),
+                ]
+            )
 
     # interleave permutations: remap input slots between block layouts
     ml_c, ml_t = dict(meta.max_len), dict(target.max_len)

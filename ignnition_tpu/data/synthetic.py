@@ -212,3 +212,73 @@ def write_graphprop_dataset(
             info = tarfile.TarInfo("data.json")
             info.size = len(payload)
             tar.addfile(info, BytesIO(payload))
+
+
+# --------------------------------------------------------------------------
+# Link-prediction dataset (edge-domain label example)
+# --------------------------------------------------------------------------
+
+
+def make_linkpred_sample(
+    rng: np.random.Generator,
+    n_nodes: int = 20,
+    out_degree: int = 3,
+    noise: float = 0.05,
+) -> dict:
+    """One sample whose label lives on the EDGES of `adj_nodes_nodes`.
+
+    Per-node scalar `x`; a random directed adjacency; per-edge label
+
+        edge_score(s, d) = x_s * x_d + 0.3 * (x_s + x_d) + noise
+
+    listed in the adjacency dict's insertion order (the reference dataset
+    convention). Destinations are inserted in a SHUFFLED order on purpose:
+    the merged batch destination-sorts its edge lists, and edge-domain
+    labels/predictions must follow that reordering exactly — a dataset whose
+    dict happens to be pre-sorted would hide alignment bugs.
+    """
+    entities = {f"n{i}": "node" for i in range(n_nodes)}
+    x = rng.uniform(-1.0, 1.0, n_nodes)
+
+    adj: dict = {}
+    labels: List[float] = []
+    for d in rng.permutation(n_nodes):
+        d = int(d)
+        srcs = [int(s) for s in rng.choice(n_nodes, size=out_degree, replace=False)
+                if int(s) != d]
+        if not srcs:
+            srcs = [(d + 1) % n_nodes]
+        adj[f"n{d}"] = [f"n{s}" for s in srcs]
+        for s in srcs:
+            labels.append(
+                float(x[s] * x[d] + 0.3 * (x[s] + x[d])
+                      + noise * rng.standard_normal())
+            )
+    return {
+        "entities": entities,
+        "x": x.tolist(),
+        "edge_score": labels,
+        "adj_nodes_nodes": adj,
+    }
+
+
+def write_linkpred_dataset(
+    directory: str,
+    num_archives: int = 2,
+    samples_per_archive: int = 10,
+    seed: int = 0,
+    **sample_kw,
+) -> None:
+    os.makedirs(directory, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for a in range(num_archives):
+        samples = [
+            make_linkpred_sample(rng, **sample_kw)
+            for _ in range(samples_per_archive)
+        ]
+        payload = json.dumps(samples).encode()
+        path = os.path.join(directory, f"sample_{a}.tar.gz")
+        with tarfile.open(path, "w:gz") as tar:
+            info = tarfile.TarInfo("data.json")
+            info.size = len(payload)
+            tar.addfile(info, BytesIO(payload))

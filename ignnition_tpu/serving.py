@@ -97,7 +97,7 @@ def _meta_from_json(d: Mapping[str, Any]) -> BatchMeta:
     )
 
 
-_NON_INPUT_KEYS = ("label", "label_mask")
+_NON_INPUT_KEYS = ("label", "label_mask", "label_perm")
 
 
 def _serving_arrays(arrays: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -290,6 +290,12 @@ class ServingModel:
         kind, name = self.label_domain
         if kind == "entity":
             return preds[np.asarray(arrays[f"node_mask_{name}"]) > 0]
+        if kind == "edge":
+            perm = arrays.get("label_perm")
+            if perm is not None:  # original insertion-order edge order
+                preds = preds[np.asarray(perm)]
+            n = int(np.sum(np.asarray(arrays[f"edge_mask_{name}"]) > 0))
+            return preds[:n]
         return preds
 
     def build_batch(self, samples) -> Dict[str, np.ndarray]:
@@ -306,9 +312,18 @@ class ServingModel:
         return _serving_arrays(arrays)
 
     def predict_samples(self, samples, denormalize: bool = True) -> np.ndarray:
-        """Batch raw samples, run the artifact, trim padding rows."""
-        arrays = self.build_batch(samples)
-        return self.trim(self.predict(arrays, denormalize=denormalize), arrays)
+        """Batch raw samples, run the artifact, trim padding rows (edge-domain
+        outputs come back in the samples' original edge order)."""
+        if self.ir is None:
+            raise ValueError(
+                "this artifact was exported without its model description; "
+                "batch inputs externally with build_batch(target=meta)"
+            )
+        from .data.graph import build_batch as _build
+
+        arrays, _ = _build(samples, self.ir, training=False, target=self.meta)
+        preds = self.predict(_serving_arrays(arrays), denormalize=denormalize)
+        return self.trim(preds, arrays)
 
 
 def load_serving(out_dir: str) -> ServingModel:
