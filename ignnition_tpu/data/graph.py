@@ -886,11 +886,35 @@ def build_batch(
 
     # ---- additional readout inputs ----
     for name in model_ir.additional_inputs():
-        vals = [s.extras[name] for s in samples]
-        flat = np.concatenate([np.asarray(v).reshape(len(v), -1) for v in vals], axis=0)
-        pad_n = padding.pad_size(flat.shape[0])
-        buf = np.zeros((pad_n,) + flat.shape[1:], dtype=flat.dtype)
-        buf[: flat.shape[0]] = flat
+        vals = [
+            np.asarray(s.extras[name]).reshape(len(s.extras[name]), -1)
+            for s in samples
+        ]
+        # entity-shaped inputs (one row per node of some entity in every
+        # sample) must follow that entity's block layout — per-graph slots
+        # and pinned target metas place node rows at block offsets, not
+        # contiguously
+        ent = next(
+            (
+                e.name
+                for e in entities
+                if all(
+                    v.shape[0] == s.num_nodes.get(e.name, 0)
+                    for v, s in zip(vals, samples)
+                )
+            ),
+            None,
+        )
+        if ent is not None:
+            buf = np.zeros((node_pad[ent], vals[0].shape[1]), dtype=np.float32)
+            for g, v in enumerate(vals):
+                off = node_offsets[ent][g]
+                buf[off : off + len(v)] = v
+        else:
+            flat = np.concatenate(vals, axis=0)
+            pad_n = padding.pad_size(flat.shape[0])
+            buf = np.zeros((pad_n,) + flat.shape[1:], dtype=flat.dtype)
+            buf[: flat.shape[0]] = flat
         arrays[name] = np.squeeze(buf, axis=-1) if buf.shape[-1] == 1 else buf
 
     meta = BatchMeta(

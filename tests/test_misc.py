@@ -211,3 +211,53 @@ def test_sorted_segment_softmax_matches_generic():
     g1 = np.asarray(jax.grad(f1)(jnp.asarray(scores)))
     g2 = np.asarray(jax.grad(f2)(jnp.asarray(scores)))
     np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-6)
+
+
+def test_additional_input_follows_per_graph_block_layout():
+    """An entity-shaped additional input (one row per path) must sit at the
+    entity's block offsets under per-graph padding — merged predictions
+    equal per-sample predictions."""
+    from ignnition_tpu.data.graph import PaddingConfig
+
+    d = routenet_description(num_iterations=1, hs=8)
+    d["readout"] = [
+        {
+            "type": "product",
+            "type_product": "element_wise",
+            "input": ["path", "path_weights"],
+            "output_name": "weighted",
+        },
+        {
+            "type": "predict",
+            "input": ["weighted"],
+            "label": "delay",
+            "label_normalization": "log",
+            "nn_name": "readout_model",
+        },
+    ]
+    ir = parser.parse_model_description(d, {"link_capacity": 1, "traffic": 1})
+    spec = SampleSpec.from_ir(ir)
+    s1 = convert_sample(dict(TINY_SAMPLE, path_weights=[2, 3]), spec)
+    bigger = dict(
+        TINY_SAMPLE,
+        entities={**TINY_SAMPLE["entities"], "p2": "path"},
+        traffic=[1.0, 2.0, 0.5],
+        delay=[0.5, 0.25, 0.75],
+        path_weights=[4, 5, 6],
+        adj_links_paths={**TINY_SAMPLE["adj_links_paths"], "p2": ["l0"]},
+        adj_paths_links={"l0": ["p0", "p2"], "l1": ["p0", "p1"], "l2": ["p1"]},
+    )
+    s2 = convert_sample(bigger, spec)
+
+    model = build(ir)
+    params = model.init(jax.random.PRNGKey(0))
+    merged, meta = build_batch([s1, s2], ir, PaddingConfig(per_graph=True))
+    got = np.asarray(model.apply(params, merged, meta))[
+        np.asarray(merged["node_mask_path"]) > 0
+    ]
+    want = []
+    for s in (s1, s2):
+        a1, m1 = build_batch([s], ir)
+        p = np.asarray(model.apply(params, a1, m1))
+        want.append(p[np.asarray(a1["node_mask_path"]) > 0])
+    np.testing.assert_allclose(got, np.concatenate(want), rtol=1e-5, atol=1e-6)
