@@ -20,6 +20,7 @@ warm across steps.
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Mapping, Optional, Sequence, Set, Tuple
@@ -893,20 +894,39 @@ def build_batch(
         # entity-shaped inputs (one row per node of some entity in every
         # sample) must follow that entity's block layout — per-graph slots
         # and pinned target metas place node rows at block offsets, not
-        # contiguously
-        ent = next(
-            (
-                e.name
-                for e in entities
-                if all(
-                    v.shape[0] == s.num_nodes.get(e.name, 0)
-                    for v, s in zip(vals, samples)
-                )
-            ),
-            None,
-        )
+        # contiguously. Row-count matching is a heuristic (the dataset
+        # format carries no domain metadata, reference input_fn declares
+        # additional inputs as flat [None] vectors): if counts coincide
+        # with several entities whose layouts differ, we warn and pick the
+        # first declared one.
+        matches = [
+            e.name
+            for e in entities
+            if all(
+                v.shape[0] == s.num_nodes.get(e.name, 0)
+                for v, s in zip(vals, samples)
+            )
+        ]
+        layouts_differ = len(
+            {
+                (tuple(node_offsets[m]), node_pad[m])
+                for m in matches
+            }
+        ) > 1
+        if layouts_differ:
+            logging.getLogger("ignnition_tpu").warning(
+                "additional readout input '%s' matches the node counts of "
+                "several entities (%s) with different layouts; assuming "
+                "'%s'",
+                name,
+                ", ".join(matches),
+                matches[0],
+            )
+        ent = matches[0] if matches else None
         if ent is not None:
-            buf = np.zeros((node_pad[ent], vals[0].shape[1]), dtype=np.float32)
+            buf = np.zeros(
+                (node_pad[ent], vals[0].shape[1]), dtype=vals[0].dtype
+            )
             for g, v in enumerate(vals):
                 off = node_offsets[ent][g]
                 buf[off : off + len(v)] = v

@@ -300,7 +300,12 @@ class ServingModel:
 
     def build_batch(self, samples) -> Dict[str, np.ndarray]:
         """Batch raw GraphSamples directly to the exported shapes (pinned
-        via build_batch(target=meta)). Needs the stored model description."""
+        via build_batch(target=meta)). Needs the stored model description.
+
+        The result may carry keys the program doesn't consume (e.g.
+        `label_perm` for edge-domain models — `trim` uses it to restore the
+        samples' original edge order); `predict` picks only the exported
+        inputs."""
         if self.ir is None:
             raise ValueError(
                 "this artifact was exported without its model description; "
@@ -309,21 +314,13 @@ class ServingModel:
         from .data.graph import build_batch as _build
 
         arrays, _ = _build(samples, self.ir, training=False, target=self.meta)
-        return _serving_arrays(arrays)
+        return arrays
 
     def predict_samples(self, samples, denormalize: bool = True) -> np.ndarray:
         """Batch raw samples, run the artifact, trim padding rows (edge-domain
         outputs come back in the samples' original edge order)."""
-        if self.ir is None:
-            raise ValueError(
-                "this artifact was exported without its model description; "
-                "batch inputs externally with build_batch(target=meta)"
-            )
-        from .data.graph import build_batch as _build
-
-        arrays, _ = _build(samples, self.ir, training=False, target=self.meta)
-        preds = self.predict(_serving_arrays(arrays), denormalize=denormalize)
-        return self.trim(preds, arrays)
+        arrays = self.build_batch(samples)
+        return self.trim(self.predict(arrays, denormalize=denormalize), arrays)
 
 
 def load_serving(out_dir: str) -> ServingModel:

@@ -313,23 +313,44 @@ class Trainer:
         transfer with the running step — the device-side half of the
         reference's tf.data prefetch (generate_model.py:188-198)."""
         q: queue.Queue = queue.Queue(maxsize=size)
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for arrays, meta in batch_iter:
-                    q.put((jax.device_put(arrays), meta))
+                    if not put((jax.device_put(arrays), meta)):
+                        return  # consumer gone — drop staged batches
             except BaseException as e:  # surface errors to the consumer
-                q.put(e)
-            q.put(None)
+                put(e)
+            put(None)
 
         threading.Thread(target=worker, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # consumer closed early (train loop hit max_steps): release the
+            # worker and the device memory its staged batches pin
+            stop.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
     # ------------------------------------------------------------------
     # loops
@@ -409,9 +430,22 @@ class Trainer:
         last_save = time.time()
         last_eval = time.time()
 
+        if cache_batches == "device" and (
+            mesh is not None or accumulate_steps > 1
+        ):
+            # stacked/sharded steps re-assemble batches host-side
+            # (np.stack / global-array placement) — device-cached batches
+            # would bounce back to the host every step; host caching keeps
+            # the win that's actually available here
+            log.info(
+                "cache_batches='device' downgraded to host caching "
+                "(stacked/sharded steps assemble batches host-side)"
+            )
+            cache_batches = True
         if mesh is not None:
             batch_iter = self._sharded_batch_iter(
-                data_dir, batch_size, mesh, shuffle
+                data_dir, batch_size, mesh, shuffle,
+                workers=input_workers, cache=cache_batches,
             )
             step_cache: Dict[Any, Callable] = {}
         elif accumulate_steps > 1:
@@ -530,7 +564,9 @@ class Trainer:
                 yield stack_batches(group, self.ir)
                 group = []
 
-    def _sharded_batch_iter(self, data_dir, batch_size, mesh, shuffle):
+    def _sharded_batch_iter(
+        self, data_dir, batch_size, mesh, shuffle, workers=1, cache=False
+    ):
         """Group this process's share of the mesh's 'data' axis per step and
         stack it on the leading axis (re-padded to a common bucket).
 
@@ -554,7 +590,8 @@ class Trainer:
         seed = None if n_procs == 1 else 1_000_003 * (jax.process_index() + 1)
         group = []
         for item in self.batches(
-            data_dir, batch_size, shuffle=shuffle, repeat=True, seed=seed
+            data_dir, batch_size, shuffle=shuffle, repeat=True, seed=seed,
+            workers=workers, cache=cache,
         ):
             group.append(item)
             if len(group) == n_local:

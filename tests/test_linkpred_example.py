@@ -152,6 +152,12 @@ def test_linkpred_serving_edge_domain(dataset, model_ir, tmp_path):
     sm = load_serving(out)
     assert sm.label_domain == ("edge", "adj_nodes_nodes")
     served = sm.predict_samples(samples[:2], denormalize=False)
+    # the external three-step flow must match (build_batch keeps label_perm)
+    ext = sm.build_batch(samples[:2])
+    np.testing.assert_allclose(
+        sm.trim(sm.predict(ext, denormalize=False), ext), served,
+        rtol=1e-6, atol=1e-6,
+    )
     direct = np.asarray(gnn.apply(params, arrays, meta))
     perm = np.asarray(arrays["label_perm"])
     n = sum(len(s.adjacencies["adj_nodes_nodes"].src_idx) for s in samples[:2])

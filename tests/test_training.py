@@ -360,3 +360,14 @@ def test_runconfig_ini_cache_device(tmp_path):
     cfg = RunConfig.from_ini(str(ini))
     assert cfg.cache_batches == "device"
     assert cfg.device_prefetch == 3
+
+
+def test_device_cache_downgrades_for_accumulation(dataset, trainer):
+    """cache_batches='device' + accumulate_steps>1 must not bounce device
+    arrays back through np.stack — it downgrades to host caching."""
+    state = trainer.train(
+        trainer.init_state(jax.random.PRNGKey(1)), dataset, max_steps=2,
+        batch_size=2, accumulate_steps=2, cache_batches="device",
+        log_every=0,
+    )
+    assert state.step == 2
