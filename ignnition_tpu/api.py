@@ -113,6 +113,7 @@ class Runner:
                 num_batches=cfg.eval_samples,
                 denormalization=denorm,
                 label_name=label_name,
+                cache=True,  # periodic evals reuse the built batches
             )
 
         return self.trainer.train(

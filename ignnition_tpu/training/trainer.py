@@ -67,6 +67,7 @@ class Trainer:
         self._train_steps: Dict[BatchMeta, Callable] = {}
         self._accum_steps: Dict[Tuple[BatchMeta, int], Callable] = {}
         self._eval_steps: Dict[BatchMeta, Callable] = {}
+        self._eval_batches: Dict[Any, list] = {}
 
     # ------------------------------------------------------------------
 
@@ -606,12 +607,30 @@ class Trainer:
         batch_size: int = 1,
         denormalization: Optional[Callable] = None,
         label_name: str = "label",
+        cache: bool = False,
     ) -> Dict[str, float]:
+        """cache=True memoizes the built eval batches on the Trainer, so the
+        periodic in-training evals (throttle_secs) pay the host build cost
+        once instead of re-reading the archives every time."""
         acc = MetricAccumulator()
         total_loss, n = 0.0, 0
-        for arrays, meta in self.batches(
-            data_dir, batch_size, shuffle=False, repeat=False
-        ):
+        if cache:
+            key = (data_dir, batch_size, num_batches)
+            if key not in self._eval_batches:
+                built = []
+                for item in self.batches(
+                    data_dir, batch_size, shuffle=False, repeat=False
+                ):
+                    built.append(item)
+                    if len(built) >= num_batches:
+                        break
+                self._eval_batches[key] = built
+            batch_iter = iter(self._eval_batches[key])
+        else:
+            batch_iter = self.batches(
+                data_dir, batch_size, shuffle=False, repeat=False
+            )
+        for arrays, meta in batch_iter:
             if n >= num_batches:
                 break
             preds, loss = self.eval_step_fn(meta)(state.params, arrays)

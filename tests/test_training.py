@@ -371,3 +371,14 @@ def test_device_cache_downgrades_for_accumulation(dataset, trainer):
         log_every=0,
     )
     assert state.step == 2
+
+
+def test_evaluate_cache_reuses_batches(dataset, trainer):
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    r1 = trainer.evaluate(state, dataset, num_batches=3, cache=True)
+    assert len(trainer._eval_batches) == 1
+    r2 = trainer.evaluate(state, dataset, num_batches=3, cache=True)
+    assert r1 == r2
+    r3 = trainer.evaluate(state, dataset, num_batches=3)
+    for k in ("mae", "loss"):
+        np.testing.assert_allclose(r1[k], r3[k], rtol=1e-6)
