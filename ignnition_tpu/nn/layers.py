@@ -63,4 +63,14 @@ def orthogonal(rng, shape, dtype=jnp.float32):
     return jax.nn.initializers.orthogonal()(rng, shape, dtype)
 
 
-SUPPORTED_LAYERS = ("Dense", "Dropout", "Activation", "LayerNormalization")
+SUPPORTED_LAYERS = (
+    "Dense",
+    "Dropout",
+    "Activation",
+    "LayerNormalization",
+    "LeakyReLU",
+    "ReLU",
+    "ELU",
+    "Softmax",
+    "GaussianNoise",
+)

@@ -44,7 +44,15 @@ def init(
                 p["bias"] = jnp.zeros((int(units),), jnp.float32)
             params.append(p)
             dim = int(units)
-        elif layer.kind in ("Dropout", "Activation"):
+        elif layer.kind in (
+            "Dropout",
+            "Activation",
+            "LeakyReLU",
+            "ReLU",
+            "ELU",
+            "Softmax",
+            "GaussianNoise",
+        ):
             params.append({})
         elif layer.kind == "LayerNormalization":
             # Keras defaults: axis=-1, epsilon=1e-3, center/scale True,
@@ -58,7 +66,8 @@ def init(
         else:
             raise ValueError(
                 f"unsupported layer type '{layer.kind}' in network '{spec.name}'; "
-                f"supported: Dense, Dropout, Activation, LayerNormalization "
+                f"supported: Dense, Dropout, Activation, LayerNormalization, "
+                f"LeakyReLU, ReLU, ELU, Softmax, GaussianNoise "
                 f"(BatchNormalization is intentionally unsupported: the "
                 f"reference's manual-gradient estimator path never runs its "
                 f"moving-average update ops, see docs/dsl.md)"
@@ -89,6 +98,30 @@ def apply(
                 rng, key = jax.random.split(rng)
                 keep = jax.random.bernoulli(key, 1.0 - layer.rate, x.shape)
                 x = jnp.where(keep, x / (1.0 - layer.rate), 0.0)
+        elif layer.kind == "LeakyReLU":
+            # keras LeakyReLU layer default alpha=0.3 (NOT the 0.2 used by
+            # the reference's attention op or jax.nn.leaky_relu's 0.01)
+            x = jax.nn.leaky_relu(x, float(layer.extra.get("alpha", 0.3)))
+        elif layer.kind == "ReLU":
+            neg = float(layer.extra.get("negative_slope", 0.0))
+            thr = float(layer.extra.get("threshold", 0.0))
+            mx = layer.extra.get("max_value")
+            y = jnp.where(x >= thr, x, neg * (x - thr))
+            x = jnp.minimum(y, float(mx)) if mx is not None else y
+        elif layer.kind == "ELU":
+            x = jax.nn.elu(x, float(layer.extra.get("alpha", 1.0)))
+        elif layer.kind == "Softmax":
+            x = jax.nn.softmax(x, axis=int(layer.extra.get("axis", -1)))
+        elif layer.kind == "GaussianNoise":
+            if not deterministic:
+                if rng is None:
+                    raise ValueError(
+                        "GaussianNoise requires an rng in training mode"
+                    )
+                rng, key = jax.random.split(rng)
+                x = x + float(layer.extra.get("stddev", 0.0)) * (
+                    jax.random.normal(key, x.shape, x.dtype)
+                )
         elif layer.kind == "LayerNormalization":
             eps = float(layer.extra.get("epsilon", 1e-3))
             mean = jnp.mean(x, axis=-1, keepdims=True)

@@ -119,3 +119,68 @@ def test_layernorm_scale_center_flags():
     y = np.asarray(mlp.apply(spec, params, jnp.asarray(x)))
     np.testing.assert_allclose(y.mean(-1), 0.0, atol=1e-5)
     np.testing.assert_allclose(y.std(-1), 1.0, atol=1e-3)
+
+
+def test_activation_layer_kinds_keras_semantics():
+    """LeakyReLU (keras default alpha=0.3), ReLU (max_value/negative_slope/
+    threshold), ELU, Softmax as standalone layers (reference reflects over
+    tf.keras.layers.<type_layer>, a_c.py:839-865)."""
+    x = jnp.array([[-2.0, -0.5, 0.5, 3.0]])
+
+    spec = ir.MLPSpec(name="m", layers=(ir.LayerSpec(kind="LeakyReLU"),))
+    params, out = mlp.init(jax.random.PRNGKey(0), spec, in_dim=4)
+    np.testing.assert_allclose(
+        mlp.apply(spec, params, x),
+        [[-0.6, -0.15, 0.5, 3.0]], rtol=1e-6,
+    )
+
+    spec = ir.MLPSpec(
+        name="m",
+        layers=(ir.LayerSpec(kind="LeakyReLU", extra={"alpha": 0.1}),),
+    )
+    params, _ = mlp.init(jax.random.PRNGKey(0), spec, in_dim=4)
+    np.testing.assert_allclose(
+        mlp.apply(spec, params, x), [[-0.2, -0.05, 0.5, 3.0]], rtol=1e-6
+    )
+
+    spec = ir.MLPSpec(
+        name="m",
+        layers=(
+            ir.LayerSpec(
+                kind="ReLU",
+                extra={"max_value": 2.0, "negative_slope": 0.5, "threshold": 0.0},
+            ),
+        ),
+    )
+    params, _ = mlp.init(jax.random.PRNGKey(0), spec, in_dim=4)
+    np.testing.assert_allclose(
+        mlp.apply(spec, params, x), [[-1.0, -0.25, 0.5, 2.0]], rtol=1e-6
+    )
+
+    spec = ir.MLPSpec(name="m", layers=(ir.LayerSpec(kind="ELU"),))
+    params, _ = mlp.init(jax.random.PRNGKey(0), spec, in_dim=4)
+    np.testing.assert_allclose(
+        mlp.apply(spec, params, x),
+        [[np.expm1(-2.0), np.expm1(-0.5), 0.5, 3.0]], rtol=1e-5,
+    )
+
+    spec = ir.MLPSpec(name="m", layers=(ir.LayerSpec(kind="Softmax"),))
+    params, _ = mlp.init(jax.random.PRNGKey(0), spec, in_dim=4)
+    y = np.asarray(mlp.apply(spec, params, x))
+    np.testing.assert_allclose(y.sum(axis=-1), [1.0], rtol=1e-6)
+
+
+def test_gaussian_noise_layer():
+    spec = ir.MLPSpec(
+        name="m", layers=(ir.LayerSpec(kind="GaussianNoise", extra={"stddev": 0.5}),)
+    )
+    params, _ = mlp.init(jax.random.PRNGKey(0), spec, in_dim=3)
+    x = jnp.ones((64, 3))
+    # deterministic (eval) mode: identity
+    np.testing.assert_array_equal(mlp.apply(spec, params, x), x)
+    # training mode: additive noise with the requested scale
+    y = np.asarray(
+        mlp.apply(spec, params, x, deterministic=False, rng=jax.random.PRNGKey(1))
+    )
+    assert not np.allclose(y, np.asarray(x))
+    assert 0.3 < np.std(y - np.asarray(x)) < 0.7
