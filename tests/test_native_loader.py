@@ -1,5 +1,7 @@
 """Native (C++) loader parity with the pure-python conversion path."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -83,3 +85,27 @@ def test_native_falls_back_on_bad_sample(tmp_path):
     spec = SampleSpec.from_ir(ir)
     out = list(ds.iter_samples(str(tmp_path), spec))
     assert out == []  # archive skipped with a logged error
+
+
+def test_native_preserves_adjacency_insertion_order(tmp_path):
+    """Edge-domain labels are listed in the adjacency dict's insertion
+    order, so the native JSON parser must preserve document key order —
+    the linkpred generator inserts destinations in SHUFFLED order."""
+    from ignnition_tpu.data.synthetic import write_linkpred_dataset
+    import yaml
+
+    write_linkpred_dataset(str(tmp_path), 1, 5, seed=21)
+    desc = yaml.safe_load(
+        open(os.path.join(os.path.dirname(__file__), "..", "examples",
+                          "linkpred", "model_description.yaml"))
+    )
+    ir = parser.parse_model_description(desc, {"x": 1})
+    spec = SampleSpec.from_ir(ir)
+    native = list(ds.iter_samples(str(tmp_path), spec, use_native="auto"))
+    python = list(ds.iter_samples(str(tmp_path), spec, use_native="never"))
+    assert len(native) == len(python) == 5
+    for a, b in zip(native, python):
+        adj, badj = a.adjacencies["adj_nodes_nodes"], b.adjacencies["adj_nodes_nodes"]
+        np.testing.assert_array_equal(adj.src_idx, badj.src_idx)
+        np.testing.assert_array_equal(adj.dst_idx, badj.dst_idx)
+        np.testing.assert_allclose(a.label, b.label)
