@@ -116,4 +116,24 @@ def write_debug_artifacts(model, out_dir: Optional[str] = None, **runner_kw) -> 
     lowered = jax.jit(lambda p, b: runner.gnn.apply(p, b, meta)).lower(params, arrays)
     with open(os.path.join(out_dir, "model.hlo.txt"), "w") as f:
         f.write(lowered.as_text())
+
+    # TensorBoard-loadable event file (`tensorboard --logdir <debug_dir>`),
+    # mirroring the reference's TensorBoard-based debug workflow
+    # (readme.md:109-116): the structure tree and parameter inventory as
+    # text summaries
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(out_dir)
+        writer.add_text(
+            "model/structure",
+            "```\n" + structure_report(model.ir) + "```",
+        )
+        writer.add_text(
+            "model/parameters",
+            "```\n" + params_report(params) + "```",
+        )
+        writer.close()
+    except ImportError:
+        pass  # the text artifacts above carry the same content
     return out_dir
