@@ -39,6 +39,11 @@ def _validate_semantics(data: Mapping[str, Any]) -> None:
     nn_names = {n["nn_name"] for n in data["neural_networks"]}
 
     produced = set(_RESERVED_INPUTS)
+    # the update model is shared per destination entity (the reference
+    # stores it under setattr(dst + '_update') — generate_model.py:313/326 —
+    # so later declarations silently OVERWRITE earlier ones; we make the
+    # conflict a friendly error instead)
+    dst_updates: dict = {}
     for stage in data["message_passing"]["stages"]:
         for mp in stage["stage_mp"]:
             dst = mp["destination_entity"]
@@ -74,6 +79,16 @@ def _validate_semantics(data: Mapping[str, Any]) -> None:
                 raise ModelDescriptionError(
                     f"the update of message passing to '{dst}' references "
                     f"undefined neural network '{upd['nn_name']}'"
+                )
+            sig = (upd["type"], upd.get("nn_name"))
+            prev = dst_updates.setdefault((dst, upd["type"]), sig)
+            if prev != sig:
+                raise ModelDescriptionError(
+                    f"the destination entity '{dst}' is updated by multiple "
+                    f"message passings with different update networks "
+                    f"('{prev[1]}' vs '{sig[1]}'); the update model is shared "
+                    f"per destination entity — declare the same nn_name for "
+                    f"every message passing that updates '{dst}'"
                 )
 
     for op in data["readout"]:

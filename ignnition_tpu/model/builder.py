@@ -154,6 +154,7 @@ class GnnModel:
         state_dims = self.state_dims
         extra_dims = dict(extra_dims or {})
         params: Dict[str, Any] = {"message": {}, "aggregation": {}, "update": {}, "readout": {}}
+        upd_in_dims: Dict[str, int] = {}
 
         for si, stage in enumerate(model_ir.stages):
             for mi, mp in enumerate(stage.passes):
@@ -204,6 +205,7 @@ class GnnModel:
                         params["update"][key_name] = RNN.init(
                             key, upd.rnn, in_dim=agg_dim, units=dst_dim
                         )
+                        upd_in_dims[key_name] = agg_dim
                 else:
                     key_name = f"{mp.destination}_ff_update"
                     if key_name not in params["update"]:
@@ -212,6 +214,19 @@ class GnnModel:
                             key, upd.mlp, in_dim=agg_dim + dst_dim, last_units=dst_dim
                         )
                         params["update"][key_name] = p
+                        upd_in_dims[key_name] = agg_dim
+                # the update model is shared per destination (reference
+                # semantics, generate_model.py:313/326): every message
+                # passing that feeds it must aggregate to the same width
+                if upd_in_dims[key_name] != agg_dim:
+                    raise BuildError(
+                        f"the message passings updating '{mp.destination}' "
+                        f"aggregate to different dimensionalities "
+                        f"({upd_in_dims[key_name]} vs {agg_dim}); the "
+                        f"destination's update model is shared, so every "
+                        f"message passing feeding it must produce messages "
+                        f"of the same width"
+                    )
 
         # readout models (reference generate_model.py:350-382)
         ro_dims: Dict[str, int] = dict(state_dims)
