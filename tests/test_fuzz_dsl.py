@@ -362,7 +362,9 @@ def test_fuzzed_model_invariants(seed):
         err_msg=f"seed {seed}: merged != per-graph\n" + json.dumps(desc)[:2000],
     )
 
-    # invariant 2: fast paths == companion-stripped fallback
+    # invariant 2: fast paths == companion-stripped fallback, for the
+    # forward AND the gradients (the custom VJPs behind the fused paths are
+    # the riskiest code in the compiler back-end)
     stripped = {
         k: v
         for k, v in merged.items()
@@ -373,6 +375,24 @@ def test_fuzzed_model_invariants(seed):
         got, slow, rtol=2e-4, atol=2e-5,
         err_msg=f"seed {seed}: fast != fallback\n" + json.dumps(desc)[:2000],
     )
+
+    def loss(p, b):
+        out = model.apply(p, b, meta)
+        return jax.numpy.sum(out * out)
+
+    g_fast = jax.grad(loss)(params, merged)
+    g_slow = jax.grad(loss)(params, stripped)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_fast)[0],
+        jax.tree_util.tree_flatten_with_path(g_slow)[0],
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), f"seed {seed}: non-finite grad at {path}"
+        np.testing.assert_allclose(
+            a, b, rtol=5e-4, atol=5e-5,
+            err_msg=f"seed {seed}: grad mismatch at {path}\n"
+            + json.dumps(desc)[:2000],
+        )
 
 
 def test_conflicting_shared_update_is_a_friendly_error():
