@@ -488,6 +488,19 @@ def build_batch(
     entities = model_ir.entities
     adj_info = model_ir.adjacency_info()
 
+    # sequence-shaped multi-source aggregations (interleave, concat) can
+    # have EMPTY slots inside the masked sequence length; the fast slice
+    # paths realize those gaps by pointing at the entity's LAST padded node
+    # row (zero after the node-mask multiply). That row must therefore be a
+    # real padding row — these source entities always get at least one.
+    needs_pad_row = {
+        src.entity
+        for mp in model_ir.all_passes()
+        if mp.aggregation.kind in ("interleave", "concat")
+        or (mp.aggregation.kind == "ordered" and len(mp.sources) > 1)
+        for src in mp.sources
+    }
+
     # target pinning: per-entity slot sizes implied by the target's
     # block-diagonal incidence shapes (graph g's rows must occupy
     # [g*slot, (g+1)*slot) for those entities)
@@ -542,6 +555,11 @@ def build_batch(
             slot = pinned_slots.get(e.name)
             if slot is not None:
                 mx = max((s.num_nodes.get(e.name, 0) for s in samples), default=0)
+                if (
+                    e.name in needs_pad_row
+                    and num_graphs * slot == node_pad_t[e.name]
+                ):
+                    mx += 1  # no global tail: the last block keeps a masked row
                 if mx > slot or num_graphs * slot > node_pad_t[e.name]:
                     raise ValueError(
                         f"entity '{e.name}' does not fit the target meta: "
@@ -549,22 +567,32 @@ def build_batch(
                         f"(node pad {node_pad_t[e.name]})"
                     )
                 node_offsets[e.name] = [g * slot for g in range(num_graphs)]
-            elif node_totals[e.name] > node_pad_t[e.name]:
+            elif node_totals[e.name] + (
+                1 if e.name in needs_pad_row else 0
+            ) > node_pad_t[e.name]:
                 raise ValueError(
                     f"entity '{e.name}' does not fit the target meta: "
                     f"{node_totals[e.name]} real rows vs padded "
                     f"{node_pad_t[e.name]}"
+                    + (
+                        " (sequence-shaped aggregations need one masked "
+                        "padding row)"
+                        if e.name in needs_pad_row
+                        and node_totals[e.name] <= node_pad_t[e.name]
+                        else ""
+                    )
                 )
     elif padding.per_graph:
         # uniform per-graph blocks: graph g's entity block occupies
         # [g*size, (g+1)*size) regardless of its real count, so the merged
         # batch is always uniform (block-diagonal incidence eligible)
-        per_graph_size = {
-            e.name: padding.pad_size(
-                max((s.num_nodes.get(e.name, 0) for s in samples), default=1)
-            )
-            for e in entities
-        }
+        def _slot(e):
+            mx = max((s.num_nodes.get(e.name, 0) for s in samples), default=1)
+            if e.name in needs_pad_row:
+                mx += 1  # guarantee a masked row in the LAST graph's block
+            return padding.pad_size(mx)
+
+        per_graph_size = {e.name: _slot(e) for e in entities}
         node_offsets = {
             e.name: [g * per_graph_size[e.name] for g in range(num_graphs)]
             for e in entities
@@ -574,7 +602,10 @@ def build_batch(
         }
     else:
         node_pad = {
-            e.name: padding.pad_size(node_totals[e.name]) for e in entities
+            e.name: padding.pad_size(
+                node_totals[e.name] + (1 if e.name in needs_pad_row else 0)
+            )
+            for e in entities
         }
 
     arrays: Dict[str, np.ndarray] = {}

@@ -227,3 +227,90 @@ def test_multi_source_sum_decomposition_matches_fallback():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
         )
+
+
+def test_interleave_gap_with_exact_fit_node_count():
+    """Regression (found by the DSL fuzz): when a source entity's node count
+    exactly filled its padding bucket, the fast interleave path's gap slots
+    pointed at a REAL node's state instead of a masked zero row. The data
+    layer now guarantees one masked padding row for interleave/concat
+    source entities."""
+    import jax
+    import numpy as np
+
+    from ignnition_tpu.data import SampleSpec, build_batch
+    from ignnition_tpu.data.dataset import convert_sample
+    from ignnition_tpu.frontend import parser
+    from ignnition_tpu.model import build
+
+    desc = {
+        "entities": [
+            {"name": "A", "hidden_state_dimension": 6,
+             "features": [{"name": "f_A"}]},
+            {"name": "B", "hidden_state_dimension": 6,
+             "features": [{"name": "f_B"}]},
+        ],
+        "message_passing": {
+            "num_iterations": 1,
+            "stages": [{
+                "stage_name": "s0",
+                "stage_mp": [{
+                    "destination_entity": "A",
+                    "source_entities": [
+                        {"name": "A", "adj_vector": "adj_AA",
+                         "message": [{"type": "direct_assignation"}]},
+                        {"name": "B", "adj_vector": "adj_BA",
+                         "message": [{"type": "direct_assignation"}]},
+                    ],
+                    "aggregation": {"type": "interleave",
+                                    "interleave_definition": "ilv"},
+                    "update": {"type": "recurrent_neural_network",
+                               "nn_name": "g"},
+                }],
+            }],
+        },
+        "readout": [{"type": "predict", "input": ["A"], "label": "y",
+                     "nn_name": "ro"}],
+        "neural_networks": [
+            {"nn_name": "g", "nn_type": "recurrent_neural_network",
+             "recurrent_type": "GRU"},
+            {"nn_name": "ro", "nn_type": "feed_forward",
+             "nn_architecture": [{"type_layer": "Dense", "units": 1}]},
+        ],
+        "learning_options": {
+            "loss": "MeanSquaredError",
+            "optimizer": {"type": "Adam", "learning_rate": 0.001},
+        },
+    }
+    ir = parser.parse_model_description(desc, {"f_A": 1, "f_B": 1})
+    spec = SampleSpec.from_ir(ir, training=False)
+    r = np.random.default_rng(0)
+    # 8 nodes of each entity = exactly the default pow2/min_size bucket;
+    # a0 receives 3 A-messages (interleave slots 0,2,4) and ONE B-message
+    # (slot 1) -> gap at slot 3 inside the masked length of 4
+    raw = {
+        "entities": {**{f"a{i}": "A" for i in range(8)},
+                     **{f"b{i}": "B" for i in range(8)}},
+        "f_A": r.uniform(-1, 1, 8).round(3).tolist(),
+        "f_B": r.uniform(-1, 1, 8).round(3).tolist(),
+        "adj_AA": {"a0": ["a1", "a2", "a3"]},
+        "adj_BA": {"a0": ["b7"]},  # b7 = the would-be fake "padding" row
+        "ilv": ["A", "B"],
+    }
+    s = convert_sample(raw, spec)
+    model = build(ir)
+    params = model.init(jax.random.PRNGKey(0))
+    arrays, meta = build_batch([s], ir, training=False)
+    assert meta.nodes("A") > 8 and meta.nodes("B") > 8  # the guaranteed row
+    fast = np.asarray(model.apply(params, arrays, meta))
+    stripped = {
+        k: v for k, v in arrays.items()
+        if not any(k.startswith(p) for p in (
+            "row_ptr_", "lens_", "src_perm_", "src_row_ptr_", "src_sorted_",
+            "dst_in_src_order_", "emask_src_order_", "slice_src_",
+            "slice_sort_", "dense_inc_", "inc_blocks_", "bwd_slice_dst_",
+            "out_lens_", "ilv_slice", "ilv_sort",
+        ))
+    }
+    slow = np.asarray(model.apply(params, stripped, meta))
+    np.testing.assert_allclose(fast, slow, rtol=1e-5, atol=1e-6)

@@ -77,6 +77,7 @@ def random_description(rng: np.random.Generator):
     # generate_model.py:313) — reuse one spec per dst, and keep message
     # widths to a dst uniform (no axis-2 concat once a dst is shared)
     dst_updates: dict = {}
+    patterns = []  # (dataset key, [src entity, ...]) interleave definitions
     for si in range(n_stages):
         mps = []
         for mi in range(int(rng.integers(1, 3))):
@@ -84,17 +85,24 @@ def random_description(rng: np.random.Generator):
             shared = dst_updates.get(dst)
             if shared is not None and shared.get("locked"):
                 continue  # dst consumed by an axis-2 concat (wider input)
-            if shared is None:
+            if shared is None or shared["kind"] == "recurrent":
                 agg_choices = ["sum", "ordered", "attention", "convolution", "concat"]
-            elif shared["kind"] == "recurrent":
-                agg_choices = ["sum", "ordered", "attention", "convolution", "concat"]
+                if len(entities) >= 2:
+                    agg_choices.append("interleave")
             else:  # ff update can't consume sequence-shaped aggregations
                 agg_choices = ["sum", "attention", "convolution"]
             agg = str(rng.choice(agg_choices))
-            n_src = 2 if agg in ("sum", "concat") and rng.random() < 0.5 else 1
+            n_src = 2 if agg in ("sum", "concat", "interleave") else 1
+            if agg in ("sum", "concat") and rng.random() < 0.5:
+                n_src = 1
+            if agg == "interleave":
+                # interleave weaves DISTINCT source entities by pattern
+                src_pool = list(rng.choice(entities, size=2, replace=False))
+            else:
+                src_pool = [str(rng.choice(entities)) for _ in range(n_src)]
             sources = []
-            for _ in range(n_src):
-                src = str(rng.choice(entities))
+            for src in src_pool:
+                src = str(src)
                 if (src, dst, si, mi) in used_pairs:
                     continue
                 used_pairs.add((src, dst, si, mi))
@@ -128,7 +136,13 @@ def random_description(rng: np.random.Generator):
                 )
             if not sources:
                 continue
+            if agg == "interleave" and len(sources) < 2:
+                continue  # pair collided with used_pairs — skip this draw
             aggregation = {"type": agg}
+            if agg == "interleave":
+                key = f"ilv_{dst}_{si}_{mi}"
+                aggregation["interleave_definition"] = key
+                patterns.append((key, [s["name"] for s in sources]))
             if agg == "concat":
                 # axis-2 concat widens the update input (n_src * HS) — only
                 # safe when this dst's update isn't shared with other widths
@@ -142,7 +156,7 @@ def random_description(rng: np.random.Generator):
                 update = shared["update"]
             else:
                 # sequence-shaped aggregations need a recurrent update
-                if agg in ("ordered", "concat") or rng.random() < 0.5:
+                if agg in ("ordered", "concat", "interleave") or rng.random() < 0.5:
                     update = {
                         "type": "recurrent_neural_network",
                         "nn_name": gru(f"upd_{dst}"),
@@ -279,10 +293,10 @@ def random_description(rng: np.random.Generator):
             "optimizer": {"type": "Adam", "learning_rate": 0.001},
         },
     }
-    return desc, entities, adjacencies
+    return desc, entities, adjacencies, patterns
 
 
-def random_raw_sample(rng, entities, adjacencies):
+def random_raw_sample(rng, entities, adjacencies, patterns=()):
     """One raw JSON-style sample matching the drawn model (shuffled
     adjacency insertion order, per-dst source lists)."""
     counts = {e: int(rng.integers(3, 9)) for e in entities}
@@ -305,13 +319,15 @@ def random_raw_sample(rng, entities, adjacencies):
             else:
                 adj[names[dst][int(d)]] = [names[src][int(s)] for s in srcs]
         raw[adj_name] = adj
+    for key, pattern in patterns:
+        raw[key] = list(pattern)
     return raw
 
 
 @pytest.mark.parametrize("seed", range(12))
 def test_fuzzed_model_invariants(seed):
     rng = np.random.default_rng(1000 + seed)
-    desc, entities, adjacencies = random_description(rng)
+    desc, entities, adjacencies, patterns = random_description(rng)
     dims = {f"f_{e}": 1 for e in entities}
     for adj_name, _, _, has_params in adjacencies:
         if has_params:  # reference find_dataset_dimensions infers these
@@ -325,7 +341,9 @@ def test_fuzzed_model_invariants(seed):
         )
     spec = SampleSpec.from_ir(model_ir, training=False)
     samples = [
-        convert_sample(random_raw_sample(rng, entities, adjacencies), spec)
+        convert_sample(
+            random_raw_sample(rng, entities, adjacencies, patterns), spec
+        )
         for _ in range(3)
     ]
     model = build(model_ir)
@@ -399,7 +417,7 @@ def test_conflicting_shared_update_is_a_friendly_error():
     """Two message passings updating the same destination with different
     update networks: the reference silently last-wins-overwrites the shared
     update model (generate_model.py:313); here it's a validation error."""
-    desc, entities, _ = random_description(np.random.default_rng(0))
+    desc, entities, _, _ = random_description(np.random.default_rng(0))
     desc = {
         "entities": [
             {"name": "a", "hidden_state_dimension": 8, "features": [{"name": "f_a"}]}
