@@ -324,7 +324,7 @@ def random_raw_sample(rng, entities, adjacencies, patterns=()):
     return raw
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(24))
 def test_fuzzed_model_invariants(seed):
     rng = np.random.default_rng(1000 + seed)
     desc, entities, adjacencies, patterns = random_description(rng)
