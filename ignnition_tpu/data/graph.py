@@ -81,7 +81,8 @@ class BatchMeta:
     node_pad: Tuple[Tuple[str, int], ...]  # entity -> padded node count
     edge_pad: Tuple[Tuple[str, int], ...]  # adj name -> padded edge count
     max_len: Tuple[Tuple[str, int], ...]  # adj name -> padded max sequence length
-    interleave_len: Tuple[Tuple[str, int], ...] = ()  # dst entity -> T_out
+    # interleave tag (interleave_tag(dst, si, mi)) -> combined T_out
+    interleave_len: Tuple[Tuple[str, int], ...] = ()
     label_pad: int = 0
     # adj name -> rows of the bounded out-degree backward slice map
     # (0 = not emitted / out-degree unbounded)
@@ -99,8 +100,8 @@ class BatchMeta:
     def maxlen(self, adj: str) -> int:
         return dict(self.max_len)[adj]
 
-    def ilv_len(self, dst: str) -> int:
-        return dict(self.interleave_len)[dst]
+    def ilv_len(self, tag: str) -> int:
+        return dict(self.interleave_len)[tag]
 
 
 # --------------------------------------------------------------------------
@@ -133,6 +134,24 @@ def infer_readout_domains(model_ir) -> Dict[str, Tuple[str, str]]:
             domains[op.output_names[0]] = ("edge", op.adj_name)
             domains[op.output_names[1]] = ("edge", op.adj_name)
     return domains
+
+
+def _interleave_passes(model_ir):
+    """(stage_idx, stage, mp_idx, mp) for every interleave message passing."""
+    for si, stage in enumerate(model_ir.stages):
+        for mi, mp in enumerate(stage.passes):
+            if mp.aggregation.kind == "interleave":
+                yield si, stage, mi, mp
+
+
+def interleave_tag(dst: str, si: int, mi: int) -> str:
+    """Unique batch-key suffix for one interleave message passing.
+
+    Interleave companions were once keyed by destination alone — two
+    interleave MPs to the same destination then silently overwrote each
+    other's permutation/slice maps (found by the parallel DSL fuzz: the
+    fast and scatter paths read DIFFERENT stale halves and disagreed)."""
+    return f"{dst}_s{si}m{mi}"
 
 
 def infer_label_domain(model_ir) -> Tuple[str, str]:
@@ -822,14 +841,13 @@ def build_batch(
     # concatenation of per-source padded blocks in the order the sources
     # appear in the message passing (see model/aggregations.py).
     interleave_len: Dict[str, int] = {}
-    for mp in model_ir.all_passes():
-        if mp.aggregation.kind != "interleave":
-            continue
+    for _si, _stage, _mi, mp in _interleave_passes(model_ir):
         dst = mp.destination
+        tag = interleave_tag(dst, _si, _mi)
         block_lens = [max_len[src.adj_name] for src in mp.sources]
         offsets = np.concatenate([[0], np.cumsum(block_lens)])[:-1]
         t_out = int(sum(block_lens))
-        interleave_len[dst] = t_out
+        interleave_len[tag] = t_out
         perm = np.zeros((num_graphs, t_out), dtype=np.int32)
         for g, s in enumerate(samples):
             p = np.full(t_out, -1, dtype=np.int32)
@@ -852,13 +870,13 @@ def build_batch(
             )
             p[free_out] = free_in[: len(free_out)]
             perm[g] = p
-        arrays[f"interleave_perm_{dst}"] = perm
+        arrays[f"interleave_perm_{tag}"] = perm
 
         if mp.update.kind == "recurrent":
             for key, value in interleave_slice_companions(
                 mp, perm, arrays, node_pad, max_len
             ).items():
-                arrays[f"{key}_{dst}"] = value
+                arrays[f"{key}_{tag}"] = value
     # ---- labels ----
     label_pad = 0
     if training and any(s.label is not None for s in samples):
@@ -1133,11 +1151,10 @@ def repad_to_meta(
 
     # interleave permutations: remap input slots between block layouts
     ml_c, ml_t = dict(meta.max_len), dict(target.max_len)
-    for mp in model_ir.all_passes():
-        if mp.aggregation.kind != "interleave":
-            continue
+    for _si, _stage, _mi, mp in _interleave_passes(model_ir):
         dst = mp.destination
-        key = f"interleave_perm_{dst}"
+        tag = interleave_tag(dst, _si, _mi)
+        key = f"interleave_perm_{tag}"
         if key not in out:
             continue
         adjs = [s.adj_name for s in mp.sources]
@@ -1165,15 +1182,13 @@ def repad_to_meta(
 
     # fast-interleave companions depend on node padding AND block layout:
     # rebuild them from the repadded slice_src maps + remapped permutation
-    for mp in model_ir.all_passes():
-        if mp.aggregation.kind != "interleave":
-            continue
-        dst = mp.destination
-        if f"ilv_slice_{dst}" not in out:
+    for _si, _stage, _mi, mp in _interleave_passes(model_ir):
+        tag = interleave_tag(mp.destination, _si, _mi)
+        if f"ilv_slice_{tag}" not in out:
             continue
         for key, value in interleave_slice_companions(
-            mp, out[f"interleave_perm_{dst}"], out, node_pad_t, ml_t
+            mp, out[f"interleave_perm_{tag}"], out, node_pad_t, ml_t
         ).items():
-            out[f"{key}_{dst}"] = value
+            out[f"{key}_{tag}"] = value
 
     return out

@@ -35,6 +35,7 @@ from ..nn import rnn as RNN
 from ..nn.layers import activation
 from ..ops import segment as seg
 from ..data.graph import BatchMeta, infer_readout_domains
+from ..data.graph import interleave_tag as IVT
 
 _SEQUENCE_AGGS = ("ordered", "concat", "interleave")
 
@@ -563,7 +564,7 @@ class GnnModel:
                     agg.kind == "interleave"
                     and mp.update.kind == "recurrent"
                     and edge_axis is None
-                    and f"ilv_slice_{dst}" in batch
+                    and f"ilv_slice_{IVT(dst, si, mi)}" in batch
                     and all(s["table"] is not None for s in per_source)
                     and len({int(s["table"].shape[1]) for s in per_source}) == 1
                 )
@@ -584,10 +585,10 @@ class GnnModel:
                     comb_tbl = jnp.concatenate(tables, 0)
                     xs = seg.gather_state_slices(
                         comb_tbl,
-                        batch[f"ilv_slice_{dst}"],
-                        batch[f"ilv_sort_perm_{dst}"],
-                        batch[f"ilv_sort_ids_{dst}"],
-                        batch[f"ilv_sort_row_ptr_{dst}"],
+                        batch[f"ilv_slice_{IVT(dst, si, mi)}"],
+                        batch[f"ilv_sort_perm_{IVT(dst, si, mi)}"],
+                        batch[f"ilv_sort_ids_{IVT(dst, si, mi)}"],
+                        batch[f"ilv_sort_row_ptr_{IVT(dst, si, mi)}"],
                     )
                     lens_total = sum(compute_lens()).astype(jnp.int32)
                     node_mask = batch[f"node_mask_{dst}"]
@@ -799,7 +800,7 @@ class GnnModel:
                         aggregated = jnp.concatenate(blocks, axis=1)
                         final_len = sum(lens)
                         if agg.kind == "interleave":
-                            perm = batch[f"interleave_perm_{dst}"]
+                            perm = batch[f"interleave_perm_{IVT(dst, si, mi)}"]
                             rows = perm[batch[f"graph_id_{dst}"]]  # [n_dst, T_out]
                             aggregated = jnp.take_along_axis(
                                 aggregated, rows[:, :, None], axis=1

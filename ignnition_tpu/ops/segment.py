@@ -123,7 +123,15 @@ def segment_softmax(
     scores = scores.reshape(-1)
     neg_inf = jnp.finfo(scores.dtype).min
     masked_scores = jnp.where(mask > 0, scores, neg_inf)
-    seg_max = jax.ops.segment_max(masked_scores, segment_ids, num_segments)
+    # the max subtraction is a per-segment constant shift — softmax is
+    # invariant to it, so its gradient contribution is exactly zero;
+    # stop_gradient (BEFORE the collective, so pmax sees a zero tangent)
+    # both encodes that and sidesteps pmax's missing differentiation rule
+    # (edge-partitioned attention TRAINING crashed on it — found by the
+    # parallel DSL fuzz)
+    seg_max = jax.lax.stop_gradient(
+        jax.ops.segment_max(masked_scores, segment_ids, num_segments)
+    )
     if axis_name:
         seg_max = jax.lax.pmax(seg_max, axis_name)
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)

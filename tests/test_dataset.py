@@ -99,8 +99,8 @@ def test_qsize_interleave_batch():
     assert ("link", "path") in s.interleave
     assert ("node", "path") in s.interleave
     arrays, meta = G.build_batch([s], ir)
-    perm = arrays["interleave_perm_path"]
-    t_out = meta.ilv_len("path")
+    perm = arrays["interleave_perm_path_s0m0"]
+    t_out = meta.ilv_len("path_s0m0")
     assert perm.shape == (1, t_out)
     # a permutation: every input slot appears exactly once
     assert sorted(perm[0].tolist()) == list(range(t_out))

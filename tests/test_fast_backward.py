@@ -145,6 +145,8 @@ def test_repad_regenerates_bwd_slice_to_target():
         def all_passes(self):
             return []
 
+        stages = ()
+
         @property
         def entities(self):
             return []

@@ -91,8 +91,8 @@ def _mk(seed=0, mlp_messages=False, n=3):
 
 def test_companions_emitted_for_recurrent_interleave():
     _, _, _, arrays, _ = _mk()
-    for k in ("ilv_slice_path", "ilv_sort_perm_path", "ilv_sort_ids_path",
-              "ilv_sort_row_ptr_path"):
+    for k in ("ilv_slice_path_s0m0", "ilv_sort_perm_path_s0m0", "ilv_sort_ids_path_s0m0",
+              "ilv_sort_row_ptr_path_s0m0"):
         assert k in arrays
 
 
@@ -133,9 +133,9 @@ def test_repad_rebuilds_interleave_companions():
     target = G.merge_metas([meta, m2])
     r1 = G.repad_to_meta(arrays, meta, target, model_ir)
     # companions reshaped to the target layout
-    t_out = dict(target.interleave_len)["path"]
+    t_out = dict(target.interleave_len)["path_s0m0"]
     n_dst = dict(target.node_pad)["path"]
-    assert r1["ilv_slice_path"].shape == (t_out, n_dst)
+    assert r1["ilv_slice_path_s0m0"].shape == (t_out, n_dst)
     # and predictions on the repadded batch equal the original ones
     p1 = model.apply(params, arrays, meta)
     p2 = model.apply(params, r1, target)

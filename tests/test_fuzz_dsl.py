@@ -477,3 +477,82 @@ def test_conflicting_shared_update_is_a_friendly_error():
     # same nn_name everywhere parses fine
     desc["message_passing"]["stages"][0]["stage_mp"][1]["update"]["nn_name"] = "g1"
     parser.parse_model_description(desc, {"f_a": 1})
+
+
+def _label_for(raw, dom, rng):
+    if dom[0] == "entity":
+        n = sum(1 for v in raw["entities"].values() if v == dom[1])
+        raw["y"] = rng.uniform(0.1, 1.0, n).round(3).tolist()
+    elif dom[0] == "graph":
+        raw["y"] = [float(rng.uniform(0.1, 1.0))]
+    else:  # edge domain: one value per edge, adjacency insertion order
+        n = sum(len(v) for v in raw[dom[1]].values())
+        raw["y"] = rng.uniform(0.1, 1.0, n).round(3).tolist()
+    return raw
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzzed_parallel_step_matches_serial(seed):
+    """Random model shapes through the SPMD parallel train step (data x
+    edge-partitioned mesh) match serially-accumulated gradients."""
+    import optax
+
+    from ignnition_tpu.data.graph import PaddingConfig, infer_label_domain
+    from ignnition_tpu.parallel import (
+        make_mesh, make_parallel_train_step, stack_batches,
+    )
+    from ignnition_tpu.training import build_optimizer, get_loss
+
+    rng = np.random.default_rng(2000 + seed)
+    desc, entities, adjacencies, patterns = random_description(rng)
+    dims = {f"f_{e}": 1 for e in entities}
+    for adj_name, _, _, has_params in adjacencies:
+        if has_params:
+            dims[adj_name] = 1
+    model_ir = parser.parse_model_description(desc, dims)
+    dom = infer_label_domain(model_ir)
+    spec = SampleSpec.from_ir(model_ir, training=True)
+
+    def make_sample():
+        raw = _label_for(
+            random_raw_sample(rng, entities, adjacencies, patterns), dom, rng
+        )
+        return convert_sample(raw, spec)
+
+    pad = PaddingConfig(mode="multiple", multiple=32, min_size=32)
+    batches = [
+        build_batch([make_sample(), make_sample()], model_ir, pad, training=True)
+        for _ in range(2)
+    ]
+    model = build(model_ir)
+    params = model.init(jax.random.PRNGKey(seed))
+    loss_fn = get_loss(model_ir.learning.loss)
+    opt = build_optimizer(model_ir.learning.optimizer)
+    opt_state = opt.init(params)
+
+    stacked, meta = stack_batches(batches, model_ir)
+    mesh = make_mesh(data=2, model=4)
+    step = make_parallel_train_step(model, opt, loss_fn, meta, mesh)
+    p2, _, loss_parallel = step(params, opt_state, stacked)
+
+    def serial_loss(p):
+        total = 0.0
+        for arrays, m in batches:
+            preds = model.apply(p, arrays, m, training=True)
+            total += loss_fn(arrays["label"], preds, arrays["label_mask"])
+        return total / len(batches) + model.regularization_loss(p)
+
+    loss_serial, grads = jax.value_and_grad(serial_loss)(params)
+    np.testing.assert_allclose(
+        float(loss_parallel),
+        float(loss_serial) - float(model.regularization_loss(params)),
+        rtol=2e-3,  # cross-shard reduction order drifts f32 through exp/softmax
+        err_msg=f"seed {seed}\n" + json.dumps(desc)[:1500],
+    )
+    updates, _ = opt.update(grads, opt_state, params)
+    p_serial = optax.apply_updates(params, updates)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p_serial)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5,
+            err_msg=f"seed {seed}\n" + json.dumps(desc)[:1500],
+        )

@@ -197,7 +197,7 @@ def test_dp_qsize_interleave_matches_single_device():
         for _ in range(4)
     ]
     stacked, meta = stack_batches(batches, ir)
-    assert "ilv_slice_path" in stacked  # companions survive stacking
+    assert "ilv_slice_path_s0m0" in stacked  # companions survive stacking
     mesh = make_mesh(data=4, model=1)
     apply_fn = make_parallel_apply(model, meta, mesh)
     preds = np.asarray(apply_fn(params, stacked))

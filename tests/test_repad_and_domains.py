@@ -62,7 +62,7 @@ def test_repad_interleave_permutations():
     target = merge_metas([m1, m2])
     r1 = repad_to_meta(a1, m1, target, ir)
     # the remapped permutation must still be a permutation
-    perm = r1["interleave_perm_path"]
+    perm = r1["interleave_perm_path_s0m0"]
     for g in range(perm.shape[0]):
         assert sorted(perm[g].tolist()) == list(range(perm.shape[1]))
     p_orig = np.asarray(model.apply(params, a1, m1))
