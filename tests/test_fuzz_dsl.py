@@ -546,7 +546,7 @@ def test_fuzzed_parallel_step_matches_serial(seed):
     np.testing.assert_allclose(
         float(loss_parallel),
         float(loss_serial) - float(model.regularization_loss(params)),
-        rtol=2e-3,  # cross-shard reduction order drifts f32 through exp/softmax
+        rtol=2e-4,
         err_msg=f"seed {seed}\n" + json.dumps(desc)[:1500],
     )
     updates, _ = opt.update(grads, opt_state, params)
