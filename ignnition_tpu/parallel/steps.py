@@ -27,7 +27,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..data.graph import BatchMeta
+from ..data.graph import BatchMeta, infer_label_domain
 from ..model.builder import GnnModel
 
 # --------------------------------------------------------------------------
@@ -87,8 +87,12 @@ def batch_partition_specs(
     model_axis: Optional[str] = "model",
 ) -> Dict[str, P]:
     """PartitionSpec per batch key: leading stacked axis -> data_axis; edge
-    arrays additionally shard their edge dimension over model_axis."""
-    ekeys = edge_array_keys(model_ir)
+    arrays additionally shard their edge dimension over model_axis. Labels of
+    edge-domain models (readouts through extend_adjacencies) live on the
+    edge axis too, so they shard with it."""
+    ekeys = set(edge_array_keys(model_ir))
+    if infer_label_domain(model_ir)[0] == "edge":
+        ekeys.update(("label", "label_mask", "label_perm"))
     specs = {}
     for k, v in sample_batch.items():
         dims: List[Optional[str]] = [data_axis]
@@ -119,6 +123,7 @@ def make_parallel_train_step(
     """
     n_data = mesh.shape[data_axis]
     use_model_axis = model_axis if (model_axis and mesh.shape.get(model_axis, 1) > 1) else None
+    label_dom = infer_label_domain(model.ir)
 
     def local_loss(params, stacked_local):
         # leading data dim is 1 on each shard
@@ -127,6 +132,16 @@ def make_parallel_train_step(
             params, batch, meta, training=True, edge_axis=use_model_axis
         )
         loss = loss_fn(batch["label"], preds, batch["label_mask"])
+        if use_model_axis and label_dom[0] == "edge":
+            # edge-domain predictions AND labels follow the sharded edge
+            # arrays (extend_adjacencies gathers per local edge): combine
+            # the local masked means into the global mean — every registry
+            # loss is a mask-weighted mean, so sum(mean*cnt)/sum(cnt) is
+            # exact, and the psums keep gradient flow purely local
+            cnt = jnp.sum(batch["label_mask"])
+            loss = jax.lax.psum(loss * cnt, use_model_axis) / jnp.maximum(
+                jax.lax.psum(cnt, use_model_axis), 1.0
+            )
         reg = model.regularization_loss(params)
         # Scale by 1/n_data: params enter the shard as a REPLICATED value, and
         # under shard_map's varying-mesh-axes semantics the cotangent of a
@@ -216,10 +231,16 @@ def make_parallel_apply(
 ) -> Callable:
     """Sharded forward: stacked batch in, stacked predictions out."""
     use_model_axis = model_axis if (model_axis and mesh.shape.get(model_axis, 1) > 1) else None
+    label_dom = infer_label_domain(model.ir)
 
     def fwd(params, stacked_local):
         batch = {k: v[0] for k, v in stacked_local.items()}
         preds = model.apply(params, batch, meta, edge_axis=use_model_axis)
+        if use_model_axis and label_dom[0] == "edge":
+            # local edge shards -> global edge order (forward only, no AD)
+            preds = jax.lax.all_gather(
+                preds, use_model_axis, axis=0, tiled=True
+            )
         return preds[None]
 
     cache: Dict[Tuple, Callable] = {}

@@ -491,7 +491,7 @@ def _label_for(raw, dom, rng):
     return raw
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", range(6))
 def test_fuzzed_parallel_step_matches_serial(seed):
     """Random model shapes through the SPMD parallel train step (data x
     edge-partitioned mesh) match serially-accumulated gradients."""
