@@ -46,6 +46,15 @@ _SEQUENCE_AGGS = ("ordered", "concat", "interleave")
 # (PERF.md 'Failed experiments'). Kept as an opt-in for memory-constrained
 # giant batches, where halving scan residual memory matters more than speed.
 _ITER_REMAT = __import__("os").environ.get("IGNNITION_TPU_ITER_REMAT", "never")
+# split-first-Dense message creation: a per-edge MLP whose inputs are drawn
+# from {hs_source, hs_dest, edge_params} runs its FIRST Dense layer as
+# per-part matmuls at NODE rate (concat([a,b]) @ K == a @ K[:da] + b @ K[da:]),
+# so the [E, D_src+D_dst(+P)] concat never materializes and the first-layer
+# matmul (fwd dx/dW in the backward too) leaves the edge rate. Exact; tests
+# toggle this global for parity against the concat formulation.
+_SPLIT_FIRST = __import__("os").environ.get(
+    "IGNNITION_TPU_SPLIT_FIRST_DENSE", "1"
+) != "0"
 _VECTOR_AGGS = ("sum", "attention", "convolution")
 
 
@@ -442,6 +451,69 @@ class GnnModel:
                         for oi, op in enumerate(src.ops):
                             if op.kind == "direct":
                                 messages = gathered_src
+                            elif (
+                                _SPLIT_FIRST
+                                and MLP.can_split_first(op.mlp)
+                                and all(
+                                    n in ("hs_source", "hs_dest", "edge_params")
+                                    for n in op.inputs
+                                )
+                            ):
+                                # split-first-Dense: per-part matmuls at node
+                                # rate, parts meet at edge rate pre-activation
+                                pkey = params["message"][
+                                    f"s{si}/m{mi}/src{ki}/op{oi}"
+                                ]
+                                k0 = pkey["layers"][0]["kernel"]
+                                src_tbl = new_states[src.entity]
+                                ksrc = kdst = kep = None
+                                lo = 0
+                                for name in op.inputs:
+                                    if name == "hs_source":
+                                        w = src_tbl.shape[1]
+                                        sl = k0[lo : lo + w]
+                                        ksrc = sl if ksrc is None else ksrc + sl
+                                    elif name == "hs_dest":
+                                        w = dst_states.shape[1]
+                                        sl = k0[lo : lo + w]
+                                        kdst = sl if kdst is None else kdst + sl
+                                    else:
+                                        w = batch[f"params_{a}"].shape[1]
+                                        sl = k0[lo : lo + w]
+                                        kep = sl if kep is None else kep + sl
+                                    lo += w
+                                pre = None
+                                if ksrc is not None:
+                                    t = src_tbl @ ksrc
+                                    part = (
+                                        seg.gather_rows(
+                                            t,
+                                            src_idx,
+                                            perm=batch.get(f"src_perm_{a}"),
+                                            row_ptr=batch.get(f"src_row_ptr_{a}"),
+                                        )
+                                        if edge_axis is None
+                                        else t[src_idx]
+                                    )
+                                    pre = part
+                                if kdst is not None:
+                                    t = dst_states @ kdst
+                                    rp2 = batch.get(f"row_ptr_{a}")
+                                    part = (
+                                        seg.gather_by_dst(t, dst_idx, rp2)
+                                        if rp2 is not None and edge_axis is None
+                                        else t[dst_idx]
+                                    )
+                                    pre = part if pre is None else pre + part
+                                if kep is not None:
+                                    ep = batch[f"params_{a}"].astype(k0.dtype)
+                                    part = ep @ kep
+                                    pre = part if pre is None else pre + part
+                                messages = MLP.apply_from_first_preact(
+                                    op.mlp, pkey, pre
+                                )
+                                if op.output_name:
+                                    edge_vars[op.output_name] = messages
                             else:
                                 inputs = []
                                 for name in op.inputs:

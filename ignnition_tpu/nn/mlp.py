@@ -83,7 +83,52 @@ def apply(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    for layer, p in zip(spec.layers, params["layers"]):
+    return _apply_layers(
+        spec.layers, params["layers"], x, deterministic=deterministic, rng=rng
+    )
+
+
+def can_split_first(spec: MLPSpec) -> bool:
+    """True when the first layer is Dense, so `x @ kernel` decomposes over
+    row-slices of the kernel (one slice per concatenated input part)."""
+    return bool(spec.layers) and spec.layers[0].kind == "Dense"
+
+
+def apply_from_first_preact(
+    spec: MLPSpec,
+    params: Dict[str, Any],
+    pre: jnp.ndarray,
+    *,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Finish the first Dense layer (bias + activation) from its
+    pre-activation `pre = x @ kernel` and run the remaining layers.
+
+    Used by the split-first-Dense message path: when the first layer's input
+    is concat(hs_source, hs_dest, edge_params), the per-part matmuls run at
+    NODE rate and only their [E, units] pre-activations meet at edge rate
+    (builder.py), exactly — concat([a, b]) @ K == a @ K[:da] + b @ K[da:]."""
+    layer0 = spec.layers[0]
+    p0 = params["layers"][0]
+    x = pre
+    if layer0.use_bias:
+        x = x + p0["bias"]
+    x = activation(layer0.activation)(x)
+    return _apply_layers(
+        spec.layers[1:], params["layers"][1:], x, deterministic=deterministic, rng=rng
+    )
+
+
+def _apply_layers(
+    layers,
+    param_list,
+    x: jnp.ndarray,
+    *,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    for layer, p in zip(layers, param_list):
         if layer.kind == "Dense":
             x = x @ p["kernel"]
             if layer.use_bias:
