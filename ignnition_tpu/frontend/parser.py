@@ -253,6 +253,9 @@ def parse_model_description(
                 concat_axis=int(agg.get("concat_axis", 1)),
                 interleave_name=agg.get("interleave_definition"),
                 activation=agg.get("activation_function", "relu"),
+                # repo extension: "reference" reproduces the reference's
+                # axis-0 softmax quirk (a_c.py:336; see builder._attention)
+                attention_softmax=agg.get("attention_softmax", "per_destination"),
             )
 
             upd = mp["update"]

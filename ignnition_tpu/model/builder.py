@@ -806,6 +806,8 @@ class GnnModel:
                                 n_dst,
                                 meta,
                                 edge_axis,
+                                graph_id=batch[f"graph_id_{dst}"],
+                                node_mask=batch[f"node_mask_{dst}"],
                             )
                     else:  # convolution
                         ap = params["aggregation"][f"s{si}/m{mi}"]
@@ -988,6 +990,8 @@ class GnnModel:
         n_dst,
         meta,
         edge_axis=None,
+        graph_id=None,
+        node_mask=None,
     ):
         """GAT-style attention (reference Attention_aggr.calculate_input,
         auxilary_classes.py:278-344).
@@ -996,7 +1000,12 @@ class GnnModel:
         over each destination's incoming edges (the standard GAT semantics).
         Mode 'reference' reproduces the reference's softmax over axis 0 of the
         scattered [num_dst, max_len, 1] tensor (a_c.py:336), including the
-        exp(0) contributions of empty slots.
+        exp(0) contributions of empty slots. The reference evaluates one
+        graph at a time, so its axis-0 softmax couples the destinations of
+        THAT graph only — in a merged batch the softmax is therefore
+        segmented per graph (and padded destination rows excluded), which
+        keeps merged-batch == per-graph exact (ground-truthed against the
+        reference in tests/test_reference_tf_parity.py).
         """
         sorted_single = len(per_source) == 1 and per_source[0]["row_ptr"] is not None
         row_ptr = per_source[0]["row_ptr"] if sorted_single else None
@@ -1034,8 +1043,19 @@ class GnnModel:
                 n_dst,
                 max_len,
                 axis_name=edge_axis,
+            )[:, :, 0]  # [n_dst, max_len]
+            # per-graph softmax over the destination axis: real rows
+            # (including empty exp(0) slots, the reference quirk) count,
+            # padded rows are excluded so the result is padding-invariant
+            mask2 = (node_mask > 0)[:, None]
+            ng = meta.num_graphs
+            neg = jnp.float32(-1e30)
+            gmax = jax.ops.segment_max(
+                jnp.where(mask2, scattered, neg), graph_id, ng
             )
-            coeff = jax.nn.softmax(scattered, axis=0)
+            ex = jnp.exp(scattered - gmax[graph_id]) * mask2
+            den = jax.ops.segment_sum(ex, graph_id, ng)
+            coeff = ex / jnp.where(den > 0, den, 1.0)[graph_id]
             flat = coeff.reshape(n_dst * max_len)
             picked = flat[comb_dst * max_len + comb_seq]
             weights = picked * comb_mask
