@@ -29,6 +29,7 @@ from .data import (
     iter_samples,
 )
 from .model import GnnModel, build
+from .nn.layers import register_layer
 from .utils import get_normalization, register_normalization
 
 __version__ = "0.1.0"
@@ -49,6 +50,7 @@ __all__ = [
     "GnnModel",
     "build",
     "get_normalization",
+    "register_layer",
     "register_normalization",
     "__version__",
 ]

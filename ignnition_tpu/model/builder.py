@@ -454,6 +454,7 @@ class GnnModel:
                             elif (
                                 _SPLIT_FIRST
                                 and MLP.can_split_first(op.mlp)
+                                and op.inputs
                                 and all(
                                     n in ("hs_source", "hs_dest", "edge_params")
                                     for n in op.inputs
@@ -482,6 +483,12 @@ class GnnModel:
                                         sl = k0[lo : lo + w]
                                         kep = sl if kep is None else kep + sl
                                     lo += w
+                                # init-time input-dim accumulation and this
+                                # loop must agree on the kernel row layout
+                                assert lo == k0.shape[0], (
+                                    f"first-Dense kernel layout drift: "
+                                    f"sliced {lo} rows of {k0.shape[0]}"
+                                )
                                 pre = None
                                 if ksrc is not None:
                                     t = src_tbl @ ksrc
@@ -522,8 +529,14 @@ class GnnModel:
                                     elif name == "hs_dest":
                                         inputs.append(gathered_dst)
                                     elif name == "edge_params":
+                                        # match the split path's cast target
+                                        # (k0.dtype == compute dtype) so both
+                                        # formulations compute the first
+                                        # layer in the same precision
                                         inputs.append(
-                                            batch[f"params_{a}"].astype(jnp.float32)
+                                            batch[f"params_{a}"].astype(
+                                                gathered_src.dtype
+                                            )
                                         )
                                     else:
                                         inputs.append(edge_vars[name])

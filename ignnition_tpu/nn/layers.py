@@ -68,9 +68,66 @@ SUPPORTED_LAYERS = (
     "Dropout",
     "Activation",
     "LayerNormalization",
+    "BatchNormalization",
     "LeakyReLU",
     "ReLU",
     "ELU",
     "Softmax",
     "GaussianNoise",
 )
+
+
+# --------------------------------------------------------------------------
+# Extension registry
+# --------------------------------------------------------------------------
+#
+# The reference accepts ANY `tf.keras.layers.<type_layer>` by reflection
+# (auxilary_classes.py:839-865). Reflection into a framework namespace does
+# not translate to a functional JAX design, so the equivalent open surface is
+# an explicit registry: users register a layer kind once and reference it
+# from model descriptions like any stock kind.
+
+
+class LayerDef:
+    """A registered custom layer.
+
+    init_fn(rng, layer_spec, in_dim) -> (params_dict, out_dim)
+        Build the layer's parameter pytree (any dict, possibly empty) and
+        report its output width. `layer_spec` is the frontend ir.LayerSpec —
+        extra description keys are in `layer_spec.extra`.
+    apply_fn(layer_spec, params, x, *, deterministic, rng) -> y
+        Pure forward. `deterministic` is False during training (dropout-style
+        layers may use `rng`).
+    """
+
+    __slots__ = ("kind", "init_fn", "apply_fn")
+
+    def __init__(self, kind, init_fn, apply_fn):
+        self.kind = kind
+        self.init_fn = init_fn
+        self.apply_fn = apply_fn
+
+
+CUSTOM_LAYERS: Dict[str, LayerDef] = {}
+
+
+def register_layer(kind: str, init_fn, apply_fn) -> None:
+    """Register a custom layer kind usable from model descriptions
+    (`{"type_layer": "<kind>", ...}`). Overwrites any previous registration
+    of the same kind; stock kinds cannot be shadowed."""
+    if kind in SUPPORTED_LAYERS:
+        raise ValueError(f"cannot override built-in layer kind '{kind}'")
+    CUSTOM_LAYERS[kind] = LayerDef(kind, init_fn, apply_fn)
+
+
+def unsupported_layer_error(kind: str, nn_name: str) -> ValueError:
+    return ValueError(
+        f"unsupported layer type '{kind}' in network '{nn_name}'; "
+        f"built-ins: {', '.join(SUPPORTED_LAYERS)}"
+        + (
+            f"; registered extensions: {', '.join(sorted(CUSTOM_LAYERS))}"
+            if CUSTOM_LAYERS
+            else "; custom kinds can be added with "
+            "ignnition_tpu.register_layer(kind, init_fn, apply_fn)"
+        )
+    )

@@ -16,7 +16,12 @@ import jax
 import jax.numpy as jnp
 
 from ..frontend.ir import MLPSpec
-from .layers import activation, glorot_uniform
+from .layers import (
+    CUSTOM_LAYERS,
+    activation,
+    glorot_uniform,
+    unsupported_layer_error,
+)
 
 
 def init(
@@ -63,15 +68,27 @@ def init(
             if bool(layer.extra.get("center", True)):
                 p["beta"] = jnp.zeros((dim,), jnp.float32)
             params.append(p)
+        elif layer.kind == "BatchNormalization":
+            # Keras defaults: gamma ones, beta zeros, moving stats (0, 1).
+            # NOTE semantics: normalization always uses the stored moving
+            # statistics, and they are never updated — faithfully matching
+            # what the reference's estimator actually computes (its manual
+            # tf.gradients path never runs the Keras update ops, so moving
+            # stats stay at init; see docs/dsl.md). gamma/beta still train.
+            p = {}
+            if bool(layer.extra.get("scale", True)):
+                p["gamma"] = jnp.ones((dim,), jnp.float32)
+            if bool(layer.extra.get("center", True)):
+                p["beta"] = jnp.zeros((dim,), jnp.float32)
+            p["moving_mean"] = jnp.zeros((dim,), jnp.float32)
+            p["moving_variance"] = jnp.ones((dim,), jnp.float32)
+            params.append(p)
+        elif layer.kind in CUSTOM_LAYERS:
+            rng, key = jax.random.split(rng)
+            p, dim = CUSTOM_LAYERS[layer.kind].init_fn(key, layer, dim)
+            params.append(p)
         else:
-            raise ValueError(
-                f"unsupported layer type '{layer.kind}' in network '{spec.name}'; "
-                f"supported: Dense, Dropout, Activation, LayerNormalization, "
-                f"LeakyReLU, ReLU, ELU, Softmax, GaussianNoise "
-                f"(BatchNormalization is intentionally unsupported: the "
-                f"reference's manual-gradient estimator path never runs its "
-                f"moving-average update ops, see docs/dsl.md)"
-            )
+            raise unsupported_layer_error(layer.kind, spec.name)
     return {"layers": tuple(params)}, dim
 
 
@@ -176,6 +193,22 @@ def _apply_layers(
                 x = x * p["gamma"]
             if "beta" in p:
                 x = x + p["beta"]
+        elif layer.kind == "BatchNormalization":
+            # moving-stat normalization only (see init; keras epsilon 1e-3).
+            # stop_gradient marks the moving stats non-trainable: their
+            # cotangents are exactly zero, so the optimizer never moves them
+            eps = float(layer.extra.get("epsilon", 1e-3))
+            mm = jax.lax.stop_gradient(p["moving_mean"])
+            mv = jax.lax.stop_gradient(p["moving_variance"])
+            x = (x - mm) * jax.lax.rsqrt(mv + eps)
+            if "gamma" in p:
+                x = x * p["gamma"]
+            if "beta" in p:
+                x = x + p["beta"]
+        elif layer.kind in CUSTOM_LAYERS:
+            x = CUSTOM_LAYERS[layer.kind].apply_fn(
+                layer, p, x, deterministic=deterministic, rng=rng
+            )
     return x
 
 
@@ -198,4 +231,8 @@ def output_dim(spec: MLPSpec, in_dim: int, last_units: Optional[int] = None) -> 
             if j == n - 1 and last_units is not None:
                 units = last_units
             dim = int(units)
+        elif layer.kind in CUSTOM_LAYERS and layer.units is not None:
+            # dim-changing custom layers declare 'units' in the description
+            # so widths are known statically (before params exist)
+            dim = int(layer.units)
     return dim

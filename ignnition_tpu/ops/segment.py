@@ -41,6 +41,28 @@ def _maybe_psum(x: jnp.ndarray, axis_name: Optional[str]) -> jnp.ndarray:
     return jax.lax.psum(x, axis_name) if axis_name else x
 
 
+_fallback_warned: set = set()
+
+
+def _warn_fallback(site: str, err: Exception) -> None:
+    """Log (once per process per site) when a Pallas kernel fails to lower
+    and the op silently degrades to the XLA scatter path. The degrade is a
+    ~3x throughput loss at flagship shapes (PERF.md) — it must be visible."""
+    if site in _fallback_warned:
+        return
+    _fallback_warned.add(site)
+    import logging
+
+    logging.getLogger("ignnition_tpu").warning(
+        "Pallas kernel for %s failed to lower (%s: %s); falling back to the "
+        "XLA scatter path — expect ~3x lower aggregation throughput on TPU. "
+        "Set IGNNITION_TPU_PALLAS=always to make this a hard error.",
+        site,
+        type(err).__name__,
+        err,
+    )
+
+
 def _csr_kernel_eligible(data, row_ptr) -> bool:
     """True when a sorted-COO segment sum will dispatch to the Pallas CSR
     kernel, whose real-edge-only [lo, hi) bounds make padding-edge masking
@@ -98,8 +120,13 @@ def segment_sum(
             from .pallas.segment_kernels import sorted_segment_sum_pallas
 
             return sorted_segment_sum_pallas(data, segment_ids, num_segments)
-        except Exception:  # pragma: no cover - fall back on any lowering issue
-            pass
+        except Exception as e:  # fall back on any lowering issue — LOUDLY:
+            # a silent degrade to XLA scatter is a ~3x perf loss on TPU
+            # (PERF.md); mode 'always' turns it into a hard error so CI /
+            # bench runs catch kernel regressions
+            if use_pallas == "always":
+                raise
+            _warn_fallback("segment_sum", e)
     out = jax.ops.segment_sum(
         data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
     )

@@ -6,6 +6,7 @@ import copy
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ignnition_tpu.data import SampleSpec, build_batch, convert_sample
 from ignnition_tpu.frontend import parser
@@ -261,3 +262,122 @@ def test_additional_input_follows_per_graph_block_layout():
         p = np.asarray(model.apply(params, a1, m1))
         want.append(p[np.asarray(a1["node_mask_path"]) > 0])
     np.testing.assert_allclose(got, np.concatenate(want), rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_fallback_is_loud(monkeypatch, caplog):
+    """A kernel that fails to lower must not degrade silently: 'auto' logs a
+    warning once per process (a regression is a ~3x perf loss on TPU),
+    'always' raises (so bench/CI runs catch it hard)."""
+    import logging
+
+    from ignnition_tpu.ops import segment as seg
+
+    monkeypatch.setattr(seg, "_on_tpu", lambda: True)  # force the kernel gate
+    data = jnp.ones((seg._PALLAS_MIN_EDGES, 8), jnp.float32)
+    ids = jnp.zeros((seg._PALLAS_MIN_EDGES,), jnp.int32)
+
+    # 'always' -> hard error (the TPU kernel cannot lower on CPU)
+    with pytest.raises(Exception):
+        seg.segment_sum(data, ids, 4, indices_are_sorted=True, use_pallas="always")
+
+    # 'auto' -> falls back, but logs once
+    seg._fallback_warned.clear()
+    with caplog.at_level(logging.WARNING, logger="ignnition_tpu"):
+        out = seg.segment_sum(data, ids, 4, indices_are_sorted=True, use_pallas="auto")
+    assert np.asarray(out).shape == (4, 8)
+    assert any("falling back" in r.message for r in caplog.records)
+    # once per process per site
+    with caplog.at_level(logging.WARNING, logger="ignnition_tpu"):
+        n_before = len(caplog.records)
+        seg.segment_sum(data, ids, 4, indices_are_sorted=True, use_pallas="auto")
+    assert len(caplog.records) == n_before
+
+
+def test_register_custom_layer_end_to_end():
+    """A user-registered layer kind flows from the model description through
+    init/apply/training-gradients (the open surface replacing the reference's
+    tf.keras.layers reflection, a_c.py:839-865)."""
+    from ignnition_tpu import register_layer
+    from ignnition_tpu.nn import layers as L
+
+    def scale_init(rng, layer, in_dim):
+        g = float(layer.extra.get("gain", 1.0))
+        return {"scale": jnp.full((in_dim,), g, jnp.float32)}, in_dim
+
+    def scale_apply(layer, params, x, *, deterministic, rng):
+        return x * params["scale"]
+
+    register_layer("ParamScale", scale_init, scale_apply)
+    try:
+        d = routenet_description(num_iterations=1, hs=8)
+        d["neural_networks"][0]["nn_architecture"] = [
+            dense(16, "relu"),
+            {"type_layer": "ParamScale", "gain": 2.0},
+            dense(1, "None"),
+        ]
+        ir = parser.parse_model_description(d, {"link_capacity": 1, "traffic": 1})
+        model = build(ir)
+        params = model.init(jax.random.PRNGKey(0))
+        p = params["readout"]["op0"]["layers"][1]
+        assert np.allclose(np.asarray(p["scale"]), 2.0)
+
+        spec = SampleSpec.from_ir(ir)
+        arrays, meta = build_batch([convert_sample(TINY_SAMPLE, spec)], ir)
+        preds = model.apply(params, arrays, meta)
+        assert np.isfinite(np.asarray(preds)).all()
+
+        # the custom layer's params receive gradients
+        def loss(ps):
+            return jnp.sum(model.apply(ps, arrays, meta) ** 2)
+
+        g = jax.grad(loss)(params)
+        gs = np.asarray(g["readout"]["op0"]["layers"][1]["scale"])
+        assert np.abs(gs).max() > 0
+    finally:
+        L.CUSTOM_LAYERS.pop("ParamScale", None)
+
+
+def test_unknown_layer_error_lists_extensions():
+    from ignnition_tpu.nn import layers as L
+    from ignnition_tpu.nn import mlp as M
+
+    d = routenet_description(num_iterations=1, hs=8)
+    d["neural_networks"][0]["nn_architecture"] = [
+        {"type_layer": "Conv1D", "units": 4}, dense(1, "None")
+    ]
+    ir = parser.parse_model_description(d, {"link_capacity": 1, "traffic": 1})
+    model = build(ir)
+    with pytest.raises(ValueError, match="Conv1D.*built-ins"):
+        model.init(jax.random.PRNGKey(0))
+
+    L.register_layer("MyKind", lambda r, l, d_: ({}, d_),
+                     lambda l, p, x, **kw: x)
+    try:
+        with pytest.raises(ValueError, match="registered extensions: MyKind"):
+            model.init(jax.random.PRNGKey(0))
+    finally:
+        L.CUSTOM_LAYERS.pop("MyKind", None)
+
+
+def test_batchnorm_trains_but_moving_stats_frozen():
+    d = routenet_description(num_iterations=1, hs=8)
+    d["neural_networks"][0]["nn_architecture"] = [
+        dense(16, "relu"),
+        {"type_layer": "BatchNormalization"},
+        dense(1, "None"),
+    ]
+    ir = parser.parse_model_description(d, {"link_capacity": 1, "traffic": 1})
+    model = build(ir)
+    params = model.init(jax.random.PRNGKey(0))
+    spec = SampleSpec.from_ir(ir)
+    arrays, meta = build_batch([convert_sample(TINY_SAMPLE, spec)], ir)
+
+    def loss(ps):
+        return jnp.sum(model.apply(ps, arrays, meta) ** 2)
+
+    g = jax.grad(loss)(params)
+    bn = g["readout"]["op0"]["layers"][1]
+    assert np.abs(np.asarray(bn["gamma"])).max() > 0
+    assert np.abs(np.asarray(bn["beta"])).max() > 0
+    assert np.asarray(bn["moving_mean"]).max() == 0  # stop_gradient'ed
+    assert np.asarray(bn["moving_variance"]).max() == 0

@@ -151,6 +151,13 @@ ARCHS = {
         {"type_layer": "Activation", "activation": "sigmoid"},
         {"type_layer": "Dense", "units": 3, "activation": "None"},
     ],
+    # inference-mode BN (moving stats at init, exactly what the reference's
+    # estimator computes — its update ops are never fetched; docs/dsl.md)
+    "batchnorm": [
+        {"type_layer": "Dense", "units": 10, "activation": "relu"},
+        {"type_layer": "BatchNormalization"},
+        {"type_layer": "Dense", "units": 3, "activation": "None"},
+    ],
 }
 
 

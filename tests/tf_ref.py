@@ -209,6 +209,20 @@ def mlp_params_from_keras(kmodel, spec):
             if sl.use_bias:
                 p["bias"] = jnp.asarray(w[1])
             out.append(p)
+        elif sl.kind == "BatchNormalization":
+            # keras order: gamma, beta, moving_mean, moving_variance
+            w = kl.get_weights()
+            p = {}
+            i = 0
+            if bool(sl.extra.get("scale", True)):
+                p["gamma"] = jnp.asarray(w[i])
+                i += 1
+            if bool(sl.extra.get("center", True)):
+                p["beta"] = jnp.asarray(w[i])
+                i += 1
+            p["moving_mean"] = jnp.asarray(w[i])
+            p["moving_variance"] = jnp.asarray(w[i + 1])
+            out.append(p)
         elif sl.kind == "LayerNormalization":
             w = kl.get_weights()
             p = {}
