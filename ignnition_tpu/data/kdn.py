@@ -33,10 +33,33 @@ import os
 import random
 import tarfile
 from dataclasses import dataclass
+from enum import IntEnum
 from io import BytesIO
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
+
+
+class TimeDist(IntEnum):
+    """Packet inter-arrival time distributions (reference datanetAPI.py:24-50;
+    datasets_v0 only ever carries EXPONENTIAL_T)."""
+
+    EXPONENTIAL_T = 0
+    DETERMINISTIC_T = 1
+    UNIFORM_T = 2
+    NORMAL_T = 3
+    ONOFF_T = 4
+    PPBP_T = 5
+
+
+class SizeDist(IntEnum):
+    """Packet size distributions (reference datanetAPI.py:52-72; datasets_v0
+    only ever carries BINOMIAL_S)."""
+
+    DETERMINISTIC_S = 0
+    UNIFORM_S = 1
+    BINOMIAL_S = 2
+    GENERIC_S = 3
 
 
 @dataclass
@@ -53,10 +76,19 @@ class KdnSample:
     jitter: np.ndarray  # [N, N]
     max_avg_lambda: float
     simulation_time: float
+    # per-flow matrices from flowSimulationResults.txt when present
+    # (reference datanetAPI.py:721-833); None -> the aggregate IS the single
+    # flow, exactly the reference's `f = r` fallback
+    flow_traffic: Optional[np.ndarray] = None  # [N, N, F, 3] (AvgBw kbps, PktsGen, PktsDrop)
+    flow_perf: Optional[np.ndarray] = None  # [N, N, F, 7] (AvgDelay, p10..p90, Jitter)
 
     @property
     def n_nodes(self) -> int:
         return self.traffic_bps.shape[0]
+
+    @property
+    def num_flows(self) -> int:
+        return 1 if self.flow_traffic is None else self.flow_traffic.shape[2]
 
     # -- accessor parity with the reference datanetAPI Sample --------------
     # (datanetAPI.py:152-313; matrices here are plain arrays, the per-pair
@@ -74,16 +106,75 @@ class KdnSample:
     def get_srcdst_routing(self, src: int, dst: int):
         return self.routing[src, dst]
 
-    def get_srcdst_traffic(self, src: int, dst: int) -> Dict[str, float]:
+    def _flow_triples(self, src: int, dst: int) -> np.ndarray:
+        """[F, 3] (AvgBw kbps, TotalPktsGen, PktsDrop) — the aggregate triple
+        doubles as the single flow when no flow file exists (the reference's
+        `f = r` fallback, datanetAPI.py:741-744)."""
+        if self.flow_traffic is not None:
+            return self.flow_traffic[src, dst]
+        return np.array(
+            [[self.traffic_bps[src, dst] / 1000.0,
+              self.pkts_gen[src, dst], self.pkts_drop[src, dst]]]
+        )
+
+    def _flow_septuples(self, src: int, dst: int) -> np.ndarray:
+        """[F, 7] (AvgDelay, p10, p20, p50, p80, p90, Jitter)."""
+        if self.flow_perf is not None:
+            return self.flow_perf[src, dst]
+        return np.concatenate(
+            [[self.delay[src, dst]], self.delay_percentiles[src, dst],
+             [self.jitter[src, dst]]]
+        ).reshape(1, 7)
+
+    def get_srcdst_traffic(self, src: int, dst: int) -> Dict[str, object]:
+        flows = []
+        for bw_kbps, gen, _drop in self._flow_triples(src, dst):
+            bw = float(bw_kbps) * 1000.0
+            flows.append(
+                {
+                    "AvgBw": bw,
+                    "PktsGen": float(np.round(gen / self.simulation_time, 6)),
+                    "TotalPktsGen": float(gen),
+                    "ToS": 0,
+                    # datasets_v0 traffic models (datanetAPI.py:835-874)
+                    "TimeDist": TimeDist.EXPONENTIAL_T,
+                    "TimeDistParams": {
+                        "EqLambda": bw,
+                        "AvgPktsLambda": bw / 1000.0,  # avg pkt size 1000
+                        "ExpMaxFactor": 10,
+                    },
+                    "SizeDist": SizeDist.BINOMIAL_S,
+                    "SizeDistParams": {
+                        "AvgPktSize": 1000,
+                        "PktSize1": 300,
+                        "PktSize2": 1700,
+                    },
+                }
+            )
         return {
             "AggInfo": {
                 "AvgBw": float(self.traffic_bps[src, dst]),
                 "PktsGen": float(self.pkts_gen[src, dst] / self.simulation_time),
                 "TotalPktsGen": float(self.pkts_gen[src, dst]),
-            }
+            },
+            "Flows": flows,
         }
 
     def get_srcdst_performance(self, src: int, dst: int) -> Dict[str, object]:
+        flows = []
+        for row in self._flow_septuples(src, dst):
+            flows.append(
+                {
+                    "AvgDelay": float(row[0]),
+                    **{f"p{p}": float(row[1 + i])
+                       for i, p in enumerate((10, 20, 50, 80, 90))},
+                    "Jitter": float(row[6]),
+                }
+            )
+        # per-flow drops ride the traffic triple (reference dict_result_tmp
+        # takes PktsDrop from the flow TRAFFIC fields, datanetAPI.py:838-841)
+        for d, (_bw, _gen, drop) in zip(flows, self._flow_triples(src, dst)):
+            d["PktsDrop"] = float(np.round(drop / self.simulation_time, 6))
         return {
             "AggInfo": {
                 "AvgDelay": float(self.delay[src, dst]),
@@ -93,7 +184,8 @@ class KdnSample:
                     f"p{p}": float(self.delay_percentiles[src, dst, i])
                     for i, p in enumerate((10, 20, 50, 80, 90))
                 },
-            }
+            },
+            "Flows": flows,
         }
 
     def get_srcdst_link_bandwidth(self, src: int, dst: int) -> float:
@@ -176,13 +268,22 @@ def parse_routing(text: str, g) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
-def parse_results_line(
-    line: str, topology, routing, sim_time: float, max_avg_lambda: float
-) -> KdnSample:
-    fields = np.array(
+def _line_fields(line: str) -> np.ndarray:
+    return np.array(
         [float(f) for f in line.strip().rstrip(";").split(",") if f.strip() != ""],
         dtype=np.float64,
     )
+
+
+def parse_results_line(
+    line: str,
+    topology,
+    routing,
+    sim_time: float,
+    max_avg_lambda: float,
+    flow_line: Optional[str] = None,
+) -> KdnSample:
+    fields = _line_fields(line)
     n2 = fields.size // 10
     n = int(round(np.sqrt(n2)))
     if n * n * 10 != fields.size:
@@ -191,6 +292,21 @@ def parse_results_line(
         )
     traffic = fields[: 3 * n2].reshape(n, n, 3)
     perf = fields[3 * n2 :].reshape(n, n, 7)
+    flow_traffic = flow_perf = None
+    if flow_line is not None and flow_line.strip():
+        # flowSimulationResults.txt: N*N*F (AvgBw, PktsGen, PktsDrop) triples
+        # then N*N*F 7-field perf, flow-major within each (src, dst)
+        # (reference datanetAPI.py:748-846: offsets
+        # (src*N*F + dst*F + flow)*3 and N*N*F*3 + (...)*7)
+        ff = _line_fields(flow_line)
+        nf = ff.size // (n * n * 10)
+        if n * n * nf * 10 != ff.size:
+            raise ValueError(
+                f"malformed flow results line: {ff.size} fields is not "
+                f"10*N^2*F (N={n})"
+            )
+        flow_traffic = ff[: 3 * n2 * nf].reshape(n, n, nf, 3)
+        flow_perf = ff[3 * n2 * nf :].reshape(n, n, nf, 7)
     return KdnSample(
         topology=topology,
         routing=routing,
@@ -202,6 +318,8 @@ def parse_results_line(
         jitter=perf[:, :, 6],
         max_avg_lambda=max_avg_lambda,
         simulation_time=sim_time,
+        flow_traffic=flow_traffic,
+        flow_perf=flow_perf,
     )
 
 
@@ -249,15 +367,25 @@ def iter_kdn_samples(
                 base = first.name.split("/")[0]
 
                 def read(name):
-                    member = tar.extractfile(f"{base}/{name}")
+                    try:
+                        member = tar.extractfile(f"{base}/{name}")
+                    except KeyError:
+                        return ""  # optional member (flowSimulationResults)
                     return member.read().decode() if member else ""
 
                 sim_time, max_lambda = _parse_params(read("params.ini"))
                 routing = parse_routing(read("Routing.txt"), g)
-                for line in read("simulationResults.txt").splitlines():
+                # per-flow results pair with aggregate lines 1:1 when present
+                flow_lines = read("flowSimulationResults.txt").splitlines()
+                for i, line in enumerate(
+                    read("simulationResults.txt").splitlines()
+                ):
                     if not line.strip():
                         continue
-                    yield parse_results_line(line, g, routing, sim_time, max_lambda)
+                    fl = flow_lines[i] if i < len(flow_lines) else None
+                    yield parse_results_line(
+                        line, g, routing, sim_time, max_lambda, flow_line=fl
+                    )
 
 
 def _intensity_ok(fname: str, want: Tuple[int, int]) -> bool:

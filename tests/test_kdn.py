@@ -142,3 +142,116 @@ def test_migrate_and_train_pipeline(raw_dataset, tmp_path):
     params = model.init(jax.random.PRNGKey(0))
     preds = model.apply(params, arrays, meta)
     assert np.isfinite(np.asarray(preds)).all()
+
+
+def _flow_line(rng, num_flows=2):
+    """10*N*N*F fields: N*N*F (AvgBw, PktsGen, PktsDrop) triples then
+    N*N*F 7-field perf, flow-major within each (src, dst) pair."""
+    traffic = rng.uniform(10, 100, (N, N, num_flows, 3))
+    perf = rng.uniform(0.1, 2.0, (N, N, num_flows, 7))
+    fields = np.concatenate([traffic.reshape(-1), perf.reshape(-1)])
+    return ",".join(f"{v:.6f}" for v in fields) + ",\n"
+
+
+@pytest.fixture(scope="module")
+def raw_dataset_with_flows(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kdnraw_flows")
+    g = _build_topology()
+    nx.write_gml(g, os.path.join(root, "graph_attr.txt"))
+    rng = np.random.default_rng(3)
+    lines = [_results_line(rng) for _ in range(3)]
+    rng2 = np.random.default_rng(4)
+    flow_lines = [_flow_line(rng2) for _ in range(3)]
+    files = {
+        "sim/Routing.txt": _shortest_port_routing(g),
+        "sim/simulationResults.txt": "".join(lines),
+        "sim/flowSimulationResults.txt": "".join(flow_lines),
+        "sim/params.ini": "[DEFAULT]\nsimulationDuration = 100\nlambda = 1200.5\n",
+    }
+    with tarfile.open(os.path.join(root, "results_fix_9_line.tar.gz"), "w:gz") as tar:
+        # the reference reader takes tar.next() as the directory entry
+        # (datanetAPI.py:692) — real archives start with one
+        dinfo = tarfile.TarInfo("sim")
+        dinfo.type = tarfile.DIRTYPE
+        tar.addfile(dinfo)
+        for name, text in files.items():
+            payload = text.encode()
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tar.addfile(info, BytesIO(payload))
+    return str(root)
+
+
+def test_flow_level_parsing(raw_dataset_with_flows):
+    samples = list(kdn.iter_kdn_samples(raw_dataset_with_flows))
+    assert len(samples) == 3
+    s = samples[0]
+    assert s.num_flows == 2
+    t = s.get_srcdst_traffic(0, 1)
+    assert len(t["Flows"]) == 2
+    f0 = t["Flows"][0]
+    assert f0["TimeDist"] == kdn.TimeDist.EXPONENTIAL_T
+    assert f0["SizeDist"] == kdn.SizeDist.BINOMIAL_S
+    assert f0["TimeDistParams"]["EqLambda"] == f0["AvgBw"]
+    p = s.get_srcdst_performance(0, 1)
+    assert len(p["Flows"]) == 2
+    assert set(p["Flows"][0]) == {"AvgDelay", "p10", "p20", "p50", "p80", "p90",
+                                  "Jitter", "PktsDrop"}
+
+
+def test_flow_accessor_parity_vs_reference(raw_dataset_with_flows):
+    """Drive the ACTUAL reference datanetAPI on the same fixture and compare
+    the per-flow traffic/performance dicts field by field
+    (datanetAPI.py:721-874)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/examples/Routenet")
+    try:
+        import datanetAPI as ref_api
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference datanetAPI not importable: {e}")
+
+    ref_samples = list(ref_api.DatanetAPI(raw_dataset_with_flows))
+    # the reference shuffles archives but there is only one; lines are in order
+    ours = list(kdn.iter_kdn_samples(raw_dataset_with_flows))
+    assert len(ref_samples) == len(ours)
+    for rs, os_ in zip(ref_samples, ours):
+        for src, dst in [(0, 1), (1, 3), (2, 0), (3, 2)]:
+            rt = rs.get_srcdst_traffic(src, dst)
+            ot = os_.get_srcdst_traffic(src, dst)
+            assert len(rt["Flows"]) == len(ot["Flows"]) == 2
+            for rf, of in zip(rt["Flows"], ot["Flows"]):
+                for k in ("AvgBw", "PktsGen", "TotalPktsGen", "ToS"):
+                    np.testing.assert_allclose(of[k], rf[k], rtol=1e-9,
+                                               err_msg=f"traffic {k}")
+                assert int(of["TimeDist"]) == int(rf["TimeDist"])
+                assert int(of["SizeDist"]) == int(rf["SizeDist"])
+                assert of["TimeDistParams"] == {
+                    k: pytest.approx(v) for k, v in rf["TimeDistParams"].items()
+                }
+                assert of["SizeDistParams"] == rf["SizeDistParams"]
+            rp = rs.get_srcdst_performance(src, dst)
+            op = os_.get_srcdst_performance(src, dst)
+            for rf, of in zip(rp["Flows"], op["Flows"]):
+                for k in rf:
+                    np.testing.assert_allclose(of[k], rf[k], rtol=1e-9,
+                                               err_msg=f"perf {k}")
+            # AggInfo parity too
+            for k in rt["AggInfo"]:
+                np.testing.assert_allclose(ot["AggInfo"][k], rt["AggInfo"][k],
+                                           rtol=1e-6)
+            for k in rp["AggInfo"]:
+                np.testing.assert_allclose(op["AggInfo"][k], rp["AggInfo"][k],
+                                           rtol=1e-6)
+
+
+def test_agg_only_sample_exposes_single_flow(raw_dataset):
+    """Without a flow file the aggregate doubles as the single flow — the
+    reference's `f = r` fallback (datanetAPI.py:741-744)."""
+    s = next(iter(kdn.iter_kdn_samples(raw_dataset)))
+    assert s.num_flows == 1
+    t = s.get_srcdst_traffic(0, 2)
+    assert len(t["Flows"]) == 1
+    np.testing.assert_allclose(t["Flows"][0]["AvgBw"], t["AggInfo"]["AvgBw"])
+    p = s.get_srcdst_performance(0, 2)
+    np.testing.assert_allclose(p["Flows"][0]["AvgDelay"], p["AggInfo"]["AvgDelay"])
