@@ -24,7 +24,16 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ignnition_jax_cache")
 
 
-def build_case(n_links=int(os.environ.get("BENCH_LINKS", 2048)), n_paths=int(os.environ.get("BENCH_PATHS", 16384)), path_len=8, hs=32, iterations=8):
+def build_case(
+    n_links=int(os.environ.get("BENCH_LINKS", 2048)),
+    n_paths=int(os.environ.get("BENCH_PATHS", 16384)),
+    path_len=8,
+    hs=32,
+    iterations=8,
+    mutate=None,
+    n_graphs=1,
+    per_graph=False,
+):
     import jax
 
     from __graft_entry__ import _flagship
@@ -34,35 +43,45 @@ def build_case(n_links=int(os.environ.get("BENCH_LINKS", 2048)), n_paths=int(os.
     from ignnition_tpu.model import build
     from ignnition_tpu.training import build_optimizer, get_loss
 
-    model_ir = _flagship(num_iterations=iterations, hs=hs)
+    model_ir = _flagship(num_iterations=iterations, hs=hs, mutate=mutate)
     rng = np.random.default_rng(0)
 
-    # direct array construction (dict-of-lists conversion would dominate
-    # setup time at this scale)
-    links = rng.integers(0, n_links, size=(n_paths, path_len))
-    src_lp = links.reshape(-1).astype(np.int32)
-    dst_lp = np.repeat(np.arange(n_paths, dtype=np.int32), path_len)
-    seq_lp = np.tile(np.arange(path_len, dtype=np.int32), n_paths)
-    order = np.argsort(src_lp, kind="stable")
-    src_pl = dst_lp[order].copy()
-    dst_pl = src_lp[order].copy()
-    counts = np.bincount(dst_pl, minlength=n_links)
-    seq_pl = np.concatenate([np.arange(c, dtype=np.int32) for c in counts]) if counts.sum() else np.zeros(0, np.int32)
+    def one_sample():
+        # direct array construction (dict-of-lists conversion would dominate
+        # setup time at this scale)
+        links = rng.integers(0, n_links, size=(n_paths, path_len))
+        src_lp = links.reshape(-1).astype(np.int32)
+        dst_lp = np.repeat(np.arange(n_paths, dtype=np.int32), path_len)
+        seq_lp = np.tile(np.arange(path_len, dtype=np.int32), n_paths)
+        order = np.argsort(src_lp, kind="stable")
+        src_pl = dst_lp[order].copy()
+        dst_pl = src_lp[order].copy()
+        counts = np.bincount(dst_pl, minlength=n_links)
+        seq_pl = (
+            np.concatenate([np.arange(c, dtype=np.int32) for c in counts])
+            if counts.sum()
+            else np.zeros(0, np.int32)
+        )
+        return GraphSample(
+            num_nodes={"link": n_links, "path": n_paths},
+            features={
+                "link_capacity": rng.uniform(20, 40, (n_links, 1)).astype(np.float32),
+                "traffic": rng.uniform(0.2, 0.8, (n_paths, 1)).astype(np.float32),
+            },
+            adjacencies={
+                "adj_links_paths": AdjacencyArrays(src_lp, dst_lp, seq_lp),
+                "adj_paths_links": AdjacencyArrays(src_pl, dst_pl, seq_pl),
+            },
+            label=rng.uniform(0.1, 1.0, n_paths).astype(np.float32),
+        )
 
-    sample = GraphSample(
-        num_nodes={"link": n_links, "path": n_paths},
-        features={
-            "link_capacity": rng.uniform(20, 40, (n_links, 1)).astype(np.float32),
-            "traffic": rng.uniform(0.2, 0.8, (n_paths, 1)).astype(np.float32),
-        },
-        adjacencies={
-            "adj_links_paths": AdjacencyArrays(src_lp, dst_lp, seq_lp),
-            "adj_paths_links": AdjacencyArrays(src_pl, dst_pl, seq_pl),
-        },
-        label=rng.uniform(0.1, 1.0, n_paths).astype(np.float32),
-    )
+    samples = [one_sample() for _ in range(n_graphs)]
     arrays, meta = build_batch(
-        [sample], model_ir, PaddingConfig(mode="multiple", multiple=256, min_size=256)
+        samples,
+        model_ir,
+        PaddingConfig(
+            mode="multiple", multiple=256, min_size=256, per_graph=per_graph
+        ),
     )
     model = build(model_ir)
     params = model.init(jax.random.PRNGKey(0))
@@ -89,7 +108,12 @@ def build_case(n_links=int(os.environ.get("BENCH_LINKS", 2048)), n_paths=int(os.
     make_step.meta = meta  # for tools that need the static batch meta
     make_step.model = model
     make_step.model_ir = model_ir
-    edges_per_step = iterations * (len(src_lp) + len(src_pl))
+    real_edges = sum(
+        len(s.adjacencies[a].src_idx)
+        for s in samples
+        for a in ("adj_links_paths", "adj_paths_links")
+    )
+    edges_per_step = iterations * real_edges
     return make_step, params, opt_state, arrays, edges_per_step
 
 
@@ -142,9 +166,112 @@ _AUX_PREFIXES = (
 )
 
 
+def _assert_pallas_lowers():
+    """On TPU, prove the Pallas segment kernel actually lowers before timing
+    anything: a silent fallback to XLA scatter would ship a ~3x regression
+    as a quietly-worse benchmark number (VERDICT r1). use_pallas='always'
+    raises on lowering failure (ops/segment.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ignnition_tpu.ops import segment as seg
+
+    if not seg._on_tpu():
+        return
+    data = jnp.ones((256, 32), jnp.float32)
+    ids = jnp.repeat(jnp.arange(8, dtype=jnp.int32), 32)
+    rp = jnp.arange(0, 257, 32, dtype=jnp.int32)
+    out = seg.segment_sum(
+        data, ids, 8, indices_are_sorted=True, use_pallas="always", row_ptr=rp
+    )
+    np.testing.assert_allclose(np.asarray(out), np.full((8, 32), 32.0))
+    print("# pallas segment kernel lowers on this backend", flush=True)
+
+
+# --------------------------------------------------------------------------
+# detail cases: the non-flagship model families the driver should track
+# round-over-round (VERDICT r1 weak #6) — written to BENCH_DETAIL.json
+# --------------------------------------------------------------------------
+
+
+def _mutate_mlp_message(description):
+    """Per-edge message MLP over concat(hs_source, hs_dest) on both stages
+    (the 'per-edge message models' family, PERF.md)."""
+    description["neural_networks"].append(
+        {
+            "nn_name": "bench_msg",
+            "nn_type": "feed_forward",
+            "nn_architecture": [
+                {"type_layer": "Dense", "units": 32, "activation": "relu"},
+                {"type_layer": "Dense", "units": 32, "activation": "None"},
+            ],
+        }
+    )
+    for stage in description["message_passing"]["stages"]:
+        for mp in stage["stage_mp"]:
+            for se in mp["source_entities"]:
+                se["message"] = [
+                    {
+                        "type": "neural_network",
+                        "nn_name": "bench_msg",
+                        "input": ["hs_source", "hs_dest"],
+                    }
+                ]
+
+
+def _mutate_attention(description):
+    description["message_passing"]["stages"][1]["stage_mp"][0][
+        "aggregation"
+    ] = {"type": "attention"}
+
+
+def detail_cases(iters):
+    """(name -> case builder). Each returns (make_step, params, opt_state,
+    arrays, edges_per_step)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+
+    def qsize():
+        import bench_qsize
+
+        return bench_qsize.build_case()
+
+    return {
+        "attention": lambda: build_case(mutate=_mutate_attention),
+        "mlp_message": lambda: build_case(mutate=_mutate_mlp_message),
+        "qsize": qsize,
+        "blocks_g4": lambda: build_case(
+            n_paths=4096, n_links=512, n_graphs=4, per_graph=True
+        ),
+    }
+
+
+def run_details(iters=20):
+    import jax.numpy as jnp
+
+    detail = {}
+    for name, builder in detail_cases(iters).items():
+        try:
+            make_step, params, opt_state, arrays, edges = builder()
+            dt = time_step(
+                make_step(jnp.bfloat16), params, opt_state, arrays, iters=iters
+            )
+            detail[name] = {
+                "value": round(edges / dt / 1e6, 3),
+                "unit": "Medges/s/chip",
+                "ms_per_step": round(dt * 1e3, 3),
+            }
+        except Exception as e:  # record the failure, don't hide the flagship
+            detail[name] = {"error": f"{type(e).__name__}: {e}"}
+        print(f"# detail {name}: {detail[name]}", flush=True)
+    return detail
+
+
 def main():
     import jax.numpy as jnp
 
+    _assert_pallas_lowers()
     make_step, params, opt_state, arrays, edges_per_step = build_case()
 
     # optimized path: bf16 mixed-precision compute (quality-neutral, see
@@ -164,6 +291,24 @@ def main():
     dt_base = time_step(make_step(None), params, opt_state, baseline_arrays, iters=40)
 
     value = edges_per_step / dt
+
+    # non-flagship families -> BENCH_DETAIL.json (round-over-round tracking;
+    # BENCH_DETAIL=0 skips). Runs BEFORE the flagship line so a detail crash
+    # cannot truncate the driver's parsed output.
+    detail = {
+        "flagship": {
+            "value": round(value / 1e6, 3),
+            "unit": "Medges/s/chip",
+            "ms_per_step": round(dt * 1e3, 3),
+            "vs_baseline": round(dt_base / dt, 3),
+        }
+    }
+    if os.environ.get("BENCH_DETAIL", "1") != "0":
+        detail.update(run_details())
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
     print(
         json.dumps(
             {

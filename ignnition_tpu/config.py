@@ -41,9 +41,12 @@ class RunConfig:
     keep_checkpoint_max: int = 20
     throttle_secs: int = 300
     log_every: int = 10
-    # extension over the reference: gradient accumulation — each optimizer
-    # step consumes this many merged batches (Trainer.accum_train_step_fn)
-    accumulate_steps: int = 1
+    # extension over the reference: gradient accumulation. "auto" (default)
+    # measures the dataset's edges/graph and splits large effective batches
+    # into peak-throughput microbatches automatically
+    # (Trainer._auto_accumulate; PERF.md 'Large effective batches'); an int
+    # forces that many stacked microbatches per optimizer step
+    accumulate_steps: object = "auto"
     # extensions over the reference: host input-pipeline knobs
     # (Trainer.batches — parallel archive readers + batch builders, and
     # first-epoch batch caching; see PERF.md 'Host input pipeline')
@@ -89,12 +92,14 @@ class RunConfig:
             "keep_checkpoint_max",
             "throttle_secs",
             "log_every",
-            "accumulate_steps",
             "input_workers",
             "device_prefetch",
         ):
             if key in to:
                 setattr(cfg, key, int(to[key]))
+        if "accumulate_steps" in to:
+            v = to["accumulate_steps"]
+            cfg.accumulate_steps = v if v.strip().lower() == "auto" else int(v)
         for key in (
             "shuffle_train_samples",
             "shuffle_eval_samples",

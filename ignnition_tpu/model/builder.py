@@ -300,6 +300,7 @@ class GnnModel:
         return_states: bool = False,
         return_iteration_states: bool = False,
         edge_axis: Optional[str] = None,
+        node_axis: Optional[str] = None,
         compute_dtype=None,
     ):
         """Run the GNN forward. Returns predictions [rows] (last dim squeezed
@@ -309,7 +310,19 @@ class GnnModel:
         hidden states are cast for compute (halving the movement-bound edge
         traffic on TPU); the optimizer's master weights stay float32 and
         predictions are returned as float32.
+
+        edge_axis: v1 edge sharding — edges split over the named mesh axis,
+        node tables replicated, aggregations psum (parallel/steps.py).
+
+        node_axis: v2 destination sharding — the batch holds this shard's
+        node blocks and destination-owned edges (parallel/edgeshard.py);
+        aggregations and updates are purely local, source tables extend with
+        an all_to_all halo per adjacency (`halo_send_{adj}` in the batch),
+        and only graph-level reductions (pooling, quirk-mode attention
+        softmax) cross shards. Mutually exclusive with edge_axis.
         """
+        if edge_axis is not None and node_axis is not None:
+            raise BuildError("edge_axis and node_axis are mutually exclusive")
         model_ir = self.ir
         if compute_dtype is not None:
             params = jax.tree_util.tree_map(
@@ -342,7 +355,7 @@ class GnnModel:
         def one_iteration(state_tuple, _):
             st = dict(zip(entity_order, state_tuple))
             st = self._message_passing_iteration(
-                params, batch, meta, st, edge_axis=edge_axis
+                params, batch, meta, st, edge_axis=edge_axis, node_axis=node_axis
             )
             return tuple(st[k] for k in entity_order), (
                 tuple(st[k] for k in entity_order) if return_iteration_states else None
@@ -362,7 +375,8 @@ class GnnModel:
 
         # ---- readout ----
         predictions = self._readout(
-            params, batch, meta, states, training=training, rng=rng
+            params, batch, meta, states, training=training, rng=rng,
+            node_axis=node_axis,
         )
         if compute_dtype is not None:
             predictions = predictions.astype(jnp.float32)
@@ -378,10 +392,26 @@ class GnnModel:
 
     # ------------------------------------------------------------------
 
-    def _message_passing_iteration(self, params, batch, meta, states, edge_axis=None):
+    def _message_passing_iteration(
+        self, params, batch, meta, states, edge_axis=None, node_axis=None
+    ):
         model_ir = self.ir
         new_states = dict(states)
         edge_vars: Dict[str, jnp.ndarray] = {}
+
+        def src_table_of(src, table):
+            """The table edge gathers read source rows from: under v2
+            destination sharding, extend the local block with the halo rows
+            peers own (one all_to_all; see parallel/edgeshard.py). The
+            exchange happens AFTER any source-local message chain, so the
+            halo moves message-width rows, once per adjacency per
+            iteration."""
+            if node_axis is None:
+                return table
+            send = batch.get(f"halo_send_{src.adj_name}")
+            if send is None:
+                return table
+            return seg.halo_extend(table, send, node_axis)
 
         for si, stage in enumerate(model_ir.stages):
             for mi, mp in enumerate(stage.passes):
@@ -422,6 +452,8 @@ class GnnModel:
                                     ],
                                     x,
                                 )
+                        if node_axis is not None:
+                            node_table = src_table_of(src, node_table)
                         messages = node_table[src_idx]
                     else:
                         # NOTE: a custom-vjp gather whose transpose runs the
@@ -431,7 +463,11 @@ class GnnModel:
                         # scatter-add it saves. The DESTINATION side needs no
                         # permutation (edge lists are destination-sorted), so
                         # its transpose is a sorted segment sum for free.
-                        if edge_axis is None:
+                        if node_axis is not None:
+                            gathered_src = src_table_of(
+                                src, new_states[src.entity]
+                            )[src_idx]
+                        elif edge_axis is None:
                             gathered_src = seg.gather_rows(
                                 new_states[src.entity],
                                 src_idx,
@@ -491,17 +527,20 @@ class GnnModel:
                                 )
                                 pre = None
                                 if ksrc is not None:
+                                    # node-rate matmul on the LOCAL block;
+                                    # the halo then moves `units`-wide rows
                                     t = src_tbl @ ksrc
-                                    part = (
-                                        seg.gather_rows(
+                                    if node_axis is not None:
+                                        part = src_table_of(src, t)[src_idx]
+                                    elif edge_axis is None:
+                                        part = seg.gather_rows(
                                             t,
                                             src_idx,
                                             perm=batch.get(f"src_perm_{a}"),
                                             row_ptr=batch.get(f"src_row_ptr_{a}"),
                                         )
-                                        if edge_axis is None
-                                        else t[src_idx]
-                                    )
+                                    else:
+                                        part = t[src_idx]
                                     pre = part
                                 if kdst is not None:
                                     t = dst_states @ kdst
@@ -821,6 +860,7 @@ class GnnModel:
                                 edge_axis,
                                 graph_id=batch[f"graph_id_{dst}"],
                                 node_mask=batch[f"node_mask_{dst}"],
+                                node_axis=node_axis,
                             )
                     else:  # convolution
                         ap = params["aggregation"][f"s{si}/m{mi}"]
@@ -1005,6 +1045,7 @@ class GnnModel:
         edge_axis=None,
         graph_id=None,
         node_mask=None,
+        node_axis=None,
     ):
         """GAT-style attention (reference Attention_aggr.calculate_input,
         auxilary_classes.py:278-344).
@@ -1066,8 +1107,14 @@ class GnnModel:
             gmax = jax.ops.segment_max(
                 jnp.where(mask2, scattered, neg), graph_id, ng
             )
+            if node_axis is not None:
+                # destination-sharded rows: a graph's destinations may span
+                # shards, so the per-graph statistics combine across them
+                gmax = jax.lax.pmax(gmax, node_axis)
             ex = jnp.exp(scattered - gmax[graph_id]) * mask2
             den = jax.ops.segment_sum(ex, graph_id, ng)
+            if node_axis is not None:
+                den = jax.lax.psum(den, node_axis)
             coeff = ex / jnp.where(den > 0, den, 1.0)[graph_id]
             flat = coeff.reshape(n_dst * max_len)
             picked = flat[comb_dst * max_len + comb_seq]
@@ -1104,7 +1151,8 @@ class GnnModel:
 
     # ------------------------------------------------------------------
 
-    def _readout(self, params, batch, meta, states, *, training, rng):
+    def _readout(self, params, batch, meta, states, *, training, rng,
+                 node_axis=None):
         """Execute the readout pipeline (reference generate_model.py:607-658).
 
         Intermediates live in `ro`; tensors are domain-tagged so graph-level
@@ -1164,6 +1212,7 @@ class GnnModel:
                         meta.num_graphs,
                         batch[f"node_mask_{dom[1]}"],
                         op.pooling,
+                        axis_name=node_axis,  # sharded rows -> combine partials
                     )
                 else:
                     raise BuildError(

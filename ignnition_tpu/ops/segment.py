@@ -211,26 +211,56 @@ def graph_pool(
     num_graphs: int,
     node_mask: jnp.ndarray,  # [N]
     kind: str,
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
     """Per-graph pooling (sum | mean | max) over node rows.
 
     Replaces the reference's whole-tensor `tf.reduce_*` pooling
     (auxilary_classes.py:1165-1185), which only works because it sees one
     graph at a time; with merged batches pooling is a segment reduction.
+
+    With `axis_name` (destination-sharded node rows, parallel/edgeshard.py)
+    each shard contributes its local rows and the per-graph partials combine
+    with the matching collective (psum / pmax; means combine sum and count
+    separately, so they stay exact).
     """
     xm = x * node_mask[:, None]
     if kind == "sum":
-        return jax.ops.segment_sum(xm, graph_ids, num_graphs)
+        return _maybe_psum(
+            jax.ops.segment_sum(xm, graph_ids, num_graphs), axis_name
+        )
     if kind == "mean":
-        s = jax.ops.segment_sum(xm, graph_ids, num_graphs)
-        n = jax.ops.segment_sum(node_mask, graph_ids, num_graphs)
+        s = _maybe_psum(jax.ops.segment_sum(xm, graph_ids, num_graphs), axis_name)
+        n = _maybe_psum(
+            jax.ops.segment_sum(node_mask, graph_ids, num_graphs), axis_name
+        )
         return s / jnp.maximum(n, 1.0)[:, None]
     if kind == "max":
         neg = jnp.finfo(x.dtype).min
         xmasked = jnp.where(node_mask[:, None] > 0, x, neg)
         m = jax.ops.segment_max(xmasked, graph_ids, num_graphs)
+        if axis_name:
+            m = jax.lax.pmax(m, axis_name)
         return jnp.where(jnp.isfinite(m), m, 0.0)
     raise ValueError(f"unknown pooling kind '{kind}'")
+
+
+def halo_extend(
+    table: jnp.ndarray,  # [B, D] this shard's node block (or message table)
+    send_idx: jnp.ndarray,  # [n_shards, H] rows this shard sends to each peer
+    axis_name: str,
+) -> jnp.ndarray:
+    """Destination-sharded boundary exchange (parallel/edgeshard.py).
+
+    Gathers the rows each peer needs from the local block and trades them
+    with ONE all_to_all; returns concat([table, halo]) of static shape
+    [B + n_shards*H, D]. Remapped edge source indices address received rows
+    at B + owner*H + slot. Plain gather -> collective -> concat, so AD routes
+    remote-row cotangents back through the transposed all_to_all and
+    scatter-adds them into the owning shard's block automatically."""
+    send = table[send_idx]  # [n_shards, H, D]
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0, tiled=True)
+    return jnp.concatenate([table, recv.reshape(-1, table.shape[1])], axis=0)
 
 
 import functools

@@ -357,6 +357,45 @@ class Trainer:
     # loops
     # ------------------------------------------------------------------
 
+    # measured optimum microbatch scale (PERF.md 'Large effective batches'):
+    # one flagship-sized merged graph (~262k real edges) runs the step at
+    # peak per-edge throughput; merging 4x into one graph drops it to 130
+    # Medges/s while 4-way accumulation holds 228.7 — numerically identical
+    _TARGET_MICROBATCH_EDGES = 262144
+
+    def _auto_accumulate(
+        self, data_dir: str, batch_size: int
+    ) -> Tuple[int, int]:
+        """Pick (accumulate_steps, microbatch_graphs) for an effective batch
+        of `batch_size` graphs per optimizer step, from the dataset's
+        average edges/graph vs the measured optimum microbatch scale.
+
+        Small-graph workloads resolve to (1, batch_size) — plain merged
+        batches; large-graph workloads split so each microbatch stays near
+        the per-edge throughput peak instead of degrading super-linearly in
+        one giant merged graph."""
+        spec = SampleSpec.from_ir(self.ir)
+        tot, n = 0, 0
+        for s in iter_samples(data_dir, spec):
+            tot += sum(len(a.src_idx) for a in s.adjacencies.values())
+            n += 1
+            if n >= max(batch_size, 8):
+                break
+        if n == 0 or batch_size <= 1:
+            return 1, batch_size
+        per_graph = max(tot / n, 1.0)
+        micro = max(1, int(self._TARGET_MICROBATCH_EDGES // per_graph))
+        if micro >= batch_size:
+            return 1, batch_size
+        k = -(-batch_size // micro)  # ceil
+        micro = -(-batch_size // k)  # even split
+        log.info(
+            "auto batch strategy: ~%d edges/graph -> %d-way gradient "
+            "accumulation over %d-graph microbatches (effective batch %d)",
+            int(per_graph), k, micro, batch_size,
+        )
+        return k, micro
+
     def train(
         self,
         state: TrainState,
@@ -372,7 +411,7 @@ class Trainer:
         eval_secs: int = 300,
         rng: Optional[jax.Array] = None,
         mesh=None,
-        accumulate_steps: int = 1,
+        accumulate_steps=1,
         input_workers: int = 1,
         cache_batches=False,
         device_prefetch: int = 0,
@@ -391,7 +430,11 @@ class Trainer:
         accumulate_steps: gradient accumulation — each optimizer step
         consumes this many merged batches (stacked and scanned on device);
         numerically a batch `accumulate_steps`x larger, but faster than one
-        giant merged graph (see accum_train_step_fn).
+        giant merged graph (see accum_train_step_fn). "auto" measures the
+        dataset's edges/graph and picks the split so each microbatch stays
+        near the per-edge throughput peak (_auto_accumulate) — batch_size
+        then means graphs per OPTIMIZER step, exactly the reference's
+        semantics.
         tensorboard_dir: write loss scalars (and parameter histograms every
         `histogram_every` steps, if > 0) — the reference logs the same set
         via tf.summary (generate_model.py:754-756, 792-793).
@@ -408,6 +451,13 @@ class Trainer:
         high-latency link — PERF.md 'Streaming H2D'). On direct-attached
         TPU hosts the usual guidance applies; measure before enabling.
         """
+        if accumulate_steps == "auto":
+            if mesh is not None:
+                accumulate_steps = 1  # the mesh's data axis owns batching
+            else:
+                accumulate_steps, batch_size = self._auto_accumulate(
+                    data_dir, batch_size
+                )
         rng = rng if rng is not None else jax.random.PRNGKey(42)
         manager = None
         if checkpoint_dir:

@@ -382,3 +382,28 @@ def test_evaluate_cache_reuses_batches(dataset, trainer):
     r3 = trainer.evaluate(state, dataset, num_batches=3)
     for k in ("mae", "loss"):
         np.testing.assert_allclose(r1[k], r3[k], rtol=1e-6)
+
+
+def test_auto_accumulate_strategy(tmp_path):
+    """'auto' splits large-graph batches into accumulation microbatches and
+    leaves small-graph workloads on plain merged batches
+    (Trainer._auto_accumulate; PERF.md 'Large effective batches')."""
+    from ignnition_tpu.data.synthetic import write_dataset
+    from ignnition_tpu.frontend import parser as P
+    from ignnition_tpu.model import build as build_model
+    from ignnition_tpu.training.trainer import Trainer
+
+    d = str(tmp_path / "small")
+    write_dataset(d, 1, 6, seed=0)
+    ir = P.parse_model_description(
+        routenet_description(num_iterations=1, hs=8),
+        {"link_capacity": 1, "traffic": 1},
+    )
+    tr = Trainer(build_model(ir))
+    k, micro = tr._auto_accumulate(d, 4)
+    assert (k, micro) == (1, 4)  # tiny graphs: plain merged batch
+
+    # pretend the dataset's graphs are flagship-sized: the target splits
+    tr._TARGET_MICROBATCH_EDGES = 10  # with ~30-edge graphs -> micro=1
+    k, micro = tr._auto_accumulate(d, 4)
+    assert k == 4 and micro == 1
