@@ -56,6 +56,11 @@ _SPLIT_FIRST = __import__("os").environ.get(
     "IGNNITION_TPU_SPLIT_FIRST_DENSE", "1"
 ) != "0"
 _VECTOR_AGGS = ("sum", "attention", "convolution")
+# factored-last-Dense for sum-aggregated per-edge MLP messages (see the
+# message-creation loop): exact algebra, on by default; 0 disables for A/B
+_FACTOR_LAST = __import__("os").environ.get(
+    "IGNNITION_TPU_FACTOR_LAST", "1"
+) != "0"
 
 
 class BuildError(ValueError):
@@ -429,6 +434,7 @@ class GnnModel:
                     seq_pos = batch[f"seq_{a}"]
                     emask = batch[f"edge_mask_{a}"]
                     node_table = None
+                    post_linear = None  # factored last Dense (sum agg only)
                     if IR.is_source_local(src.ops):
                         # the whole chain is a function of the source node
                         # state: evaluate it once per NODE (the MLP runs on
@@ -483,6 +489,22 @@ class GnnModel:
                             else dst_states[dst_idx]
                         )
 
+                        # factored-last-Dense: when a sum aggregation consumes
+                        # an MLP message whose FINAL layer is linear Dense,
+                        # sum_e(g(x_e) @ K + b) == (sum_e g(x_e)) @ K + deg*b
+                        # — the last matmul, its [E, D_out] activations, and
+                        # their backward all leave the edge rate. `post`
+                        # carries (K, b) to the aggregation step.
+                        last_oi = len(src.ops) - 1
+                        factor_last = (
+                            _FACTOR_LAST
+                            and agg.kind == "sum"
+                            and src.ops
+                            and src.ops[last_oi].kind == "mlp"
+                            and not src.ops[last_oi].output_name
+                            and len(src.ops[last_oi].mlp.layers) >= 2
+                            and MLP.can_factor_last(src.ops[last_oi].mlp)
+                        )
                         messages = gathered_src
                         for oi, op in enumerate(src.ops):
                             if op.kind == "direct":
@@ -555,9 +577,15 @@ class GnnModel:
                                     ep = batch[f"params_{a}"].astype(k0.dtype)
                                     part = ep @ kep
                                     pre = part if pre is None else pre + part
-                                messages = MLP.apply_from_first_preact(
-                                    op.mlp, pkey, pre
-                                )
+                                if factor_last and oi == last_oi:
+                                    messages = MLP.prefix_from_first_preact(
+                                        op.mlp, pkey, pre
+                                    )
+                                    post_linear = MLP.last_dense(op.mlp, pkey)
+                                else:
+                                    messages = MLP.apply_from_first_preact(
+                                        op.mlp, pkey, pre
+                                    )
                                 if op.output_name:
                                     edge_vars[op.output_name] = messages
                             else:
@@ -580,11 +608,14 @@ class GnnModel:
                                     else:
                                         inputs.append(edge_vars[name])
                                 x = jnp.concatenate(inputs, axis=1)
-                                messages = MLP.apply(
-                                    op.mlp,
-                                    params["message"][f"s{si}/m{mi}/src{ki}/op{oi}"],
-                                    x,
-                                )
+                                pkey2 = params["message"][
+                                    f"s{si}/m{mi}/src{ki}/op{oi}"
+                                ]
+                                if factor_last and oi == last_oi:
+                                    messages = MLP.apply_prefix(op.mlp, pkey2, x)
+                                    post_linear = MLP.last_dense(op.mlp, pkey2)
+                                else:
+                                    messages = MLP.apply(op.mlp, pkey2, x)
                                 if op.output_name:
                                     edge_vars[op.output_name] = messages
 
@@ -600,6 +631,7 @@ class GnnModel:
                             entity=src.entity,
                             table=node_table,
                             row_ptr=batch.get(f"row_ptr_{a}"),
+                            post=post_linear,
                         )
                     )
 
@@ -775,9 +807,18 @@ class GnnModel:
                     continue
 
                 if agg.kind in _VECTOR_AGGS:
-                    comb_msg = jnp.concatenate([s["messages"] for s in per_source], 0)
-                    comb_dst = jnp.concatenate([s["dst_idx"] for s in per_source], 0)
-                    comb_mask = jnp.concatenate([s["mask"] for s in per_source], 0)
+                    if agg.kind != "sum":
+                        # (sum decomposes per source and may carry factored
+                        # last-Dense prefixes of differing widths)
+                        comb_msg = jnp.concatenate(
+                            [s["messages"] for s in per_source], 0
+                        )
+                        comb_dst = jnp.concatenate(
+                            [s["dst_idx"] for s in per_source], 0
+                        )
+                        comb_mask = jnp.concatenate(
+                            [s["mask"] for s in per_source], 0
+                        )
                     # single-source edge lists are destination-sorted by
                     # construction (data layer) -> Pallas sorted-COO eligible
                     sorted_coo = len(per_source) == 1
@@ -787,14 +828,38 @@ class GnnModel:
                         else None
                     )
                     if agg.kind == "sum":
+                        lens_for_post = (
+                            compute_lens()
+                            if any(s["post"] is not None for s in per_source)
+                            else None
+                        )
+
+                        def _finish(part, s, idx):
+                            # factored last Dense (see message creation):
+                            # one NODE-rate matmul + degree-scaled bias
+                            if s["post"] is None:
+                                return part
+                            k2, b2 = s["post"]
+                            out = part.astype(k2.dtype) @ k2
+                            if b2 is not None:
+                                deg = lens_for_post[idx].astype(out.dtype)
+                                out = out + deg[:, None] * b2
+                            return out
+
                         if edge_axis is not None:
-                            aggregated = seg.segment_sum(
-                                comb_msg,
-                                comb_dst,
-                                n_dst,
-                                indices_are_sorted=sorted_coo,
-                                axis_name=edge_axis,
-                                row_ptr=comb_rp,
+                            aggregated = sum(
+                                _finish(
+                                    seg.segment_sum(
+                                        s["messages"],
+                                        s["dst_idx"],
+                                        n_dst,
+                                        indices_are_sorted=True,
+                                        axis_name=edge_axis,
+                                    ),
+                                    s,
+                                    i,
+                                )
+                                for i, s in enumerate(per_source)
                             )
                         else:
                             # per-source decomposition: each source's edge
@@ -802,8 +867,12 @@ class GnnModel:
                             # EVERY source rides its own best fused path
                             # (multi-source sums included); the results add.
                             aggregated = sum(
-                                self._one_source_sum(s, batch, meta, n_dst)
-                                for s in per_source
+                                _finish(
+                                    self._one_source_sum(s, batch, meta, n_dst),
+                                    s,
+                                    i,
+                                )
+                                for i, s in enumerate(per_source)
                             )
                     elif agg.kind == "attention":
                         ap = params["aggregation"][f"s{si}/m{mi}"]

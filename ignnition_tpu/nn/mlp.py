@@ -212,6 +212,63 @@ def _apply_layers(
     return x
 
 
+def can_factor_last(spec: MLPSpec) -> bool:
+    """True when the network ends in a LINEAR Dense layer: f(x) = g(x) @ K
+    + b with g = all preceding layers. A sum aggregation then commutes with
+    the last layer — sum_e f(x_e) = (sum_e g(x_e)) @ K + count * b — moving
+    the final matmul (and its backward) from EDGE rate to NODE rate
+    (builder.py per-edge message factoring)."""
+    if not spec.layers:
+        return False
+    last = spec.layers[-1]
+    return last.kind == "Dense" and (
+        last.activation is None or last.activation == "linear"
+    )
+
+
+def apply_prefix(
+    spec: MLPSpec,
+    params: Dict[str, Any],
+    x: jnp.ndarray,
+    *,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """All layers except the last (see can_factor_last)."""
+    return _apply_layers(
+        spec.layers[:-1], params["layers"][:-1], x,
+        deterministic=deterministic, rng=rng,
+    )
+
+
+def prefix_from_first_preact(
+    spec: MLPSpec,
+    params: Dict[str, Any],
+    pre: jnp.ndarray,
+    *,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Finish layer 0 from its pre-activation and run layers 1..n-2
+    (split-first-Dense + factored-last combined)."""
+    layer0 = spec.layers[0]
+    p0 = params["layers"][0]
+    x = pre
+    if layer0.use_bias:
+        x = x + p0["bias"]
+    x = activation(layer0.activation)(x)
+    return _apply_layers(
+        spec.layers[1:-1], params["layers"][1:-1], x,
+        deterministic=deterministic, rng=rng,
+    )
+
+
+def last_dense(spec: MLPSpec, params: Dict[str, Any]):
+    """(kernel, bias | None) of the final Dense layer (see can_factor_last)."""
+    p = params["layers"][-1]
+    return p["kernel"], (p["bias"] if spec.layers[-1].use_bias else None)
+
+
 def l2_loss(spec: MLPSpec, params: Dict[str, Any]) -> jnp.ndarray:
     """Sum of kernel_regularizer * sum(kernel**2), matching keras
     `regularizers.l2` semantics (reference auxilary_classes.py:833-834)."""

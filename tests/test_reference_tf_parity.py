@@ -393,6 +393,23 @@ def test_message_nn_with_edge_params_parity(tmp_path):
     _assert_model_parity(desc, dims, sample, tmp_path)
 
 
+def test_message_nn_sum_parity(tmp_path):
+    """Per-edge message MLP (linear last Dense) into a SUM aggregation —
+    exercises the factored-last-Dense path (builder.py: the final matmul
+    runs at node rate; exact algebra) against the reference's edge-rate
+    formulation (g_m.py:440-475 + a_c.py:254-262)."""
+    msg_nn = {"nn_name": "msg_nn", "nn_type": "feed_forward",
+              "nn_architecture": [dense(12, "relu"), dense(8, "None")]}
+    desc = _single_stage_description(
+        {"type": "sum"},
+        message=[{"type": "neural_network", "nn_name": "msg_nn",
+                  "input": ["hs_source", "hs_dest"]}],
+        extra_nns=[msg_nn],
+    )
+    _assert_model_parity(desc, DIMS_RN, TINY_SAMPLE, tmp_path)
+    _assert_model_parity(desc, DIMS_RN, _bigger_sample(23), tmp_path)
+
+
 def test_multi_source_sum_parity(tmp_path):
     """Two source entities summed into one destination: the reference
     concatenates padded blocks then reduce_sums (g_m.py:522-543, a_c.py:261);
