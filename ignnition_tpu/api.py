@@ -62,11 +62,15 @@ class Runner:
         padding: Optional[PaddingConfig] = None,
         seed: int = 0,
         mesh=None,
+        model_strategy: str = "replicated",
         tensorboard_dir: Optional[str] = None,
     ):
         """mesh: optional jax Mesh ('data','model') — train_and_evaluate then
         runs the SPMD parallel step, consuming mesh.shape['data'] merged
-        batches per step (graph-batch data parallelism x edge partitioning)."""
+        batches per step (graph-batch data parallelism x edge partitioning).
+        model_strategy: 'replicated' (v1 psum) or 'dest_shard' (v2
+        destination-sharded halo exchange) for the mesh's model axis — see
+        docs/scaling.md."""
         self.model = model
         self.gnn = build(model.ir)
         if padding is None and getattr(model.config, "per_graph_padding", False):
@@ -74,6 +78,7 @@ class Runner:
         self.trainer = Trainer(self.gnn, padding=padding)
         self.seed = seed
         self.mesh = mesh
+        self.model_strategy = model_strategy
         self.tensorboard_dir = tensorboard_dir
 
     def _denorm_fn(self) -> Optional[Callable]:
@@ -129,6 +134,7 @@ class Runner:
             eval_fn=eval_fn,
             eval_secs=cfg.throttle_secs,
             mesh=self.mesh,
+            model_strategy=self.model_strategy,
             accumulate_steps=cfg.accumulate_steps,
             input_workers=cfg.input_workers,
             cache_batches=cfg.cache_batches,

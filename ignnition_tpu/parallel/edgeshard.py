@@ -59,11 +59,29 @@ class EdgeShardError(ValueError):
 # --------------------------------------------------------------------------
 
 
+def partition_dims(stacked: Dict[str, np.ndarray]) -> Dict[str, Dict[str, int]]:
+    """Shape-defining dims of a partitioned batch ({'halo': {adj: H},
+    'edges': {adj: E_loc}}) — feed back as partition_batch(pad_to=...) so a
+    stream of batches keeps ONE static shape (jit cache stability)."""
+    halo = {
+        k[len("halo_send_"):]: int(v.shape[-1])
+        for k, v in stacked.items()
+        if k.startswith("halo_send_")
+    }
+    edges = {
+        k[len("src_"):]: int(v.shape[-1])
+        for k, v in stacked.items()
+        if k.startswith("src_")
+    }
+    return {"halo": halo, "edges": edges}
+
+
 def partition_batch(
     arrays: Dict[str, np.ndarray],
     meta: BatchMeta,
     model_ir,
     n_model: int,
+    pad_to: Optional[Dict[str, Dict[str, int]]] = None,
 ) -> Tuple[Dict[str, np.ndarray], BatchMeta]:
     """Split one merged batch into n_model destination-sharded local batches.
 
@@ -166,13 +184,17 @@ def partition_batch(
                 rows = np.unique(s_k[s_owner == j])
                 need[k][j] = rows
                 h = max(h, rows.size)
-        use_halo = h > 0
-        if use_halo:
+        if h > 0:
             h = -(-h // _HALO_MULTIPLE) * _HALO_MULTIPLE
+        if pad_to is not None:
+            h = max(h, int(pad_to.get("halo", {}).get(a.name, 0)))
+        use_halo = h > 0
         ext = b_src + (n_model * h if use_halo else 0)
 
         e_loc = max(idx.size for idx in per_shard_idx)
         e_loc = max(int(np.asarray(meta.edges(a.name)) // n_model), e_loc, 1)
+        if pad_to is not None:
+            e_loc = max(e_loc, int(pad_to.get("edges", {}).get(a.name, 0)))
         edge_pad[a.name] = e_loc
 
         for k in range(n_model):

@@ -411,6 +411,7 @@ class Trainer:
         eval_secs: int = 300,
         rng: Optional[jax.Array] = None,
         mesh=None,
+        model_strategy: str = "replicated",
         accumulate_steps=1,
         input_workers: int = 1,
         cache_batches=False,
@@ -427,6 +428,11 @@ class Trainer:
         step consumes mesh.shape['data'] merged batches (stacked, re-padded
         to a common bucket) and runs the shard_map parallel step; without a
         mesh, single-device jitted steps.
+        model_strategy: how the mesh's 'model' axis is used —
+        "replicated" (v1: edges shard, node tables replicate, aggregations
+        psum; parallel/steps.py) or "dest_shard" (v2: destination-sharded
+        node state + all_to_all halo; parallel/edgeshard.py — comm scales
+        with the edge cut, memory/compute with the axis).
         accumulate_steps: gradient accumulation — each optimizer step
         consumes this many merged batches (stacked and scanned on device);
         numerically a batch `accumulate_steps`x larger, but faster than one
@@ -493,12 +499,23 @@ class Trainer:
                 "(stacked/sharded steps assemble batches host-side)"
             )
             cache_batches = True
-        if mesh is not None:
-            batch_iter = self._sharded_batch_iter(
+        dest_shard = (
+            mesh is not None
+            and model_strategy == "dest_shard"
+            and mesh.shape.get("model", 1) > 1
+        )
+        if dest_shard:
+            batch_iter = self._destshard_batch_iter(
                 data_dir, batch_size, mesh, shuffle,
                 workers=input_workers, cache=cache_batches,
             )
             step_cache: Dict[Any, Callable] = {}
+        elif mesh is not None:
+            batch_iter = self._sharded_batch_iter(
+                data_dir, batch_size, mesh, shuffle,
+                workers=input_workers, cache=cache_batches,
+            )
+            step_cache = {}
         elif accumulate_steps > 1:
             batch_iter = self._stacked_batch_iter(
                 data_dir, batch_size, accumulate_steps, shuffle,
@@ -537,11 +554,19 @@ class Trainer:
                 jax.profiler.stop_trace()
             if mesh is not None:
                 if meta not in step_cache:
-                    from ..parallel import make_parallel_train_step
+                    if dest_shard:
+                        from ..parallel import make_edgeshard_train_step
 
-                    step_cache[meta] = make_parallel_train_step(
-                        self.model, self.optimizer, self.loss_fn, meta, mesh
-                    )
+                        step_cache[meta] = make_edgeshard_train_step(
+                            self.model, self.optimizer, self.loss_fn,
+                            meta, mesh,
+                        )
+                    else:
+                        from ..parallel import make_parallel_train_step
+
+                        step_cache[meta] = make_parallel_train_step(
+                            self.model, self.optimizer, self.loss_fn, meta, mesh
+                        )
                 params, opt_state, loss = step_cache[meta](
                     state.params, state.opt_state, arrays
                 )
@@ -648,6 +673,50 @@ class Trainer:
             if len(group) == n_local:
                 yield stack_batches(group, self.ir)
                 group = []
+
+    def _destshard_batch_iter(
+        self, data_dir, batch_size, mesh, shuffle, workers=1, cache=False
+    ):
+        """v2 destination sharding: group the mesh's data axis, partition
+        each merged batch over the model axis (parallel/edgeshard.py), and
+        stack to [n_data, n_model, ...]. Shape-defining partition dims
+        (halo heights, local edge pads) grow monotonically via `pad_to` so
+        a stream of batches converges to ONE jitted program."""
+        from ..parallel import partition_batch
+        from ..parallel.edgeshard import partition_dims
+
+        n_model = mesh.shape["model"]
+        pad_to: Dict[str, Dict[str, int]] = {"halo": {}, "edges": {}}
+
+        for stacked, meta in self._sharded_batch_iter(
+            data_dir, batch_size, mesh, shuffle, workers=workers, cache=cache
+        ):
+            n_data = next(iter(stacked.values())).shape[0]
+            while True:
+                parts = [
+                    partition_batch(
+                        {k: v[i] for k, v in stacked.items()},
+                        meta, self.ir, n_model, pad_to=pad_to,
+                    )
+                    for i in range(n_data)
+                ]
+                dims = [partition_dims(p[0]) for p in parts]
+                grown = False
+                for d in dims:
+                    for group in ("halo", "edges"):
+                        for adj, v in d[group].items():
+                            if v > pad_to[group].get(adj, 0):
+                                pad_to[group][adj] = v
+                                grown = True
+                if not grown or all(d == dims[0] for d in dims):
+                    break  # stable (or uniform) — no repartition needed
+            metas = {p[1] for p in parts}
+            if len(metas) != 1:
+                continue  # grew mid-group; next iteration is stable
+            out = {
+                k: np.stack([p[0][k] for p in parts], 0) for k in parts[0][0]
+            }
+            yield out, parts[0][1]
 
     def evaluate(
         self,

@@ -221,3 +221,30 @@ def test_edgeshard_rejects_edge_domain_labels():
     arrays, meta = build_batch([convert_sample(sample, spec)], ir, PAD)
     with pytest.raises(EdgeShardError, match="edge-domain"):
         partition_batch(arrays, meta, ir, 2)
+
+
+def test_trainer_dest_shard_integration(tmp_path):
+    """Trainer.train(mesh=..., model_strategy='dest_shard') streams
+    partitioned batches through the v2 step (shape-stable via pad_to)."""
+    from ignnition_tpu.data.synthetic import write_dataset
+    from ignnition_tpu.training.trainer import Trainer
+
+    d = str(tmp_path / "ds")
+    write_dataset(d, 2, 6, seed=3)
+    ir = parser.parse_model_description(
+        routenet_description(num_iterations=2, hs=8),
+        {"link_capacity": 1, "traffic": 1},
+    )
+    from ignnition_tpu.model import build as build_model
+
+    model = build_model(ir)
+    tr = Trainer(model, padding=PAD)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    mesh = make_mesh(data=2, model=4)
+    state = tr.train(
+        state, d, max_steps=3, batch_size=1, mesh=mesh,
+        model_strategy="dest_shard", log_every=0,
+    )
+    assert state.step == 3
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
