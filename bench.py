@@ -247,7 +247,7 @@ def detail_cases(iters):
     }
 
 
-def run_details(iters=20):
+def run_details(iters=20, on_case=None):
     import jax.numpy as jnp
 
     detail = {}
@@ -265,6 +265,8 @@ def run_details(iters=20):
         except Exception as e:  # record the failure, don't hide the flagship
             detail[name] = {"error": f"{type(e).__name__}: {e}"}
         print(f"# detail {name}: {detail[name]}", flush=True)
+        if on_case is not None:
+            on_case(name, detail[name])
     return detail
 
 
@@ -292,23 +294,8 @@ def main():
 
     value = edges_per_step / dt
 
-    # non-flagship families -> BENCH_DETAIL.json (round-over-round tracking;
-    # BENCH_DETAIL=0 skips). Runs BEFORE the flagship line so a detail crash
-    # cannot truncate the driver's parsed output.
-    detail = {
-        "flagship": {
-            "value": round(value / 1e6, 3),
-            "unit": "Medges/s/chip",
-            "ms_per_step": round(dt * 1e3, 3),
-            "vs_baseline": round(dt_base / dt, 3),
-        }
-    }
-    if os.environ.get("BENCH_DETAIL", "1") != "0":
-        detail.update(run_details())
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
-        json.dump(detail, f, indent=1)
-
+    # the driver parses this line — print it BEFORE the detail cases so a
+    # slow remote compile in a non-flagship family can never starve it
     print(
         json.dumps(
             {
@@ -317,8 +304,33 @@ def main():
                 "unit": "Medges/s/chip",
                 "vs_baseline": round(dt_base / dt, 3),
             }
-        )
+        ),
+        flush=True,
     )
+
+    # non-flagship families -> BENCH_DETAIL.json (round-over-round tracking;
+    # BENCH_DETAIL=0 skips); the file is rewritten after each case so a
+    # timeout keeps the completed entries
+    detail = {
+        "flagship": {
+            "value": round(value / 1e6, 3),
+            "unit": "Medges/s/chip",
+            "ms_per_step": round(dt * 1e3, 3),
+            "vs_baseline": round(dt_base / dt, 3),
+        }
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_DETAIL.json")
+
+    def flush_detail():
+        with open(path, "w") as f:
+            json.dump(detail, f, indent=1)
+
+    flush_detail()
+    if os.environ.get("BENCH_DETAIL", "1") != "0":
+        run_details(on_case=lambda name, row: (
+            detail.__setitem__(name, row), flush_detail()
+        ))
 
 
 if __name__ == "__main__":
