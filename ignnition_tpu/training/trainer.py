@@ -374,6 +374,12 @@ class Trainer:
         batches; large-graph workloads split so each microbatch stays near
         the per-edge throughput peak instead of degrading super-linearly in
         one giant merged graph."""
+        if self.padding.per_graph:
+            # uniform per-graph blocks ride the block-diagonal incidence
+            # matmuls — measured the FASTEST large-batch mode at moderate
+            # per-graph sizes (296 Medges/s at G=4, BENCH_DETAIL blocks_g4
+            # vs 229 accumulated) — so the merged batch stays whole
+            return 1, batch_size
         spec = SampleSpec.from_ir(self.ir)
         tot, n = 0, 0
         for s in iter_samples(data_dir, spec):

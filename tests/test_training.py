@@ -407,3 +407,23 @@ def test_auto_accumulate_strategy(tmp_path):
     tr._TARGET_MICROBATCH_EDGES = 10  # with ~30-edge graphs -> micro=1
     k, micro = tr._auto_accumulate(d, 4)
     assert k == 4 and micro == 1
+
+
+def test_auto_accumulate_respects_per_graph_blocks(tmp_path):
+    """With per-graph block padding the merged-blocks path is the measured
+    fastest large-batch mode — auto accumulation must not split it."""
+    from ignnition_tpu.data.graph import PaddingConfig
+    from ignnition_tpu.data.synthetic import write_dataset
+    from ignnition_tpu.frontend import parser as P
+    from ignnition_tpu.model import build as build_model
+    from ignnition_tpu.training.trainer import Trainer
+
+    d = str(tmp_path / "ds")
+    write_dataset(d, 1, 4, seed=0)
+    ir = P.parse_model_description(
+        routenet_description(num_iterations=1, hs=8),
+        {"link_capacity": 1, "traffic": 1},
+    )
+    tr = Trainer(build_model(ir), padding=PaddingConfig(per_graph=True))
+    tr._TARGET_MICROBATCH_EDGES = 10  # would otherwise force a split
+    assert tr._auto_accumulate(d, 4) == (1, 4)
