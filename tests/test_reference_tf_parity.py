@@ -555,6 +555,140 @@ def test_readout_extend_adjacencies_parity(tmp_path):
 
 
 # --------------------------------------------------------------------------
+# gradient parity: the reference's ACTUAL backward pass vs jax.grad
+# --------------------------------------------------------------------------
+#
+# Forward parity pins the semantics; gradient parity ground-truths the entire
+# backward path — every custom VJP (time-slice gathers, sorted segment-sum
+# transposes, dense-incidence dot transposes, attention recompute), the
+# masked-scan AD, and the factored/split message formulations — against the
+# reference's own TF autodiff, leaf-for-leaf over the full parameter pytree.
+# The loss is an explicit reduce_mean of squared residuals over the real
+# labels on BOTH sides (loss-name reflection is covered elsewhere), plus the
+# model's l2 regularization when present.
+
+
+def _grad_leaves(tree):
+    return jax.tree_util.tree_flatten_with_path(tree)[0]
+
+
+def _assert_gradient_parity(description, dims, sample, tmp_path,
+                            rtol=2e-3, atol=2e-5, repo_description=None):
+    description = copy.deepcopy(description)
+    # both sides run on RAW labels (normalization is an input-pipeline map,
+    # not part of the model whose backward is under test)
+    for op in description["readout"]:
+        op.pop("label_normalization", None)
+        op.pop("label_denormalization", None)
+    repo_desc = copy.deepcopy(repo_description or description)
+    for op in repo_desc["readout"]:
+        op.pop("label_normalization", None)
+        op.pop("label_denormalization", None)
+
+    ir = parser.parse_model_description(repo_desc, dict(dims))
+    model = build(ir)
+    weights, ref_grads, ref_loss, _ = tf_ref.tape_gradients(
+        description, dims, sample, tmp_path, model
+    )
+
+    spec = SampleSpec.from_ir(ir)
+    s = convert_sample(sample, spec)
+    arrays, meta = build_batch([s], ir, EXACT)
+
+    def loss_fn(params):
+        preds = model.apply(params, arrays, meta)
+        mask = arrays["label_mask"].reshape(-1)
+        label = arrays["label"].reshape(-1)
+        sq = jnp.square(preds.reshape(-1) - label) * mask
+        return jnp.sum(sq) / jnp.sum(mask) + model.regularization_loss(params)
+
+    loss, grads = jax.value_and_grad(loss_fn)(weights)
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-4,
+                               err_msg="loss itself diverges")
+
+    ref_leaves = _grad_leaves(ref_grads)
+    got_leaves = _grad_leaves(grads)
+    assert [p for p, _ in ref_leaves] == [p for p, _ in got_leaves]
+    for (path, rg), (_, g) in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(
+            np.asarray(rg), np.asarray(g, np.float32), rtol=rtol, atol=atol,
+            err_msg=f"gradient diverges at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_grad_parity_routenet(tmp_path):
+    """Flagship backward: ordered link->path (sorted GRU scan) + sum
+    path->link (unsorted GRU) + l2-regularized readout, 2 iterations — the
+    scan-of-scans AD path the fast gathers/segment sums transpose through."""
+    desc = routenet_description(num_iterations=2, hs=8)
+    _assert_gradient_parity(desc, DIMS_RN, _bigger_sample(31), tmp_path)
+
+
+def test_grad_parity_attention_quirk(tmp_path):
+    """Backward through the reference-quirk attention softmax (axis-0 over
+    the scattered score tensor, a_c.py:336) incl. kernel1/kernel2/attn_kernel
+    gradients."""
+    desc = _single_stage_description({"type": "attention"})
+    repo_desc = _single_stage_description(
+        {"type": "attention", "attention_softmax": "reference"}
+    )
+    _assert_gradient_parity(desc, DIMS_RN, _bigger_sample(37), tmp_path,
+                            repo_description=repo_desc)
+
+
+def test_grad_parity_convolution(tmp_path):
+    """GCN aggregation backward: conv kernel + degree-normalized segment-sum
+    transpose (a_c.py:366-401)."""
+    desc = _single_stage_description({"type": "convolution"}, iters=2)
+    _assert_gradient_parity(desc, DIMS_RN, _bigger_sample(41), tmp_path)
+
+
+def test_grad_parity_message_nn_ordered(tmp_path):
+    """Per-edge message MLP over [hs_source, hs_dest, edge_params] into the
+    ordered aggregation: gradients flow through the split-first-Dense
+    formulation and both per-edge gathers' sorted transposes."""
+    msg_nn = {"nn_name": "msg_nn", "nn_type": "feed_forward",
+              "nn_architecture": [dense(12, "relu"), dense(8, "None")]}
+    desc = _single_stage_description(
+        {"type": "ordered"},
+        message=[{"type": "neural_network", "nn_name": "msg_nn",
+                  "input": ["hs_source", "hs_dest", "edge_params"]}],
+        extra_nns=[msg_nn],
+    )
+    sample = copy.deepcopy(TINY_SAMPLE)
+    sample["adj_links_paths"] = {
+        "p0": [["l0", [3, 1]], ["l1", [2, 0]]],
+        "p1": [["l1", [1, 4]], ["l2", [5, 2]]],
+    }
+    dims = dict(DIMS_RN)
+    dims["adj_links_paths"] = 2
+    _assert_gradient_parity(desc, dims, sample, tmp_path)
+
+
+def test_grad_parity_message_nn_sum_factored(tmp_path):
+    """Per-edge message MLP (linear last Dense) into sum — the factored-last-
+    Dense path moves that layer's whole backward to node rate; its gradients
+    must still equal the reference's edge-rate formulation exactly."""
+    msg_nn = {"nn_name": "msg_nn", "nn_type": "feed_forward",
+              "nn_architecture": [dense(12, "relu"), dense(8, "None")]}
+    desc = _single_stage_description(
+        {"type": "sum"},
+        message=[{"type": "neural_network", "nn_name": "msg_nn",
+                  "input": ["hs_source", "hs_dest"]}],
+        extra_nns=[msg_nn],
+    )
+    _assert_gradient_parity(desc, DIMS_RN, _bigger_sample(43), tmp_path)
+
+
+def test_grad_parity_interleave(tmp_path):
+    """Q-size interleave backward: cotangents route through the combined
+    slice maps back to BOTH source entities' message tables."""
+    desc = qsize_description(num_iterations=2, hs=8)
+    _assert_gradient_parity(desc, DIMS_QS, _qsize_sample(equal_counts=True),
+                            tmp_path)
+
+
+# --------------------------------------------------------------------------
 # sample builders
 # --------------------------------------------------------------------------
 

@@ -187,13 +187,21 @@ def run_reference_model(description, dims, sample, tmp_path, training=False):
 # --------------------------------------------------------------------------
 
 
-def mlp_params_from_keras(kmodel, spec):
+def _read_var(v):
+    """Default variable extractor: the variable's current value."""
+    return np.asarray(v)
+
+
+def mlp_params_from_keras(kmodel, spec, value_of=_read_var):
     """Map a reference functional-API FFN's weights onto this repo's MLP
     params pytree ({"layers": ({"kernel","bias"} | {"gamma","beta"} | {})}).
 
     The reference builds one keras layer per architecture entry in order
     (a_c.py:918-975), so model.layers (minus the Input layer) aligns 1:1 with
-    the repo MLPSpec's layers.
+    the repo MLPSpec's layers. `value_of` maps each keras VARIABLE to the
+    array placed in the pytree — the default reads its value; gradient-parity
+    tests pass a tape-gradient lookup instead (same structure, so the
+    resulting pytree aligns leaf-for-leaf with jax.grad's output).
     """
     import jax.numpy as jnp
 
@@ -203,15 +211,15 @@ def mlp_params_from_keras(kmodel, spec):
     )
     out = []
     for kl, sl in zip(klayers, spec.layers):
+        # keras weight order: Dense [kernel, bias]; BN [gamma, beta,
+        # moving_mean, moving_variance]; LN [gamma, beta]
+        w = [value_of(v) for v in kl.weights]
         if sl.kind == "Dense":
-            w = kl.get_weights()
             p = {"kernel": jnp.asarray(w[0])}
             if sl.use_bias:
                 p["bias"] = jnp.asarray(w[1])
             out.append(p)
         elif sl.kind == "BatchNormalization":
-            # keras order: gamma, beta, moving_mean, moving_variance
-            w = kl.get_weights()
             p = {}
             i = 0
             if bool(sl.extra.get("scale", True)):
@@ -224,7 +232,6 @@ def mlp_params_from_keras(kmodel, spec):
             p["moving_variance"] = jnp.asarray(w[i + 1])
             out.append(p)
         elif sl.kind == "LayerNormalization":
-            w = kl.get_weights()
             p = {}
             i = 0
             if bool(sl.extra.get("scale", True)):
@@ -238,7 +245,7 @@ def mlp_params_from_keras(kmodel, spec):
     return {"layers": tuple(out)}
 
 
-def rnn_params_from_keras(cell):
+def rnn_params_from_keras(cell, value_of=_read_var):
     """Keras {GRU,LSTM}Cell weights -> repo rnn params. Keras GRUCell
     (reset_after=True, the TF2 default the reference inherits) stores
     [kernel (in,3u), recurrent_kernel (u,3u), bias (2,3u)]; LSTMCell stores
@@ -246,7 +253,7 @@ def rnn_params_from_keras(cell):
     to ignnition_tpu.nn.rnn.init."""
     import jax.numpy as jnp
 
-    w = cell.get_weights()
+    w = [value_of(v) for v in cell.weights]
     return {
         "kernel": jnp.asarray(w[0]),
         "recurrent_kernel": jnp.asarray(w[1]),
@@ -254,10 +261,13 @@ def rnn_params_from_keras(cell):
     }
 
 
-def transfer_params(comnet, repo_model):
+def transfer_params(comnet, repo_model, value_of=_read_var):
     """Build this repo's full parameter pytree from a (built) reference
     ComnetModel's weights, following the reference's attribute registry
-    (generate_model.py:245-382, 676-694)."""
+    (generate_model.py:245-382, 676-694). With the default `value_of` the
+    result is the repo param pytree carrying the reference's weights; with a
+    gradient lookup it is the reference's GRADIENT pytree in the same
+    structure (see tape_gradients)."""
     import jax.numpy as jnp
 
     ir = repo_model.ir
@@ -276,29 +286,76 @@ def transfer_params(comnet, repo_model):
                         comnet, f"{src.entity}_to_{dst}_message_creation_0"
                     )
                     params["message"][f"s{si}/m{mi_}/src{ki}/op{oi}"] = (
-                        mlp_params_from_keras(kmodel, op.mlp)
+                        mlp_params_from_keras(kmodel, op.mlp, value_of)
                     )
             agg = mp.aggregation
             if agg.kind == "attention":
                 params["aggregation"][f"s{si}/m{mi_}"] = {
-                    "kernel1": jnp.asarray(np.asarray(comnet.kernel1)),
-                    "kernel2": jnp.asarray(np.asarray(comnet.kernel2)),
-                    "attn_kernel": jnp.asarray(np.asarray(comnet.attn_kernel)),
+                    "kernel1": jnp.asarray(value_of(comnet.kernel1)),
+                    "kernel2": jnp.asarray(value_of(comnet.kernel2)),
+                    "attn_kernel": jnp.asarray(value_of(comnet.attn_kernel)),
                 }
             elif agg.kind == "convolution":
                 params["aggregation"][f"s{si}/m{mi_}"] = {
-                    "kernel": jnp.asarray(np.asarray(comnet.conv_kernel)),
+                    "kernel": jnp.asarray(value_of(comnet.conv_kernel)),
                 }
             if mp.update.kind == "recurrent":
                 cell = getattr(comnet, f"{dst}_update")
-                params["update"][f"{dst}_update"] = rnn_params_from_keras(cell)
+                params["update"][f"{dst}_update"] = rnn_params_from_keras(
+                    cell, value_of
+                )
             else:
                 kmodel = getattr(comnet, f"{dst}_ff_update")
                 params["update"][f"{dst}_ff_update"] = mlp_params_from_keras(
-                    kmodel, mp.update.mlp
+                    kmodel, mp.update.mlp, value_of
                 )
     for i, op in enumerate(ir.readout):
         if op.kind in ("predict", "neural_network"):
             kmodel = getattr(comnet, f"readout_model_{i}")
-            params["readout"][f"op{i}"] = mlp_params_from_keras(kmodel, op.mlp)
+            params["readout"][f"op{i}"] = mlp_params_from_keras(
+                kmodel, op.mlp, value_of
+            )
     return params
+
+
+def tape_gradients(description, dims, sample, tmp_path, repo_model):
+    """Ground-truth gradient extraction: run the reference ComnetModel forward
+    under tf.GradientTape, take d(mean squared error over real labels)/d(all
+    variables), and return (weights pytree, gradient pytree, ref loss,
+    ref predictions) — both pytrees in this repo's parameter structure, so
+    they compare leaf-for-leaf against jax.grad of the transferred model.
+
+    The loss is written explicitly (reduce_mean of squared residuals over the
+    flattened real predictions) on BOTH sides rather than through the loss
+    registries — the object under test is the backward pass through the model
+    (scatter/gather/segment/scan transposes), not loss-name reflection (which
+    tests/test_training.py covers). `sum(model.losses)` (l2 regularization,
+    generate_model.py:744-753) is included when present.
+    """
+    ref = load_reference()
+    tf = ref.tf
+    mi = build_model_information(description, dims, tmp_path)
+    ref.gm.set_model_info(mi)
+    tensors, label = reference_input(sample, mi, tmp_path, training=True)
+    model = ref.gm.ComnetModel()
+    label_t = tf.constant(np.asarray(label, np.float32).reshape(-1))
+    with tf.GradientTape() as tape:
+        pred = model(dict(tensors))
+        flat = tf.reshape(pred, [-1])
+        loss = tf.reduce_mean(tf.square(flat - label_t))
+        if model.losses:
+            loss = loss + tf.add_n([tf.cast(l, tf.float32) for l in model.losses])
+    variables = model.trainable_variables
+    grads = tape.gradient(loss, variables)
+    # keras-3 Variables have no .ref(); identity is the stable key
+    grad_map = {id(v): g for v, g in zip(variables, grads)}
+
+    def grad_of(v):
+        g = grad_map.get(id(v))
+        if g is None:  # unconnected (e.g. BN moving stats) -> zero cotangent
+            return np.zeros(v.shape, np.float32)
+        return np.asarray(tf.convert_to_tensor(g))
+
+    weights = transfer_params(model, repo_model)
+    gradients = transfer_params(model, repo_model, grad_of)
+    return weights, gradients, float(loss), np.asarray(pred)
