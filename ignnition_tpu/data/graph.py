@@ -90,6 +90,10 @@ class BatchMeta:
     # adj name -> (G, bd, bs) block-diagonal incidence shape (uniform merged
     # batches only; see block_sum_adjacencies)
     inc_blocks: Tuple[Tuple[str, Tuple[int, int, int]], ...] = ()
+    # additional readout input name -> entity whose block layout its rows
+    # follow ('' = flat concat; build_batch's per-sample count match — the
+    # padded shapes alone can't re-derive this, so sharding reads it here)
+    extra_layout: Tuple[Tuple[str, str], ...] = ()
 
     def nodes(self, entity: str) -> int:
         return dict(self.node_pad)[entity]
@@ -944,6 +948,7 @@ def build_batch(
             arrays["label_perm"] = perm
 
     # ---- additional readout inputs ----
+    extra_layout: Dict[str, str] = {}
     for name in model_ir.additional_inputs():
         vals = [
             np.asarray(s.extras[name]).reshape(len(s.extras[name]), -1)
@@ -981,6 +986,7 @@ def build_batch(
                 matches[0],
             )
         ent = matches[0] if matches else None
+        extra_layout[name] = ent or ""
         if ent is not None:
             buf = np.zeros(
                 (node_pad[ent], vals[0].shape[1]), dtype=vals[0].dtype
@@ -1004,6 +1010,7 @@ def build_batch(
         label_pad=label_pad,
         bwd_len=tuple(sorted(bwd_len_map.items())),
         inc_blocks=tuple(sorted(inc_blocks_meta.items())),
+        extra_layout=tuple(sorted(extra_layout.items())),
     )
     return arrays, meta
 
@@ -1053,6 +1060,7 @@ def merge_metas(metas: Sequence[BatchMeta]) -> BatchMeta:
         label_pad=max(m.label_pad for m in metas),
         bwd_len=tuple(sorted(bwd.items())),
         inc_blocks=tuple(sorted(ib.items())),
+        extra_layout=metas[0].extra_layout,
     )
 
 

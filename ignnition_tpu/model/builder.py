@@ -1304,6 +1304,14 @@ class GnnModel:
                 adj = op.adj_name
                 src_states = fetch(op.inputs[0])
                 dst_states_ = fetch(op.inputs[1])
+                if node_axis is not None:
+                    # v2 destination sharding: the shard's src_{adj} indices
+                    # point into the halo-extended source layout — exchange
+                    # the final states' boundary rows once more (the
+                    # destination side is local by edge ownership)
+                    send = batch.get(f"halo_send_{adj}")
+                    if send is not None:
+                        src_states = seg.halo_extend(src_states, send, node_axis)
                 ro[op.output_names[0]] = src_states[batch[f"src_{adj}"]]
                 ro[op.output_names[1]] = dst_states_[batch[f"dst_{adj}"]]
         return result

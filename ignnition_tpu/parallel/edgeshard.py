@@ -31,6 +31,13 @@ remote row routes back through the transposed all_to_all and scatter-adds
 into its owner's block automatically — gradients need no hand-written
 collectives. Parameters stay replicated; shard_map's varying-axes semantics
 all-reduces their cotangents (same contract as parallel/steps.py).
+
+Label domains: entity labels shard with their entity's blocks; edge-domain
+labels (readouts through extend_adjacencies) shard with their adjacency's
+destination-owned edges — the readout's final-state extend gathers through
+one more halo exchange, and `edge_origin_{adj}` maps local predictions back
+to the merged batch's edge order host-side. Entity-shaped additional
+readout inputs shard by their recorded block layout (meta.extra_layout).
 """
 
 from __future__ import annotations
@@ -95,17 +102,6 @@ def partition_batch(
     if n_model < 2:
         raise EdgeShardError("edge partitioning needs n_model >= 2")
     label_dom = infer_label_domain(model_ir)
-    if label_dom[0] == "edge":
-        raise EdgeShardError(
-            "edge-domain labels (readouts through extend_adjacencies) are "
-            "not supported under destination-sharded partitioning yet; use "
-            "the replicated edge_axis strategy (parallel/steps.py)"
-        )
-    if model_ir.additional_inputs():
-        raise EdgeShardError(
-            "additional readout inputs are not supported under "
-            "destination-sharded partitioning yet"
-        )
 
     entities = model_ir.entities
     adj_info = model_ir.adjacency_info()
@@ -142,7 +138,8 @@ def partition_batch(
             for k, part in enumerate(slice_rows(arrays[f.name], e.name)):
                 local[k][f.name] = part
 
-    # ---- labels ----
+    # ---- labels (edge-domain labels shard with their adjacency below) ----
+    label_pad = 0
     if "label" in arrays:
         if label_dom[0] == "entity":
             ent = label_dom[1]
@@ -150,13 +147,26 @@ def partition_batch(
                 for k, part in enumerate(slice_rows(arrays[key], ent)):
                     local[k][key] = part
             label_pad = block[ent]
-        else:  # graph domain: replicated
+        elif label_dom[0] == "graph":  # replicated
             for k in range(n_model):
                 local[k]["label"] = arrays["label"]
                 local[k]["label_mask"] = arrays["label_mask"]
             label_pad = meta.label_pad
-    else:
-        label_pad = 0
+
+    # ---- additional readout inputs: entity-shaped rows follow their
+    # entity's block layout (build_batch recorded the match in
+    # meta.extra_layout); flat non-entity inputs have no shardable domain ----
+    extra_layout = dict(meta.extra_layout)
+    for name in model_ir.additional_inputs():
+        ent = extra_layout.get(name, "")
+        if not ent:
+            raise EdgeShardError(
+                f"additional readout input '{name}' is not entity-shaped "
+                "(its rows match no entity's node counts) and cannot be "
+                "destination-sharded; use the replicated edge_axis strategy"
+            )
+        for k, part in enumerate(slice_rows(arrays[name], ent)):
+            local[k][name] = part
 
     # ---- adjacencies ----
     edge_pad: Dict[str, int] = {}
@@ -226,6 +236,24 @@ def partition_batch(
             l_mask[:n] = 1.0
             if l_par is not None:
                 l_par[:n] = params[idx]
+
+            # edge-domain labels shard with their adjacency's edges: label
+            # row i of the merged batch is aligned with (destination-sorted)
+            # edge i, so the shard's edge selection IS its label selection.
+            # edge_origin_{adj} records each local edge's merged index (-1
+            # padding) for host-side reassembly of sharded predictions.
+            if label_dom == ("edge", a.name):
+                if "label" in arrays:
+                    l_lab = np.zeros(e_loc, np.float32)
+                    l_lm = np.zeros(e_loc, np.float32)
+                    l_lab[:n] = arrays["label"][idx]
+                    l_lm[:n] = arrays["label_mask"][idx]
+                    local[k]["label"] = l_lab
+                    local[k]["label_mask"] = l_lm
+                origin = np.full(e_loc, -1, np.int32)
+                origin[:n] = idx
+                local[k][f"edge_origin_{a.name}"] = origin
+                label_pad = e_loc
             local[k][f"src_{a.name}"] = l_src
             local[k][f"dst_{a.name}"] = l_dst
             local[k][f"seq_{a.name}"] = l_seq
@@ -268,6 +296,7 @@ def partition_batch(
         max_len=meta.max_len,
         interleave_len=meta.interleave_len,
         label_pad=label_pad,
+        extra_layout=meta.extra_layout,
     )
     return stacked, local_meta
 
@@ -304,7 +333,9 @@ def make_edgeshard_train_step(
             params, batch, local_meta, training=True, node_axis=model_axis
         )
         loss = loss_fn(batch["label"], preds, batch["label_mask"])
-        if label_dom[0] == "entity":
+        if label_dom[0] in ("entity", "edge"):
+            # sharded rows: the exact global mean is the mask-weighted
+            # combination of the local masked means
             cnt = jnp.sum(batch["label_mask"])
             loss = jax.lax.psum(loss * cnt, model_axis) / jnp.maximum(
                 jax.lax.psum(cnt, model_axis), 1.0
@@ -326,6 +357,10 @@ def make_edgeshard_train_step(
     cache: Dict[Tuple, Callable] = {}
 
     def train_step(params, opt_state, stacked_batch):
+        stacked_batch = {
+            k: v for k, v in stacked_batch.items()
+            if not k.startswith("edge_origin_")  # host-side reassembly data
+        }
         key = tuple(sorted((k, np.shape(v)) for k, v in stacked_batch.items()))
         if key not in cache:
             in_specs = {
@@ -363,6 +398,13 @@ def make_edgeshard_apply(
     cache: Dict[Tuple, Callable] = {}
 
     def apply_fn(params, stacked_batch):
+        origin = None
+        if label_dom[0] == "edge":
+            origin = np.asarray(stacked_batch[f"edge_origin_{label_dom[1]}"])
+            stacked_batch = {
+                k: v for k, v in stacked_batch.items()
+                if not k.startswith("edge_origin_")
+            }
         key = tuple(sorted((k, np.shape(v)) for k, v in stacked_batch.items()))
         if key not in cache:
             in_specs = {k: P(data_axis, model_axis) for k in stacked_batch}
@@ -382,6 +424,19 @@ def make_edgeshard_apply(
             # every shard computed the same [num_graphs] vector (pooled
             # values psum); the concat stacked n_model copies — keep one
             out = out[:, : local_meta.num_graphs]
+        elif origin is not None:
+            # edge-domain predictions come back per shard in LOCAL edge
+            # order; scatter through edge_origin back to the merged batch's
+            # destination-sorted edge order (real edges are a prefix there,
+            # so origin covers [0, n_real))
+            o = np.asarray(out).reshape(origin.shape[0], -1)
+            n_glob = int(origin.max()) + 1
+            res = np.zeros((origin.shape[0], n_glob), o.dtype)
+            flat_origin = origin.reshape(origin.shape[0], -1)
+            for d in range(origin.shape[0]):
+                valid = flat_origin[d] >= 0
+                res[d, flat_origin[d][valid]] = o[d][valid]
+            out = res
         return out
 
     return apply_fn

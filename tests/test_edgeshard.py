@@ -203,8 +203,10 @@ def test_edgeshard_graph_pooling_matches():
     )
 
 
-def test_edgeshard_rejects_edge_domain_labels():
-    desc = routenet_description(num_iterations=1, hs=8)
+def _edge_label_setup(n_samples=2, seed=13):
+    """Edge-domain model (extend_adjacencies -> product -> per-edge predict)
+    over random RouteNet graphs with one label per adj_links_paths edge."""
+    desc = routenet_description(num_iterations=2, hs=8)
     desc["readout"] = [
         {"type": "extend_adjacencies", "adj_list": "adj_links_paths",
          "input": ["link", "path"],
@@ -216,10 +218,119 @@ def test_edgeshard_rejects_edge_domain_labels():
     ]
     ir = parser.parse_model_description(desc, {"link_capacity": 1, "traffic": 1})
     model = build(ir)
+    params = model.init(jax.random.PRNGKey(3))
     spec = SampleSpec.from_ir(ir)
-    sample = dict(TINY_SAMPLE, edge_label=[0.1, 0.2, 0.3, 0.4])
+    rng = np.random.default_rng(seed)
+    samples = []
+    for _ in range(n_samples):
+        raw = make_routenet_sample(rng, 14, 10, 4)
+        n_edges = sum(len(v) for v in raw["adj_links_paths"].values())
+        raw["edge_label"] = rng.uniform(0.1, 1.0, n_edges).round(3).tolist()
+        samples.append(convert_sample(raw, spec))
+    arrays, meta = build_batch(samples, ir, PAD)
+    return ir, model, params, arrays, meta
+
+
+@pytest.mark.parametrize("n_model", [2, 4])
+def test_edgeshard_edge_domain_forward_matches(n_model):
+    """Edge-domain predictions under destination sharding: local per-edge
+    results scatter back through edge_origin to the merged sorted order."""
+    ir, model, params, arrays, meta = _edge_label_setup()
+    want = np.asarray(model.apply(params, arrays, meta))
+    stacked, local_meta = partition_batch(arrays, meta, ir, n_model)
+    mesh = make_mesh(data=1, model=n_model)
+    got = np.asarray(make_edgeshard_apply(model, local_meta, mesh)(
+        params, _stack1(stacked)))[0]
+    emask = np.asarray(arrays["edge_mask_adj_links_paths"]) > 0
+    n_real = int(emask.sum())  # real edges are a prefix of the sorted order
+    np.testing.assert_allclose(
+        got[:n_real], want[:n_real], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_edgeshard_edge_domain_train_step_matches_serial():
+    ir, model, params, arrays, meta = _edge_label_setup()
+    loss_fn = get_loss(ir.learning.loss)
+    opt = build_optimizer(ir.learning.optimizer)
+
+    def serial_loss(p):
+        preds = model.apply(p, arrays, meta, training=True)
+        return loss_fn(arrays["label"], preds, arrays["label_mask"]) + \
+            model.regularization_loss(p)
+
+    serial_grads = jax.grad(serial_loss)(params)
+    updates, _ = opt.update(serial_grads, opt.init(params), params)
+    want_params = optax.apply_updates(params, updates)
+
+    stacked, local_meta = partition_batch(arrays, meta, ir, 4)
+    mesh = make_mesh(data=1, model=4)
+    step = make_edgeshard_train_step(model, opt, loss_fn, local_meta, mesh)
+    got_params, _, loss = step(params, opt.init(params), _stack1(stacked))
+    flat_w, _ = jax.tree_util.tree_flatten(want_params)
+    flat_g, _ = jax.tree_util.tree_flatten(got_params)
+    for w, g in zip(flat_w, flat_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=5e-4, atol=5e-5)
+    serial_l = float(loss_fn(
+        arrays["label"],
+        model.apply(params, arrays, meta, training=True),
+        arrays["label_mask"],
+    ))
+    np.testing.assert_allclose(float(loss), serial_l, rtol=1e-4)
+
+
+def test_edgeshard_entity_shaped_additional_input():
+    """An additional readout input with one row per path node follows the
+    path entity's block layout (meta.extra_layout) across shards."""
+    desc = routenet_description(num_iterations=2, hs=8)
+    desc["readout"] = [
+        {"type": "product", "type_product": "element_wise",
+         "input": ["path", "path_weights"], "output_name": "weighted"},
+        {"type": "predict", "input": ["weighted"], "label": "delay",
+         "nn_name": "readout_model"},
+    ]
+    ir = parser.parse_model_description(desc, {"link_capacity": 1, "traffic": 1})
+    model = build(ir)
+    params = model.init(jax.random.PRNGKey(4))
+    spec = SampleSpec.from_ir(ir)
+    rng = np.random.default_rng(21)
+    samples = []
+    for _ in range(2):
+        raw = make_routenet_sample(rng, 14, 10, 4)
+        n_paths = sum(1 for t in raw["entities"].values() if t == "path")
+        raw["path_weights"] = rng.uniform(0.5, 2.0, n_paths).round(3).tolist()
+        samples.append(convert_sample(raw, spec))
+    arrays, meta = build_batch(samples, ir, PAD)
+    assert dict(meta.extra_layout)["path_weights"] == "path"
+    want = np.asarray(model.apply(params, arrays, meta))
+    stacked, local_meta = partition_batch(arrays, meta, ir, 2)
+    mesh = make_mesh(data=1, model=2)
+    got = np.asarray(make_edgeshard_apply(model, local_meta, mesh)(
+        params, _stack1(stacked)))[0]
+    mask = np.asarray(arrays["node_mask_path"]) > 0
+    np.testing.assert_allclose(
+        got[: mask.size][mask], want[mask], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_edgeshard_rejects_flat_additional_input():
+    """A non-entity-shaped additional input has no shardable row layout."""
+    desc = routenet_description(num_iterations=1, hs=8)
+    desc["readout"] = [
+        {"type": "product", "type_product": "element_wise",
+         "input": ["path", "mystery_vec"], "output_name": "weighted"},
+        {"type": "predict", "input": ["weighted"], "label": "delay",
+         "nn_name": "readout_model"},
+    ]
+    ir = parser.parse_model_description(desc, {"link_capacity": 1, "traffic": 1})
+    spec = SampleSpec.from_ir(ir)
+    # length matches neither entity's node count (3 links / 2 paths)
+    sample = dict(TINY_SAMPLE, mystery_vec=[1.0, 2.0, 3.0, 4.0])
+    sample["entities"] = dict(TINY_SAMPLE["entities"])
     arrays, meta = build_batch([convert_sample(sample, spec)], ir, PAD)
-    with pytest.raises(EdgeShardError, match="edge-domain"):
+    if dict(meta.extra_layout)["mystery_vec"]:
+        pytest.skip("sample shape coincides with an entity")
+    with pytest.raises(EdgeShardError, match="additional readout input"):
         partition_batch(arrays, meta, ir, 2)
 
 
