@@ -240,7 +240,16 @@ def graph_pool(
         xmasked = jnp.where(node_mask[:, None] > 0, x, neg)
         m = jax.ops.segment_max(xmasked, graph_ids, num_graphs)
         if axis_name:
-            m = jax.lax.pmax(m, axis_name)
+            # pmax has no differentiation rule; reconstruct the global max
+            # differentiably: the shard holding the max contributes its
+            # LOCAL (differentiable) value as a zero-valued residual, psum
+            # routes the cotangent back to that shard's rows (and marks the
+            # result replicated for shard_map's vma inference)
+            g = jax.lax.pmax(jax.lax.stop_gradient(m), axis_name)
+            m = g + jax.lax.psum(
+                jnp.where(m >= g, m - jax.lax.stop_gradient(m), 0.0),
+                axis_name,
+            )
         return jnp.where(jnp.isfinite(m), m, 0.0)
     raise ValueError(f"unknown pooling kind '{kind}'")
 

@@ -340,7 +340,12 @@ def make_edgeshard_train_step(
             loss = jax.lax.psum(loss * cnt, model_axis) / jnp.maximum(
                 jax.lax.psum(cnt, model_axis), 1.0
             )
-        # graph-domain losses are built from psum'd pooling -> already global
+        else:
+            # graph-domain: predictions are psum'd pooling -> every shard
+            # computed the SAME loss from its replicated label copy, but the
+            # label entered through sharded in_specs so vma marks it varying
+            # — pmean is value-preserving and re-marks the loss replicated
+            loss = jax.lax.pmean(loss, model_axis)
         reg = model.regularization_loss(params)
         return (loss + reg) / n_data, loss
 

@@ -556,3 +556,63 @@ def test_fuzzed_parallel_step_matches_serial(seed):
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5,
             err_msg=f"seed {seed}\n" + json.dumps(desc)[:1500],
         )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzzed_edgeshard_step_matches_serial(seed):
+    """Random model shapes through the v2 destination-sharded train step
+    (parallel/edgeshard.py, m=2) match serial gradients — covers every label
+    domain the generator draws (entity / graph / edge via extend) and every
+    aggregation over the halo-extended source tables."""
+    import optax
+
+    from ignnition_tpu.data.graph import PaddingConfig, infer_label_domain
+    from ignnition_tpu.parallel import (
+        make_edgeshard_train_step, make_mesh, partition_batch,
+    )
+    from ignnition_tpu.training import build_optimizer, get_loss
+
+    rng = np.random.default_rng(3000 + seed)
+    desc, entities, adjacencies, patterns = random_description(rng)
+    dims = {f"f_{e}": 1 for e in entities}
+    for adj_name, _, _, has_params in adjacencies:
+        if has_params:
+            dims[adj_name] = 1
+    model_ir = parser.parse_model_description(desc, dims)
+    dom = infer_label_domain(model_ir)
+    spec = SampleSpec.from_ir(model_ir, training=True)
+
+    raws = [
+        _label_for(
+            random_raw_sample(rng, entities, adjacencies, patterns), dom, rng
+        )
+        for _ in range(2)
+    ]
+    samples = [convert_sample(r, spec) for r in raws]
+    pad = PaddingConfig(mode="multiple", multiple=32, min_size=32)
+    arrays, meta = build_batch(samples, model_ir, pad, training=True)
+    model = build(model_ir)
+    params = model.init(jax.random.PRNGKey(seed))
+    loss_fn = get_loss(model_ir.learning.loss)
+    opt = build_optimizer(model_ir.learning.optimizer)
+
+    stacked, local_meta = partition_batch(arrays, meta, model_ir, 2)
+    mesh = make_mesh(data=1, model=2)
+    step = make_edgeshard_train_step(model, opt, loss_fn, local_meta, mesh)
+    p2, _, loss_sharded = step(
+        params, opt.init(params), {k: v[None] for k, v in stacked.items()}
+    )
+
+    def serial_loss(p):
+        preds = model.apply(p, arrays, meta, training=True)
+        return loss_fn(arrays["label"], preds, arrays["label_mask"]) + \
+            model.regularization_loss(p)
+
+    grads = jax.grad(serial_loss)(params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    p_serial = optax.apply_updates(params, updates)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p_serial)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5,
+            err_msg=f"seed {seed}\n" + json.dumps(desc)[:1500],
+        )
