@@ -62,20 +62,30 @@ def poisson(labels, preds, mask):
 
 
 def kl_divergence(labels, preds, mask):
+    # keras SUMS the per-element divergence over the feature axis (the
+    # distribution support) rather than averaging — on the reference's flat
+    # concatenated predictions that is a sum over all real elements
+    # (keras-parity tested)
     eps = 1e-7
     y = jnp.clip(labels, eps, 1.0)
     p = jnp.clip(preds, eps, 1.0)
-    return _masked_mean(y * jnp.log(y / p), mask)
+    return jnp.sum(y * jnp.log(y / p) * mask)
+
+
+def _hinge_labels(labels):
+    # keras converts {0,1} labels to {-1,1} only when ALL labels are binary
+    # (keras losses._maybe_convert_labels); mixed-valued labels pass through
+    is_binary = jnp.all((labels == 0.0) | (labels == 1.0))
+    return jnp.where(is_binary, 2.0 * labels - 1.0, labels)
 
 
 def hinge(labels, preds, mask):
-    # keras converts {0,1} labels to {-1,1}
-    y = jnp.where(labels <= 0.0, -1.0, labels)
+    y = _hinge_labels(labels)
     return _masked_mean(jnp.maximum(1.0 - y * preds, 0.0), mask)
 
 
 def squared_hinge(labels, preds, mask):
-    y = jnp.where(labels <= 0.0, -1.0, labels)
+    y = _hinge_labels(labels)
     return _masked_mean(jnp.maximum(1.0 - y * preds, 0.0) ** 2, mask)
 
 

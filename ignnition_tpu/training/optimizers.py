@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Any, Mapping, Optional
 
+import jax.numpy as jnp
 import optax
 
 from ..frontend.ir import OptimizerSpec, ScheduleSpec
@@ -50,10 +51,16 @@ def build_schedule(spec: ScheduleSpec) -> optax.Schedule:
             transition_steps=int(p["decay_steps"]),
         )
     if kind == "PiecewiseConstantDecay":
-        boundaries = [int(b) for b in p["boundaries"]]
-        values = [float(v) for v in p["values"]]
-        scales = {b: values[i + 1] / values[i] for i, b in enumerate(boundaries)}
-        return optax.piecewise_constant_schedule(values[0], scales)
+        # keras boundary semantics are INCLUSIVE on the left value:
+        # lr = values[i] while step <= boundaries[i] (keras-parity tested;
+        # optax.piecewise_constant_schedule switches one step early)
+        boundaries = jnp.asarray([int(b) for b in p["boundaries"]])
+        values = jnp.asarray([float(v) for v in p["values"]])
+
+        def sched(step):
+            return values[jnp.sum(step > boundaries)]
+
+        return sched
     if kind == "CosineDecay":
         return optax.cosine_decay_schedule(
             init_value=float(p["initial_learning_rate"]),
@@ -61,19 +68,31 @@ def build_schedule(spec: ScheduleSpec) -> optax.Schedule:
             alpha=float(p.get("alpha", 0.0)),
         )
     if kind == "CosineDecayRestarts":
-        return optax.sgdr_schedule(
-            [
-                {
-                    "init_value": float(p["initial_learning_rate"]),
-                    "peak_value": float(p["initial_learning_rate"]),
-                    "decay_steps": int(p["first_decay_steps"]),
-                    "warmup_steps": 0,
-                    "end_value": float(p.get("alpha", 0.0))
-                    * float(p["initial_learning_rate"]),
-                }
-            ]
-            * 8
-        )
+        # keras closed form (SGDR, Loshchilov & Hutter): restart i runs for
+        # first_decay_steps * t_mul^i steps at peak initial_lr * m_mul^i;
+        # keras-parity tested against tf.keras CosineDecayRestarts
+        init = float(p["initial_learning_rate"])
+        t0 = float(p["first_decay_steps"])
+        t_mul = float(p.get("t_mul", 2.0))
+        m_mul = float(p.get("m_mul", 1.0))
+        alpha = float(p.get("alpha", 0.0))
+
+        def sched(step):
+            cf = jnp.asarray(step, jnp.float32) / t0
+            if t_mul == 1.0:
+                i_restart = jnp.floor(cf)
+                frac = cf - i_restart
+            else:
+                i_restart = jnp.floor(
+                    jnp.log1p(-cf * (1.0 - t_mul)) / jnp.log(t_mul)
+                )
+                sum_r = (1.0 - t_mul**i_restart) / (1.0 - t_mul)
+                frac = (cf - sum_r) / t_mul**i_restart
+            m_fac = m_mul**i_restart
+            cosine = 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+            return init * ((1.0 - alpha) * m_fac * cosine + alpha)
+
+        return sched
     raise ValueError(f"unknown learning-rate schedule '{kind}'")
 
 
@@ -134,10 +153,52 @@ def build_optimizer(spec: OptimizerSpec) -> optax.GradientTransformation:
             eps=float(p.get("epsilon", 1e-7)),
         )
     if kind == "Nadam":
-        return optax.nadam(
+        # optax.nadam implements a different Nadam variant (trajectories
+        # diverge ~3e-2 within 12 steps); this is keras 3's exact update
+        # (keras/src/optimizers/nadam.py): momentum-schedule products
+        # u_t = b1 * (1 - 0.5 * 0.96^t)
+        return _keras_nadam(
             lr,
             b1=float(p.get("beta_1", 0.9)),
             b2=float(p.get("beta_2", 0.999)),
             eps=float(p.get("epsilon", 1e-7)),
         )
     raise ValueError(f"unknown optimizer '{kind}'")
+
+
+def _keras_nadam(lr, b1: float, b2: float, eps: float):
+    """Keras-semantics Nadam as an optax transformation (keras-parity
+    tested against tf.keras.optimizers.Nadam trajectories)."""
+    import jax
+
+    def init(params):
+        return {
+            "m": jax.tree.map(jnp.zeros_like, params),
+            "v": jax.tree.map(jnp.zeros_like, params),
+            "t": jnp.zeros((), jnp.int32),
+            "u_prod": jnp.ones((), jnp.float32),
+        }
+
+    def update(grads, state, params=None):
+        t = state["t"] + 1  # keras local_step
+        tf_ = t.astype(jnp.float32)
+        u_t = b1 * (1.0 - 0.5 * 0.96**tf_)
+        u_t1 = b1 * (1.0 - 0.5 * 0.96 ** (tf_ + 1.0))
+        u_prod = state["u_prod"] * u_t
+        u_prod1 = u_prod * u_t1
+        m = jax.tree.map(lambda m_, g: b1 * m_ + (1 - b1) * g, state["m"], grads)
+        v = jax.tree.map(
+            lambda v_, g: b2 * v_ + (1 - b2) * g * g, state["v"], grads
+        )
+        step_lr = lr(state["t"]) if callable(lr) else lr
+        b2p = b2**tf_
+
+        def upd(m_, v_, g):
+            m_hat = u_t1 * m_ / (1 - u_prod1) + (1 - u_t) * g / (1 - u_prod)
+            v_hat = v_ / (1 - b2p)
+            return -step_lr * m_hat / (jnp.sqrt(v_hat) + eps)
+
+        updates = jax.tree.map(upd, m, v, grads)
+        return updates, {"m": m, "v": v, "t": t, "u_prod": u_prod}
+
+    return optax.GradientTransformation(init, update)

@@ -334,6 +334,54 @@ def test_edgeshard_rejects_flat_additional_input():
         partition_batch(arrays, meta, ir, 2)
 
 
+def test_trainer_dest_shard_edge_domain(tmp_path):
+    """Edge-domain-label models stream through the Trainer's dest_shard path
+    (edge labels shard with their adjacency; pad_to keeps shapes stable)."""
+    import json as _json
+    import tarfile
+    from io import BytesIO
+
+    from ignnition_tpu.training.trainer import Trainer
+
+    rng = np.random.default_rng(17)
+    raws = []
+    for _ in range(6):
+        raw = make_routenet_sample(rng, 14, 10, 4)
+        ne = sum(len(v) for v in raw["adj_links_paths"].values())
+        raw["edge_label"] = rng.uniform(0.1, 1.0, ne).round(3).tolist()
+        raws.append(raw)
+    d = tmp_path / "ds"
+    d.mkdir()
+    payload = _json.dumps(raws).encode()
+    with tarfile.open(d / "s.tar.gz", "w:gz") as tar:
+        info = tarfile.TarInfo("data.json")
+        info.size = len(payload)
+        tar.addfile(info, BytesIO(payload))
+
+    desc = routenet_description(num_iterations=2, hs=8)
+    desc["readout"] = [
+        {"type": "extend_adjacencies", "adj_list": "adj_links_paths",
+         "input": ["link", "path"],
+         "output_name_src": "esrc", "output_name_dst": "edst"},
+        {"type": "product", "type_product": "element_wise",
+         "input": ["esrc", "edst"], "output_name": "pair"},
+        {"type": "predict", "input": ["pair"], "label": "edge_label",
+         "nn_name": "readout_model"},
+    ]
+    ir = parser.parse_model_description(desc, {"link_capacity": 1, "traffic": 1})
+    model = build(ir)
+    tr = Trainer(model, padding=PAD)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    mesh = make_mesh(data=2, model=4)
+    state = tr.train(
+        state, str(d), max_steps=3, batch_size=1, mesh=mesh,
+        model_strategy="dest_shard", log_every=0,
+    )
+    assert state.step == 3
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_trainer_dest_shard_integration(tmp_path):
     """Trainer.train(mesh=..., model_strategy='dest_shard') streams
     partitioned batches through the v2 step (shape-stable via pad_to)."""

@@ -19,6 +19,17 @@ import jax
 import numpy as np
 import pytest
 
+
+@pytest.fixture(autouse=True)
+def _release_fuzz_executables():
+    """Every fuzz case compiles a fresh random model, so cached executables
+    are dead weight; on small CI hosts the accumulated XLA CPU state has
+    been observed to abort the compiler late in the file (fatal 'Aborted'
+    inside backend_compile_and_load). Dropping caches between cases keeps
+    the process footprint flat."""
+    yield
+    jax.clear_caches()
+
 from ignnition_tpu.data import SampleSpec, build_batch
 from ignnition_tpu.data.dataset import convert_sample
 from ignnition_tpu.frontend import parser

@@ -67,12 +67,13 @@ def test_extra_losses_match_formulas():
         np.mean(p - l * np.log(p + 1e-7)),
         rtol=1e-6,
     )
-    # KL over clipped distributions
+    # KL over clipped distributions: keras SUMS over the support (the
+    # feature axis) — ground-truthed in tests/test_keras_training_parity.py
     lq = np.array([0.4, 0.6], np.float32)
     pq = np.array([0.5, 0.5], np.float32)
     np.testing.assert_allclose(
         float(get_loss("KLDivergence")(lq, pq, m)),
-        np.mean(lq * np.log(lq / pq)),
+        np.sum(lq * np.log(lq / pq)),
         rtol=1e-5,
     )
     # hinge: {0,1} labels map to {-1,1}

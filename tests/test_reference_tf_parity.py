@@ -688,6 +688,69 @@ def test_grad_parity_interleave(tmp_path):
                             tmp_path)
 
 
+def test_training_trajectory_matches_reference(tmp_path):
+    """Ten full training steps — reference (tf.GradientTape + keras Adam) vs
+    this repo (jax.grad + the name-mapped optax Adam) from identical initial
+    weights on the same graph: the loss sequences must track step for step.
+    This is the end-to-end composition of the per-leaf gradient parity above
+    with the optimizer-trajectory parity of test_keras_training_parity.py."""
+    ref = tf_ref.load_reference()
+    tf = ref.tf
+    desc = routenet_description(num_iterations=2, hs=8)
+    for op in desc["readout"]:
+        op.pop("label_normalization", None)
+    sample = _bigger_sample(47)
+
+    mi = tf_ref.build_model_information(desc, DIMS_RN, tmp_path)
+    ref.gm.set_model_info(mi)
+    tensors, label = tf_ref.reference_input(sample, mi, tmp_path, training=True)
+    comnet = ref.gm.ComnetModel()
+    label_t = tf.constant(np.asarray(label, np.float32).reshape(-1))
+    opt_tf = tf.keras.optimizers.Adam(0.01)
+
+    # build the repo model and transfer the INITIAL weights before training
+    ir = parser.parse_model_description(copy.deepcopy(desc), dict(DIMS_RN))
+    model = build(ir)
+    comnet(dict(tensors))  # build variables
+    params = tf_ref.transfer_params(comnet, model)
+
+    ref_losses = []
+    for _ in range(10):
+        with tf.GradientTape() as tape:
+            pred = comnet(dict(tensors))
+            loss = tf.reduce_mean(tf.square(tf.reshape(pred, [-1]) - label_t))
+            if comnet.losses:
+                loss = loss + tf.add_n(
+                    [tf.cast(l, tf.float32) for l in comnet.losses]
+                )
+        grads = tape.gradient(loss, comnet.trainable_variables)
+        opt_tf.apply_gradients(zip(grads, comnet.trainable_variables))
+        ref_losses.append(float(loss))
+
+    spec = SampleSpec.from_ir(ir)
+    arrays, meta = build_batch([convert_sample(sample, spec)], ir, EXACT)
+    import optax
+
+    tx = optax.adam(0.01, eps=1e-7)  # keras Adam defaults
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        preds = model.apply(p, arrays, meta)
+        mask = arrays["label_mask"].reshape(-1)
+        sq = jnp.square(preds.reshape(-1) - arrays["label"].reshape(-1)) * mask
+        return jnp.sum(sq) / jnp.sum(mask) + model.regularization_loss(p)
+
+    got_losses = []
+    for _ in range(10):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        got_losses.append(float(loss))
+
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=2e-3,
+                               err_msg=f"ref={ref_losses}\ngot={got_losses}")
+
+
 # --------------------------------------------------------------------------
 # sample builders
 # --------------------------------------------------------------------------
