@@ -247,7 +247,32 @@ def detail_cases(iters):
     }
 
 
-def run_details(iters=20, on_case=None):
+def _time_forward(model, meta, params, arrays, iters=50):
+    """Fetch-based forward-only timing (serving path), bf16 compute."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda p, b: model.apply(p, b, meta, compute_dtype=jnp.bfloat16))
+
+    def fetch(o):
+        return float(jnp.sum(o.astype(jnp.float32)))
+
+    fetch(f(params, arrays))  # compile
+    t0 = time.time()
+    fetch(f(params, arrays))
+    base = time.time() - t0
+    t0 = time.time()
+    out = None
+    for _ in range(iters):
+        out = f(params, arrays)
+    fetch(out)
+    return max(time.time() - t0 - base, 1e-9) / (iters - 1)
+
+
+def run_details(iters=20, on_case=None, flagship_case=None):
+    import jax
     import jax.numpy as jnp
 
     detail = {}
@@ -267,6 +292,27 @@ def run_details(iters=20, on_case=None):
         print(f"# detail {name}: {detail[name]}", flush=True)
         if on_case is not None:
             on_case(name, detail[name])
+
+    # serving: forward-only predict at flagship shapes (PERF.md 'Serving');
+    # reuses the flagship case main() already built when available
+    try:
+        if flagship_case is None:
+            flagship_case = build_case()
+        make_step, params, _, arrays, edges = flagship_case
+        dt = _time_forward(
+            make_step.model, make_step.meta, params,
+            jax.device_put(arrays), iters=max(iters, 50),
+        )
+        detail["serving_bf16"] = {
+            "value": round(edges / dt / 1e6, 3),
+            "unit": "Medges/s/chip",
+            "ms_per_step": round(dt * 1e3, 3),
+        }
+    except Exception as e:
+        detail["serving_bf16"] = {"error": f"{type(e).__name__}: {e}"}
+    print(f"# detail serving_bf16: {detail['serving_bf16']}", flush=True)
+    if on_case is not None:
+        on_case("serving_bf16", detail["serving_bf16"])
     return detail
 
 
@@ -328,9 +374,13 @@ def main():
 
     flush_detail()
     if os.environ.get("BENCH_DETAIL", "1") != "0":
-        run_details(on_case=lambda name, row: (
-            detail.__setitem__(name, row), flush_detail()
-        ))
+        run_details(
+            on_case=lambda name, row: (
+                detail.__setitem__(name, row), flush_detail()
+            ),
+            flagship_case=(make_step, params, opt_state, arrays,
+                           edges_per_step),
+        )
 
 
 if __name__ == "__main__":
