@@ -1051,6 +1051,16 @@ def merge_metas(metas: Sequence[BatchMeta]) -> BatchMeta:
         d = dict(m.inc_blocks)
         ib = {k: v for k, v in ib.items() if d.get(k) == v}
 
+    # extra_layout is a per-batch row-count heuristic; silently stamping
+    # batch 0's choice onto a batch that resolved an additional input to a
+    # DIFFERENT entity would shard that batch's rows by the wrong blocks
+    layouts = {m.extra_layout for m in metas}
+    if len(layouts) > 1:
+        raise ValueError(
+            "cannot stack batches whose additional readout inputs resolved "
+            f"to different entity layouts: {sorted(layouts)}"
+        )
+
     return BatchMeta(
         num_graphs=next(iter(ng)),
         node_pad=_max("node_pad"),

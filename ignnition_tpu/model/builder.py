@@ -397,6 +397,19 @@ class GnnModel:
 
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _halo_src_table(batch, adj, table, node_axis):
+        """v2 destination sharding: extend a local source-row table with the
+        halo rows peers own (one all_to_all through the host-built
+        `halo_send_{adj}` tables; parallel/edgeshard.py). Identity when not
+        sharded or when the adjacency has no halo."""
+        if node_axis is None:
+            return table
+        send = batch.get(f"halo_send_{adj}")
+        if send is None:
+            return table
+        return seg.halo_extend(table, send, node_axis)
+
     def _message_passing_iteration(
         self, params, batch, meta, states, edge_axis=None, node_axis=None
     ):
@@ -411,12 +424,7 @@ class GnnModel:
             exchange happens AFTER any source-local message chain, so the
             halo moves message-width rows, once per adjacency per
             iteration."""
-            if node_axis is None:
-                return table
-            send = batch.get(f"halo_send_{src.adj_name}")
-            if send is None:
-                return table
-            return seg.halo_extend(table, send, node_axis)
+            return self._halo_src_table(batch, src.adj_name, table, node_axis)
 
         for si, stage in enumerate(model_ir.stages):
             for mi, mp in enumerate(stage.passes):
@@ -1178,8 +1186,10 @@ class GnnModel:
             )
             if node_axis is not None:
                 # destination-sharded rows: a graph's destinations may span
-                # shards, so the per-graph statistics combine across them
-                gmax = jax.lax.pmax(gmax, node_axis)
+                # shards, so the per-graph statistics combine across them.
+                # pmax has no differentiation rule; the softmax is shift-
+                # invariant in its max, so a constant max is exact
+                gmax = jax.lax.pmax(jax.lax.stop_gradient(gmax), node_axis)
             ex = jnp.exp(scattered - gmax[graph_id]) * mask2
             den = jax.ops.segment_sum(ex, graph_id, ng)
             if node_axis is not None:
@@ -1304,14 +1314,11 @@ class GnnModel:
                 adj = op.adj_name
                 src_states = fetch(op.inputs[0])
                 dst_states_ = fetch(op.inputs[1])
-                if node_axis is not None:
-                    # v2 destination sharding: the shard's src_{adj} indices
-                    # point into the halo-extended source layout — exchange
-                    # the final states' boundary rows once more (the
-                    # destination side is local by edge ownership)
-                    send = batch.get(f"halo_send_{adj}")
-                    if send is not None:
-                        src_states = seg.halo_extend(src_states, send, node_axis)
+                # v2 destination sharding: the shard's src_{adj} indices
+                # point into the halo-extended source layout — exchange the
+                # final states' boundary rows once more (the destination
+                # side is local by edge ownership)
+                src_states = self._halo_src_table(batch, adj, src_states, node_axis)
                 ro[op.output_names[0]] = src_states[batch[f"src_{adj}"]]
                 ro[op.output_names[1]] = dst_states_[batch[f"dst_{adj}"]]
         return result

@@ -241,13 +241,27 @@ def graph_pool(
         m = jax.ops.segment_max(xmasked, graph_ids, num_graphs)
         if axis_name:
             # pmax has no differentiation rule; reconstruct the global max
-            # differentiably: the shard holding the max contributes its
-            # LOCAL (differentiable) value as a zero-valued residual, psum
-            # routes the cotangent back to that shard's rows (and marks the
-            # result replicated for shard_map's vma inference)
+            # differentiably: shards holding the max contribute their LOCAL
+            # (differentiable) value as a zero-valued residual, psum routes
+            # the cotangent back to those shards' rows (and marks the
+            # result replicated for shard_map's vma inference). Cross-shard
+            # ties must SPLIT the cotangent like the serial segment_max
+            # VJP does: weight each shard's residual by its share of the
+            # global tie count (the local VJP already splits evenly among
+            # local ties).
             g = jax.lax.pmax(jax.lax.stop_gradient(m), axis_name)
+            t_loc = jax.ops.segment_sum(
+                jnp.where(
+                    (node_mask[:, None] > 0)
+                    & (xmasked >= g[graph_ids]), 1.0, 0.0
+                ),
+                graph_ids,
+                num_graphs,
+            )
+            t_glob = jax.lax.psum(t_loc, axis_name)
+            w = t_loc / jnp.maximum(t_glob, 1.0)
             m = g + jax.lax.psum(
-                jnp.where(m >= g, m - jax.lax.stop_gradient(m), 0.0),
+                jnp.where(m >= g, m - jax.lax.stop_gradient(m), 0.0) * w,
                 axis_name,
             )
         return jnp.where(jnp.isfinite(m), m, 0.0)

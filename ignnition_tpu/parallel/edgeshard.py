@@ -53,6 +53,7 @@ from jax import shard_map
 
 from ..data.graph import BatchMeta, adjacency_aux_arrays, infer_label_domain
 from ..model.builder import GnnModel
+from ..training.losses import loss_reduction
 
 _HALO_MULTIPLE = 8  # round the halo height to keep lanes happy / shapes stable
 
@@ -326,6 +327,7 @@ def make_edgeshard_train_step(
     """
     n_data = mesh.shape.get(data_axis, 1) if data_axis else 1
     label_dom = infer_label_domain(model.ir)
+    reduction = loss_reduction(loss_fn)
 
     def local_loss(params, stacked_local):
         batch = {k: v[0, 0] for k, v in stacked_local.items()}
@@ -334,12 +336,17 @@ def make_edgeshard_train_step(
         )
         loss = loss_fn(batch["label"], preds, batch["label_mask"])
         if label_dom[0] in ("entity", "edge"):
-            # sharded rows: the exact global mean is the mask-weighted
-            # combination of the local masked means
-            cnt = jnp.sum(batch["label_mask"])
-            loss = jax.lax.psum(loss * cnt, model_axis) / jnp.maximum(
-                jax.lax.psum(cnt, model_axis), 1.0
-            )
+            if reduction == "sum":
+                # sum-reduction losses (keras KLDivergence): the global
+                # loss is the plain sum of the shard sums
+                loss = jax.lax.psum(loss, model_axis)
+            else:
+                # sharded rows: the exact global mean is the mask-weighted
+                # combination of the local masked means
+                cnt = jnp.sum(batch["label_mask"])
+                loss = jax.lax.psum(loss * cnt, model_axis) / jnp.maximum(
+                    jax.lax.psum(cnt, model_axis), 1.0
+                )
         else:
             # graph-domain: predictions are psum'd pooling -> every shard
             # computed the SAME loss from its replicated label copy, but the
@@ -347,14 +354,22 @@ def make_edgeshard_train_step(
             # — pmean is value-preserving and re-marks the loss replicated
             loss = jax.lax.pmean(loss, model_axis)
         reg = model.regularization_loss(params)
-        return (loss + reg) / n_data, loss
+        # replicated-cotangent psum over the data axis sums shard gradients;
+        # mean losses scale by 1/n_data so that sum IS the data-batch mean,
+        # sum losses want the plain sum (scale 1); reg counts once either way
+        scale = 1.0 if reduction == "sum" else 1.0 / n_data
+        return loss * scale + reg / n_data, loss
 
     def step(params, opt_state, stacked):
         (_, loss), grads = jax.value_and_grad(local_loss, has_aux=True)(
             params, stacked
         )
         if data_axis:
-            loss = jax.lax.pmean(loss, data_axis)  # also marks it replicated
+            # also marks the loss replicated over the data axis
+            if reduction == "sum":
+                loss = jax.lax.psum(loss, data_axis)
+            else:
+                loss = jax.lax.pmean(loss, data_axis)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -433,11 +448,16 @@ def make_edgeshard_apply(
             # edge-domain predictions come back per shard in LOCAL edge
             # order; scatter through edge_origin back to the merged batch's
             # destination-sorted edge order (real edges are a prefix there,
-            # so origin covers [0, n_real))
-            o = np.asarray(out).reshape(origin.shape[0], -1)
-            n_glob = int(origin.max()) + 1
-            res = np.zeros((origin.shape[0], n_glob), o.dtype)
+            # so origin covers [0, n_real)). Keeps any trailing feature
+            # dims (predict heads with units > 1).
+            o = np.asarray(out)  # [n_data, n_model*e_loc, *feat]
             flat_origin = origin.reshape(origin.shape[0], -1)
+            assert o.shape[1] == flat_origin.shape[1], (
+                f"prediction rows {o.shape[1]} != edge rows "
+                f"{flat_origin.shape[1]}"
+            )
+            n_glob = int(origin.max()) + 1
+            res = np.zeros((origin.shape[0], n_glob) + o.shape[2:], o.dtype)
             for d in range(origin.shape[0]):
                 valid = flat_origin[d] >= 0
                 res[d, flat_origin[d][valid]] = o[d][valid]

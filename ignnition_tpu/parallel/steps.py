@@ -29,6 +29,7 @@ from jax import shard_map
 
 from ..data.graph import BatchMeta, infer_label_domain
 from ..model.builder import GnnModel
+from ..training.losses import loss_reduction
 
 # --------------------------------------------------------------------------
 # batch classification & stacking
@@ -124,6 +125,7 @@ def make_parallel_train_step(
     n_data = mesh.shape[data_axis]
     use_model_axis = model_axis if (model_axis and mesh.shape.get(model_axis, 1) > 1) else None
     label_dom = infer_label_domain(model.ir)
+    reduction = loss_reduction(loss_fn)
 
     def local_loss(params, stacked_local):
         # leading data dim is 1 on each shard
@@ -135,28 +137,37 @@ def make_parallel_train_step(
         if use_model_axis and label_dom[0] == "edge":
             # edge-domain predictions AND labels follow the sharded edge
             # arrays (extend_adjacencies gathers per local edge): combine
-            # the local masked means into the global mean — every registry
-            # loss is a mask-weighted mean, so sum(mean*cnt)/sum(cnt) is
-            # exact, and the psums keep gradient flow purely local
-            cnt = jnp.sum(batch["label_mask"])
-            loss = jax.lax.psum(loss * cnt, use_model_axis) / jnp.maximum(
-                jax.lax.psum(cnt, use_model_axis), 1.0
-            )
+            # the local partial losses into the global one — mask-weighted
+            # mean of means for mean-reduction losses, plain psum for
+            # sum-reduction losses (keras KLDivergence); the psums keep
+            # gradient flow purely local
+            if reduction == "sum":
+                loss = jax.lax.psum(loss, use_model_axis)
+            else:
+                cnt = jnp.sum(batch["label_mask"])
+                loss = jax.lax.psum(loss * cnt, use_model_axis) / jnp.maximum(
+                    jax.lax.psum(cnt, use_model_axis), 1.0
+                )
         reg = model.regularization_loss(params)
         # Scale by 1/n_data: params enter the shard as a REPLICATED value, and
         # under shard_map's varying-mesh-axes semantics the cotangent of a
         # replicated input is automatically all-reduced across shards — the
         # returned grads are already sum-over-data-shards. Scaling the local
-        # loss makes that sum the batch mean. Edge ('model') shards need no
-        # correction: partial message-path contributions psum while the
-        # replicated post-aggregation paths are tracked as one logical value.
-        return (loss + reg) / n_data, loss
+        # loss makes that sum the batch mean (sum-reduction losses keep the
+        # plain sum: scale 1). Edge ('model') shards need no correction:
+        # partial message-path contributions psum while the replicated
+        # post-aggregation paths are tracked as one logical value.
+        scale = 1.0 if reduction == "sum" else 1.0 / n_data
+        return loss * scale + reg / n_data, loss
 
     def step(params, opt_state, stacked):
         (_, loss), grads = jax.value_and_grad(local_loss, has_aux=True)(
             params, stacked
         )
-        loss = jax.lax.pmean(loss, data_axis)
+        if reduction == "sum":
+            loss = jax.lax.psum(loss, data_axis)
+        else:
+            loss = jax.lax.pmean(loss, data_axis)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

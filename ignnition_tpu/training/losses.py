@@ -65,27 +65,37 @@ def kl_divergence(labels, preds, mask):
     # keras SUMS the per-element divergence over the feature axis (the
     # distribution support) rather than averaging — on the reference's flat
     # concatenated predictions that is a sum over all real elements
-    # (keras-parity tested)
+    # (keras-parity tested). The `reduction` tag below tells the sharded /
+    # accumulated step builders to combine partial losses by SUM instead of
+    # the mask-weighted mean every other registry loss uses.
     eps = 1e-7
     y = jnp.clip(labels, eps, 1.0)
     p = jnp.clip(preds, eps, 1.0)
     return jnp.sum(y * jnp.log(y / p) * mask)
 
 
-def _hinge_labels(labels):
+kl_divergence.reduction = "sum"
+
+
+def _hinge_labels(labels, mask):
     # keras converts {0,1} labels to {-1,1} only when ALL labels are binary
-    # (keras losses._maybe_convert_labels); mixed-valued labels pass through
-    is_binary = jnp.all((labels == 0.0) | (labels == 1.0))
+    # (keras losses._maybe_convert_labels). The predicate runs over REAL
+    # rows only (padding zeros must not sway it). Caveat: under sharded
+    # training each shard evaluates the predicate on its local labels — a
+    # batch whose binary-ness differs per shard diverges from the serial
+    # semantics (global all-binary check needs global labels).
+    real = mask > 0
+    is_binary = jnp.all(jnp.where(real, (labels == 0.0) | (labels == 1.0), True))
     return jnp.where(is_binary, 2.0 * labels - 1.0, labels)
 
 
 def hinge(labels, preds, mask):
-    y = _hinge_labels(labels)
+    y = _hinge_labels(labels, mask)
     return _masked_mean(jnp.maximum(1.0 - y * preds, 0.0), mask)
 
 
 def squared_hinge(labels, preds, mask):
-    y = _hinge_labels(labels)
+    y = _hinge_labels(labels, mask)
     return _masked_mean(jnp.maximum(1.0 - y * preds, 0.0) ** 2, mask)
 
 
@@ -111,3 +121,9 @@ def get_loss(name: str) -> Callable:
         raise ValueError(
             f"unknown loss '{name}'; supported: {sorted(LOSSES)}"
         ) from None
+
+
+def loss_reduction(loss_fn: Callable) -> str:
+    """'mean' (mask-weighted mean, the default) or 'sum' — how the sharded /
+    accumulated step builders must combine partial losses."""
+    return getattr(loss_fn, "reduction", "mean")

@@ -32,7 +32,7 @@ import optax
 from ..data import SampleSpec, build_batch, iter_samples
 from ..data.graph import BatchMeta, PaddingConfig
 from ..model.builder import GnnModel
-from .losses import get_loss
+from .losses import get_loss, loss_reduction
 from .metrics import MetricAccumulator
 from .optimizers import build_optimizer
 from .packing import pack_arrays, pack_layout, unpack_arrays
@@ -146,11 +146,26 @@ class Trainer:
                 (gsum, lsum, rsum), _ = jax.lax.scan(
                     micro, (zero, jnp.float32(0.0), jnp.float32(0.0)), (stacked, keys)
                 )
-                grads = jax.tree.map(lambda g: g / n_accum, gsum)
+                # mean-reduction losses: microbatch mean ~= big-batch mean
+                # (exact for equal real counts) -> average the gradients.
+                # sum-reduction losses (loss_reduction == 'sum', keras
+                # KLDivergence): the big-batch loss is the SUM of microbatch
+                # sums -> keep the gradient sum, but the l2 regularization
+                # entered every microbatch, so subtract the extra
+                # (n_accum - 1) copies of its gradient
+                if loss_reduction(self.loss_fn) == "sum":
+                    reg_grads = jax.grad(self.model.regularization_loss)(params)
+                    grads = jax.tree.map(
+                        lambda g, rg: g - (n_accum - 1) * rg, gsum, reg_grads
+                    )
+                    loss = lsum
+                    reg = rsum / n_accum
+                else:
+                    grads = jax.tree.map(lambda g: g / n_accum, gsum)
+                    loss = lsum / n_accum
+                    reg = rsum / n_accum
                 updates, opt_state = self.optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                loss = lsum / n_accum
-                reg = rsum / n_accum
                 return params, opt_state, {
                     "loss": loss,
                     "reg": reg,

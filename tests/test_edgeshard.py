@@ -334,6 +334,111 @@ def test_edgeshard_rejects_flat_additional_input():
         partition_batch(arrays, meta, ir, 2)
 
 
+def test_edgeshard_quirk_attention_train_step_matches_serial():
+    """Reference-quirk attention ('reference' softmax) must TRAIN under v2:
+    its per-graph max statistic crosses shards through pmax, which has no
+    differentiation rule — the softmax's shift-invariance makes a
+    stop_gradient'ed max exact (review-found crash)."""
+    desc = routenet_description(num_iterations=2, hs=8)
+    desc["message_passing"]["stages"][1]["stage_mp"][0]["aggregation"] = {
+        "type": "attention", "attention_softmax": "reference",
+    }
+    ir, model, params, arrays, meta = _setup(desc)
+    loss_fn = get_loss(ir.learning.loss)
+    opt = build_optimizer(ir.learning.optimizer)
+
+    def serial_loss(p):
+        preds = model.apply(p, arrays, meta, training=True)
+        return loss_fn(arrays["label"], preds, arrays["label_mask"]) + \
+            model.regularization_loss(p)
+
+    grads = jax.grad(serial_loss)(params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    want = optax.apply_updates(params, updates)
+
+    stacked, local_meta = partition_batch(arrays, meta, ir, 2)
+    mesh = make_mesh(data=1, model=2)
+    step = make_edgeshard_train_step(model, opt, loss_fn, local_meta, mesh)
+    got, _, _ = step(params, opt.init(params), _stack1(stacked))
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_edgeshard_sum_reduction_loss_matches_serial():
+    """keras KLDivergence is a SUM over real elements; the sharded combiner
+    must psum the shard sums, not mask-weight them into a mean
+    (review-found: the mean combiner halved the loss)."""
+    desc = routenet_description(num_iterations=2, hs=8)
+    desc["learning_options"]["loss"] = "KLDivergence"
+    del desc["readout"][0]["label_normalization"]
+    ir, model, params, arrays, meta = _setup(desc)
+    loss_fn = get_loss(ir.learning.loss)
+    opt = build_optimizer(ir.learning.optimizer)
+
+    def serial_loss(p):
+        preds = model.apply(p, arrays, meta, training=True)
+        return loss_fn(arrays["label"], preds, arrays["label_mask"]) + \
+            model.regularization_loss(p)
+
+    serial_l = float(loss_fn(
+        arrays["label"],
+        model.apply(params, arrays, meta, training=True),
+        arrays["label_mask"],
+    ))
+    grads = jax.grad(serial_loss)(params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    want = optax.apply_updates(params, updates)
+
+    stacked, local_meta = partition_batch(arrays, meta, ir, 2)
+    mesh = make_mesh(data=1, model=2)
+    step = make_edgeshard_train_step(model, opt, loss_fn, local_meta, mesh)
+    got, _, loss = step(params, opt.init(params), _stack1(stacked))
+    np.testing.assert_allclose(float(loss), serial_l, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_graph_pool_max_cross_shard_tie_splits_gradient():
+    """Cross-shard max ties must split the cotangent like the serial
+    segment_max VJP (review-found: each tying shard got the full cotangent,
+    doubling the gradient)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ignnition_tpu.ops import segment as seg
+
+    x = np.array([[1.0], [3.0], [3.0], [2.0]], np.float32)
+    gid = np.zeros(4, np.int32)
+    mask = np.ones(4, np.float32)
+
+    def serial(xv):
+        return seg.graph_pool(xv, jnp.asarray(gid), 1, jnp.asarray(mask),
+                              "max").sum()
+
+    want = np.asarray(jax.grad(serial)(jnp.asarray(x)))
+
+    mesh = make_mesh(data=1, model=2)
+
+    def local(xv, gidv, maskv):
+        # the pooled value is replicated across shards (pmax + psum residual)
+        return seg.graph_pool(xv, gidv, 1, maskv, "max",
+                              axis_name="model").sum()
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("model"), P("model"), P("model")),
+        out_specs=P(),
+    )
+    got = np.asarray(jax.grad(
+        lambda xv: fn(xv, jnp.asarray(gid), jnp.asarray(mask))
+    )(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-6,
+                               err_msg=f"serial {want.ravel()} vs sharded "
+                                       f"{got.ravel()}")
+
+
 def test_trainer_dest_shard_edge_domain(tmp_path):
     """Edge-domain-label models stream through the Trainer's dest_shard path
     (edge labels shard with their adjacency; pad_to keeps shapes stable)."""

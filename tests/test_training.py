@@ -194,6 +194,45 @@ def test_grad_accumulation_matches_single_step(dataset, trainer):
         )
 
 
+def test_grad_accumulation_sum_reduction_loss(dataset):
+    """For SUM-reduction losses (keras KLDivergence) accumulation must SUM
+    microbatch gradients (minus the extra reg copies), equalling one step on
+    the merged concatenation — exact even for unequal microbatch sizes
+    (review-found: the mean combiner was applied to every loss)."""
+    from ignnition_tpu.data import SampleSpec, build_batch, iter_samples
+
+    desc = routenet_description(num_iterations=2, hs=8)
+    desc["learning_options"]["loss"] = "KLDivergence"
+    del desc["readout"][0]["label_normalization"]
+    ir = parser.parse_model_description(desc, {"link_capacity": 1, "traffic": 1})
+    tr = Trainer(build(ir), padding=PaddingConfig(min_size=16))
+
+    spec = SampleSpec.from_ir(ir)
+    samples = list(iter_samples(dataset, spec))[:2]
+    a1, m1 = build_batch([samples[0]], ir, tr.padding)
+    a2, m2 = build_batch([samples[1]], ir, tr.padding)
+    assert m1 == m2, "need one shape for stacking"
+    from ignnition_tpu.data.graph import merge_metas  # noqa: F401
+
+    big, mb = build_batch(samples, ir, tr.padding)
+
+    state = tr.init_state(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(7)
+    p_big, _, logs_big = tr.train_step_fn(mb)(
+        state.params, state.opt_state, big, rng
+    )
+    stacked = jax.tree.map(lambda x, y: np.stack([x, y], 0), a1, a2)
+    p_acc, _, logs_acc = tr.accum_train_step_fn(m1, 2)(
+        state.params, state.opt_state, stacked, rng
+    )
+    np.testing.assert_allclose(
+        float(logs_acc["loss"]), float(logs_big["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(p_acc), jax.tree.leaves(p_big)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_train_loop_with_accumulation(dataset, trainer):
     state = trainer.init_state(jax.random.PRNGKey(1))
     state = trainer.train(
