@@ -394,6 +394,17 @@ def make_edgeshard_train_step(
                     out_specs=(P(), P(), P()),
                 )
             )
+        if jax.process_count() > 1:
+            # multi-host pod: each process holds its local slice of the
+            # 'data' axis (the 'model' axis stays within the host's local
+            # devices, distributed.make_pod_mesh) — assemble global arrays
+            # before the jitted sharded step, like steps.py
+            from .steps import _globalize, _globalize_replicated
+
+            specs = {k: P(data_axis, model_axis) for k in stacked_batch}
+            stacked_batch = _globalize(stacked_batch, mesh, specs)
+            params = _globalize_replicated(params, mesh)
+            opt_state = _globalize_replicated(opt_state, mesh)
         return cache[key](params, opt_state, stacked_batch)
 
     return train_step

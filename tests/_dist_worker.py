@@ -71,6 +71,40 @@ def main():
     assert state.step == 2
     print(f"DIST_TRAIN_OK pid={pid}", flush=True)
 
+    # v2 destination sharding over the pod mesh: the model axis (halo
+    # all_to_all) stays within each host's local devices, the data axis
+    # crosses processes through the replicated-cotangent gradient psum +
+    # the multi-host array assembly in make_edgeshard_train_step
+    from ignnition_tpu.parallel import make_edgeshard_train_step, partition_batch
+    from ignnition_tpu.parallel.edgeshard import partition_dims
+
+    batches = {
+        s: _batch(model_ir, n_links=12, n_paths=8, max_path_len=4, seed=s)
+        for s in range(nprocs)
+    }
+    # every host partitions every (deterministic) seed to agree on pad_to
+    pad_to = {"halo": {}, "edges": {}}
+    for s, (arrays, meta) in sorted(batches.items()):
+        dims = partition_dims(partition_batch(arrays, meta, model_ir, 2)[0])
+        for group in ("halo", "edges"):
+            for adj, v in dims[group].items():
+                pad_to[group][adj] = max(pad_to[group].get(adj, 0), v)
+    arrays, meta = batches[pid]  # each host trains on ITS OWN data shard
+    stacked, local_meta = partition_batch(
+        arrays, meta, model_ir, 2, pad_to=pad_to
+    )
+    step = make_edgeshard_train_step(
+        model, optimizer, loss_fn, local_meta, mesh
+    )
+    params2 = model.init(jax.random.PRNGKey(0))
+    opt_state2 = optimizer.init(params2)
+    loss2 = None
+    for _ in range(2):
+        params2, opt_state2, loss2 = step(
+            params2, opt_state2, {k: v[None] for k, v in stacked.items()}
+        )
+    print(f"DIST_V2_OK pid={pid} loss={float(loss2):.6f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -22,3 +22,18 @@ os.environ.setdefault("IGNNITION_TPU_DENSE_INC_MIN_EDGES", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_executable_accumulation():
+    """Release compiled XLA executables between test modules.
+
+    The suite compiles hundreds of distinct programs; on small (2-core) CI
+    hosts the accumulated XLA CPU state has intermittently crashed the
+    process late in the run (fatal 'Aborted' inside backend_compile_and_load
+    / segfaults, reproduced twice before this bound). Modules rarely share
+    compiled shapes, so the cost is a handful of recompiles."""
+    yield
+    jax.clear_caches()

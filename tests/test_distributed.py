@@ -54,3 +54,10 @@ def test_two_process_training_step():
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
     for out in outs:
         assert "DIST_TRAIN_OK" in out  # full Trainer.train-over-mesh launch
+    # v2 destination sharding over the pod mesh (within-host halo
+    # all_to_all + cross-process data-axis gradients): global loss agrees
+    v2 = [
+        float(re.search(r"DIST_V2_OK pid=\d+ loss=([-\d.]+)", o).group(1))
+        for o in outs
+    ]
+    assert v2[0] == pytest.approx(v2[1], rel=1e-6)
