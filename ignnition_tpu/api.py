@@ -116,9 +116,11 @@ class Runner:
                 st,
                 cfg.eval_dataset,
                 num_batches=cfg.eval_samples,
+                batch_size=cfg.eval_batch_size,
                 denormalization=denorm,
                 label_name=label_name,
                 cache=True,  # periodic evals reuse the built batches
+                shuffle=cfg.shuffle_eval_samples,
             )
 
         return self.trainer.train(
@@ -148,8 +150,10 @@ class Runner:
             state,
             cfg.eval_dataset,
             num_batches=cfg.eval_samples,
+            batch_size=cfg.eval_batch_size,
             denormalization=self._denorm_fn(),
             label_name=self.model.ir.output_info()[0],
+            shuffle=cfg.shuffle_eval_samples,
         )
 
     def predict(self, state: Optional[TrainState] = None) -> List[np.ndarray]:

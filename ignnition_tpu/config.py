@@ -37,6 +37,10 @@ class RunConfig:
     shuffle_train_samples: bool = True
     shuffle_eval_samples: bool = False
     eval_samples: int = 100
+    # extension over the reference (which evaluates one graph at a time):
+    # graphs merged per eval batch. eval_samples keeps its meaning — the
+    # number of eval BATCHES drawn, as the reference's EvalSpec steps
+    eval_batch_size: int = 1
     save_checkpoints_secs: int = 300
     keep_checkpoint_max: int = 20
     throttle_secs: int = 300
@@ -71,8 +75,7 @@ class RunConfig:
         if not read:
             raise FileNotFoundError(f"config file '{path}' not found")
         cfg = RunConfig()
-        paths = cp["PATHS"] if cp.has_section("PATHS") else {}
-        for key in (
+        _PATH_KEYS = (
             "train_dataset",
             "eval_dataset",
             "predict_dataset",
@@ -80,31 +83,58 @@ class RunConfig:
             "model_dir",
             "debug_dir",
             "warm_start_path",
-        ):
-            if key in paths:
-                setattr(cfg, key, paths[key])
-        to = cp["TRAINING_OPTIONS"] if cp.has_section("TRAINING_OPTIONS") else {}
-        for key in (
+        )
+        _INT_KEYS = (
             "batch_size",
             "train_steps",
             "eval_samples",
+            "eval_batch_size",
             "save_checkpoints_secs",
             "keep_checkpoint_max",
             "throttle_secs",
             "log_every",
             "input_workers",
             "device_prefetch",
-        ):
+        )
+        _BOOL_KEYS = (
+            "shuffle_train_samples",
+            "shuffle_eval_samples",
+            "per_graph_padding",
+        )
+        # typo protection (the reference silently ignores misspelled keys):
+        # every key must be known. execute_gpu is known-but-ignored (device
+        # selection is JAX's — the reference's flag only ever disabled a
+        # device, framework_operations.py:134-145).
+        known = {
+            "PATHS": set(_PATH_KEYS),
+            "TRAINING_OPTIONS": set(_INT_KEYS)
+            | set(_BOOL_KEYS)
+            | {"accumulate_steps", "cache_batches", "execute_gpu"},
+        }
+        for section in cp.sections():
+            if section not in known:
+                raise ValueError(
+                    f"unknown config section [{section}] in '{path}'; "
+                    f"expected {sorted(known)}"
+                )
+            unknown = set(cp[section]) - known[section]
+            if unknown:
+                raise ValueError(
+                    f"unknown key(s) {sorted(unknown)} in [{section}] of "
+                    f"'{path}'; known keys: {sorted(known[section])}"
+                )
+        paths = cp["PATHS"] if cp.has_section("PATHS") else {}
+        for key in _PATH_KEYS:
+            if key in paths:
+                setattr(cfg, key, paths[key])
+        to = cp["TRAINING_OPTIONS"] if cp.has_section("TRAINING_OPTIONS") else {}
+        for key in _INT_KEYS:
             if key in to:
                 setattr(cfg, key, int(to[key]))
         if "accumulate_steps" in to:
             v = to["accumulate_steps"]
             cfg.accumulate_steps = v if v.strip().lower() == "auto" else int(v)
-        for key in (
-            "shuffle_train_samples",
-            "shuffle_eval_samples",
-            "per_graph_padding",
-        ):
+        for key in _BOOL_KEYS:
             if key in to:
                 setattr(cfg, key, _str_to_bool(to[key]))
         if "cache_batches" in to:

@@ -245,8 +245,14 @@ def partition_batch(
             # padding) for host-side reassembly of sharded predictions.
             if label_dom == ("edge", a.name):
                 if "label" in arrays:
-                    l_lab = np.zeros(e_loc, np.float32)
-                    l_lm = np.zeros(e_loc, np.float32)
+                    # keep trailing feature dims (multi-unit edge labels),
+                    # mirroring the entity-domain slice path
+                    l_lab = np.zeros(
+                        (e_loc,) + arrays["label"].shape[1:], np.float32
+                    )
+                    l_lm = np.zeros(
+                        (e_loc,) + arrays["label_mask"].shape[1:], np.float32
+                    )
                     l_lab[:n] = arrays["label"][idx]
                     l_lm[:n] = arrays["label_mask"][idx]
                     local[k]["label"] = l_lab
@@ -334,7 +340,14 @@ def make_edgeshard_train_step(
         preds = model.apply(
             params, batch, local_meta, training=True, node_axis=model_axis
         )
-        loss = loss_fn(batch["label"], preds, batch["label_mask"])
+        if getattr(loss_fn, "takes_axis_names", False):
+            # hinge-family: the all-binary label predicate must span the
+            # whole effective batch, not each shard's slice (losses.py)
+            axes = tuple(a for a in (data_axis, model_axis) if a)
+            loss = loss_fn(batch["label"], preds, batch["label_mask"],
+                           axis_names=axes)
+        else:
+            loss = loss_fn(batch["label"], preds, batch["label_mask"])
         if label_dom[0] in ("entity", "edge"):
             if reduction == "sum":
                 # sum-reduction losses (keras KLDivergence): the global
@@ -418,7 +431,16 @@ def make_edgeshard_apply(
     model_axis: str = "model",
 ) -> Callable:
     """Sharded forward. Node-domain predictions all_gather back to the global
-    padded row order (shard blocks are contiguous row ranges)."""
+    padded row order (shard blocks are contiguous row ranges).
+
+    Edge-domain predictions are reassembled HOST-side through
+    `edge_origin_{adj}` (a numpy scatter over the fetched global output) and
+    return the REAL-edge prefix — shape [n_data, n_real_edges, ...], not the
+    padded label_pad rows other domains return (padding edges have no origin
+    row). This host pass requires the full output locally, so multi-process
+    (pod) inference on edge-domain models is rejected with a clear error —
+    train multi-host, then predict single-process (the trained params are
+    replicated)."""
     label_dom = infer_label_domain(model.ir)
 
     def fwd(params, stacked_local):
@@ -431,6 +453,13 @@ def make_edgeshard_apply(
     def apply_fn(params, stacked_batch):
         origin = None
         if label_dom[0] == "edge":
+            if jax.process_count() > 1:
+                raise EdgeShardError(
+                    "edge-domain prediction reassembly is host-side and "
+                    "needs the full global output on one process; run "
+                    "inference for edge-domain models single-process "
+                    "(multi-host TRAINING of edge-domain models is supported)"
+                )
             origin = np.asarray(stacked_batch[f"edge_origin_{label_dom[1]}"])
             stacked_batch = {
                 k: v for k, v in stacked_batch.items()

@@ -133,7 +133,14 @@ def make_parallel_train_step(
         preds = model.apply(
             params, batch, meta, training=True, edge_axis=use_model_axis
         )
-        loss = loss_fn(batch["label"], preds, batch["label_mask"])
+        if getattr(loss_fn, "takes_axis_names", False):
+            # hinge-family: the all-binary label predicate must span the
+            # whole effective batch, not each shard's slice
+            axes = tuple(a for a in (data_axis, use_model_axis) if a)
+            loss = loss_fn(batch["label"], preds, batch["label_mask"],
+                           axis_names=axes)
+        else:
+            loss = loss_fn(batch["label"], preds, batch["label_mask"])
         if use_model_axis and label_dom[0] == "edge":
             # edge-domain predictions AND labels follow the sharded edge
             # arrays (extend_adjacencies gathers per local edge): combine

@@ -77,26 +77,39 @@ def kl_divergence(labels, preds, mask):
 kl_divergence.reduction = "sum"
 
 
-def _hinge_labels(labels, mask):
+def _hinge_labels(labels, mask, axis_names=()):
     # keras converts {0,1} labels to {-1,1} only when ALL labels are binary
     # (keras losses._maybe_convert_labels). The predicate runs over REAL
-    # rows only (padding zeros must not sway it). Caveat: under sharded
-    # training each shard evaluates the predicate on its local labels — a
-    # batch whose binary-ness differs per shard diverges from the serial
-    # semantics (global all-binary check needs global labels).
+    # rows only (padding zeros must not sway it). Under sharded training the
+    # check must span the WHOLE effective batch — the sharded step builders
+    # pass their mesh axis names and the local predicate is AND-combined
+    # with pmin, so a batch whose binary-ness differs per shard still gets
+    # the serial Keras answer. (Gradient-accumulation microbatches evaluate
+    # the predicate per microbatch — documented divergence for non-binary
+    # labels; binary-labelled datasets, hinge's use case, are unaffected.)
+    import jax
+
     real = mask > 0
     is_binary = jnp.all(jnp.where(real, (labels == 0.0) | (labels == 1.0), True))
+    for ax in axis_names:
+        is_binary = jax.lax.pmin(is_binary.astype(jnp.int32), ax) > 0
     return jnp.where(is_binary, 2.0 * labels - 1.0, labels)
 
 
-def hinge(labels, preds, mask):
-    y = _hinge_labels(labels, mask)
+def hinge(labels, preds, mask, axis_names=()):
+    y = _hinge_labels(labels, mask, axis_names)
     return _masked_mean(jnp.maximum(1.0 - y * preds, 0.0), mask)
 
 
-def squared_hinge(labels, preds, mask):
-    y = _hinge_labels(labels, mask)
+def squared_hinge(labels, preds, mask, axis_names=()):
+    y = _hinge_labels(labels, mask, axis_names)
     return _masked_mean(jnp.maximum(1.0 - y * preds, 0.0) ** 2, mask)
+
+
+# sharded step builders pass mesh axis names so the all-binary check is
+# global (see _hinge_labels)
+hinge.takes_axis_names = True
+squared_hinge.takes_axis_names = True
 
 
 LOSSES: Dict[str, Callable] = {

@@ -748,27 +748,45 @@ class Trainer:
         denormalization: Optional[Callable] = None,
         label_name: str = "label",
         cache: bool = False,
+        shuffle: bool = False,
+        seed: Optional[int] = None,
     ) -> Dict[str, float]:
         """cache=True memoizes the built eval batches on the Trainer, so the
         periodic in-training evals (throttle_secs) pay the host build cost
-        once instead of re-reading the archives every time."""
+        once instead of re-reading the archives every time.
+
+        shuffle=True evaluates a shuffled stream (the reference's
+        shuffle_eval_samples, framework_operations.py:162): with fewer
+        num_batches than the dataset holds, each call draws a different
+        subset. Combined with cache=True the FULL eval set is built once and
+        a fresh permutation of it is drawn per call (same semantics at
+        batch_size=1 — which samples land in the evaluated prefix — without
+        re-reading archives)."""
         acc = MetricAccumulator()
         total_loss, n = 0.0, 0
+        if seed is None:
+            seed = int(np.random.default_rng().integers(2**31)) if shuffle else 0
         if cache:
-            key = (data_dir, batch_size, num_batches)
+            key = (data_dir, batch_size, None if shuffle else num_batches)
             if key not in self._eval_batches:
                 built = []
                 for item in self.batches(
                     data_dir, batch_size, shuffle=False, repeat=False
                 ):
                     built.append(item)
-                    if len(built) >= num_batches:
+                    if not shuffle and len(built) >= num_batches:
                         break
                 self._eval_batches[key] = built
-            batch_iter = iter(self._eval_batches[key])
+            cached = self._eval_batches[key]
+            if shuffle:
+                order = np.random.default_rng(seed).permutation(len(cached))
+                batch_iter = iter([cached[i] for i in order])
+            else:
+                batch_iter = iter(cached)
         else:
             batch_iter = self.batches(
-                data_dir, batch_size, shuffle=False, repeat=False
+                data_dir, batch_size, shuffle=shuffle, repeat=False,
+                seed=seed if shuffle else None,
             )
         for arrays, meta in batch_iter:
             if n >= num_batches:

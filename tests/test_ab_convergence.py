@@ -1,0 +1,62 @@
+"""Reduced convergence A/B vs the ACTUAL reference framework (tools/
+ab_convergence.py run small): identical initial weights + identical batch
+schedule must give matching loss trajectories AND matching held-out
+accuracy after a few hundred training steps.
+
+The full version (3000 steps, hs=16) is recorded in docs/ab_convergence.json
+and ACCURACY.md; this keeps the pipeline honest in ~2 minutes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+pytest.importorskip("tensorflow")
+
+from tools.ab_convergence import run_ab
+
+
+@pytest.fixture(scope="module")
+def ab_result(tmp_path_factory):
+    return run_ab(
+        steps=250,
+        hs=8,
+        iters=3,
+        batch=4,
+        n_train=100,
+        n_eval=40,
+        n_links=12,
+        n_paths=14,
+        max_path_len=4,
+        timing_steps=5,
+        loss_every=10,
+        dataset_root=str(tmp_path_factory.mktemp("ab_ds")),
+        progress=lambda *a: None,
+    )
+
+
+def test_loss_trajectories_track(ab_result):
+    ref = np.asarray(ab_result["reference"]["loss_curve"])
+    got = np.asarray(ab_result["repo"]["loss_curve"])
+    # identical init + identical batches: the first losses are the forward
+    # parity check, the rest bound accumulated trajectory drift
+    np.testing.assert_allclose(got[0], ref[0], rtol=1e-4)
+    np.testing.assert_allclose(got, ref, rtol=0.05)
+
+
+def test_final_accuracy_matches(ab_result):
+    r_ref = ab_result["reference"]["metrics"]
+    r_got = ab_result["repo"]["metrics"]
+    assert r_ref["r2"] > 0.5, r_ref  # the reference itself must have learned
+    assert abs(r_got["r2"] - r_ref["r2"]) < 0.02, (r_got, r_ref)
+    assert abs(r_got["mae"] - r_ref["mae"]) < 0.2 * max(r_ref["mae"], 1e-9), (
+        r_got, r_ref,
+    )
+
+
+def test_repo_step_not_slower(ab_result):
+    """The honest framework-overhead number: this repo's compiled CPU step
+    must not be slower than the reference's compiled CPU step (in practice
+    it is ~10x faster; assert a loose bound so noise can't flake)."""
+    assert ab_result["repo"]["ms_per_step"] < ab_result["reference"]["ms_per_step"]

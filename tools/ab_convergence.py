@@ -1,0 +1,356 @@
+"""Convergence-level accuracy/wall-clock A/B against the ACTUAL reference.
+
+Trains the reference framework's own ComnetModel (its real modules under
+TF — auxilary_classes/json_operations/generate_model/generator, loaded via
+tests/tf_ref.py) and this repo's model
+
+  * from IDENTICAL initial weights (transfer_params),
+  * on IDENTICAL batch index sequences over the same synthetic RouteNet
+    dataset (both sides read the same tar.gz archives; the reference through
+    its own generator, generator_std_to_framework.py:53-230),
+  * with the same explicit loss (MSE over concatenated per-graph predictions
+    + sum of L2 regularization losses — the estimator's loss assembly,
+    generate_model.py:744-756) and the same Adam(1e-3, eps=1e-7),
+
+then evaluates BOTH on the same held-out set with ONE shared metrics
+function (denormalized R^2 / MAE / MRE — the reference's eval metric set,
+generate_model.py:770-788) and reports steady-state wall-clock per step on
+the same hardware (CPU; the reference step is compiled with tf.function +
+relaxed shape signature so it is graph-mode, as its estimator ran it).
+
+Usage: python -m tools.ab_convergence [--steps 3000] [--hs 16] [--iters 4]
+Writes docs/ab_convergence.json (loss curves + final table).
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def shared_metrics(preds: np.ndarray, labels: np.ndarray) -> dict:
+    """Pooled-statistics R^2 / MAE / MRE on denormalized values — ONE
+    implementation applied to both frameworks' predictions."""
+    preds = np.asarray(preds, np.float64).reshape(-1)
+    labels = np.asarray(labels, np.float64).reshape(-1)
+    ss_res = float(np.sum((labels - preds) ** 2))
+    ss_tot = float(np.sum((labels - labels.mean()) ** 2))
+    return {
+        "r2": 1.0 - ss_res / ss_tot,
+        "mae": float(np.mean(np.abs(preds - labels))),
+        "mre": float(np.mean(np.abs(preds - labels) / np.abs(labels))),
+        "label_mean": float(labels.mean()),
+        "pred_mean": float(preds.mean()),
+    }
+
+
+def _load_reference_samples(data_dir: str, mi, ref):
+    """All (tensors, log_label) pairs via the reference's OWN generator.
+
+    The reference walks archives in unsorted glob order
+    (generator_std_to_framework.py:81) while this repo sorts — so the
+    generator is driven one archive at a time in SORTED order (through a
+    symlinked temp dir) to make sample index i refer to the same sample on
+    both sides."""
+    import glob
+
+    feature_names = [f.name for f in mi.get_all_features()]
+    adjacency_info = mi.get_adjecency_info()
+    interleave_list = mi.get_interleave_tensors()
+    output_name, _, _ = mi.get_output_info()
+    additional = [
+        a for a in mi.get_additional_input_names() if a not in feature_names
+    ]
+
+    def _gen(d):
+        return ref.gen.generator(
+            str(d).encode(),
+            [x.encode() for x in feature_names],
+            output_name.encode(),
+            [[str(x).encode() for x in a] for a in adjacency_info],
+            [[str(x).encode() for x in i] for i in interleave_list],
+            [x.encode() for x in additional],
+            True,
+        )
+
+    pairs = []
+    for archive in sorted(glob.glob(os.path.join(str(data_dir), "*.tar.gz"))):
+        with tempfile.TemporaryDirectory() as td:
+            os.symlink(os.path.abspath(archive),
+                       os.path.join(td, os.path.basename(archive)))
+            pairs.extend(_gen(td))
+
+    out = []
+    for data, label in pairs:
+        tensors = {}
+        for k, v in data.items():
+            if k in feature_names:
+                tensors[k] = np.asarray(v, np.float32)
+            else:
+                tensors[k] = np.asarray(v, np.int64)
+        # label_normalization 'log' applied explicitly on the reference side
+        # (the reference does it in a tf.data map of eval'd user fns,
+        # generate_model.py:179-186); the repo side applies it via its
+        # registry at batch build.
+        out.append((tensors, np.log(np.asarray(label, np.float32)).reshape(-1)))
+    return out, feature_names
+
+
+def run_ab(
+    steps: int = 3000,
+    hs: int = 16,
+    iters: int = 4,
+    batch: int = 4,
+    n_train: int = 300,
+    n_eval: int = 100,
+    n_links: int = 14,
+    n_paths: int = 18,
+    max_path_len: int = 5,
+    seed: int = 0,
+    timing_steps: int = 100,
+    loss_every: int = 25,
+    dataset_root: str | None = None,
+    progress=print,
+) -> dict:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import optax
+
+    import tf_ref
+    from helpers import routenet_description
+    from ignnition_tpu.data import SampleSpec, build_batch
+    from ignnition_tpu.data.dataset import iter_samples
+    from ignnition_tpu.data.graph import PaddingConfig
+    from ignnition_tpu.frontend import parser
+    from ignnition_tpu.model import build
+    from ignnition_tpu.data.synthetic import write_dataset
+
+    ref = tf_ref.load_reference()
+    tf = ref.tf
+
+    root = dataset_root or tempfile.mkdtemp(prefix="ab_conv_")
+    train_dir, eval_dir = os.path.join(root, "train"), os.path.join(root, "eval")
+    per_archive = 25
+    if not os.path.isdir(train_dir):
+        write_dataset(
+            train_dir, (n_train + per_archive - 1) // per_archive, per_archive,
+            seed=seed, n_links=n_links, n_paths=n_paths,
+            max_path_len=max_path_len,
+        )
+        write_dataset(
+            eval_dir, (n_eval + per_archive - 1) // per_archive, per_archive,
+            seed=seed + 1000, n_links=n_links, n_paths=n_paths,
+            max_path_len=max_path_len,
+        )
+
+    desc = routenet_description(num_iterations=iters, hs=hs)
+    ref_desc = copy.deepcopy(desc)
+    for op in ref_desc["readout"]:
+        # the log label normalization is applied manually ref-side (above)
+        op.pop("label_normalization", None)
+    dims = {"link_capacity": 1, "traffic": 1,
+            "adj_links_paths": 0, "adj_paths_links": 0}
+
+    with tempfile.TemporaryDirectory() as td:
+        mi = tf_ref.build_model_information(ref_desc, dims, td)
+    ref.gm.set_model_info(mi)
+
+    progress("loading samples through the reference generator...")
+    ref_train, feature_names = _load_reference_samples(train_dir, mi, ref)
+    ref_eval, _ = _load_reference_samples(eval_dir, mi, ref)
+
+    # ---- repo model + identical initial weights --------------------------
+    ir = parser.parse_model_description(copy.deepcopy(desc), dict(dims))
+    model = build(ir)
+    spec = SampleSpec.from_ir(ir)
+    repo_train = list(iter_samples(train_dir, spec))
+    repo_eval = list(iter_samples(eval_dir, spec))
+    assert len(repo_train) == len(ref_train), (len(repo_train), len(ref_train))
+
+    comnet = ref.gm.ComnetModel()
+    comnet({k: tf.constant(v) for k, v in ref_train[0][0].items()})
+    params = tf_ref.transfer_params(comnet, model)
+
+    # ---- reference training loop (compiled) ------------------------------
+    opt_tf = tf.keras.optimizers.Adam(1e-3, epsilon=1e-7)
+    sig_elem = {
+        k: tf.TensorSpec(
+            [] if np.asarray(ref_train[0][0][k]).ndim == 0 else [None],
+            tf.float32 if k in feature_names else tf.int64,
+        )
+        for k in ref_train[0][0]
+    }
+
+    @tf.function(input_signature=[
+        [sig_elem] * batch, [tf.TensorSpec([None], tf.float32)] * batch
+    ])
+    def ref_step(datas, labels):
+        with tf.GradientTape() as tape:
+            preds = [tf.reshape(comnet(d), [-1]) for d in datas]
+            loss = tf.reduce_mean(
+                tf.square(tf.concat(preds, 0) - tf.concat(labels, 0))
+            )
+            if comnet.losses:
+                loss = loss + tf.add_n(
+                    [tf.cast(l, tf.float32) for l in comnet.losses]
+                )
+        grads = tape.gradient(loss, comnet.trainable_variables)
+        opt_tf.apply_gradients(zip(grads, comnet.trainable_variables))
+        return loss
+
+    @tf.function(input_signature=[sig_elem])
+    def ref_forward(data):
+        return tf.reshape(comnet(data), [-1])
+
+    # one shared shuffle sequence drives BOTH frameworks
+    def batch_indices():
+        rng = np.random.default_rng(seed + 7)
+        while True:
+            perm = rng.permutation(len(ref_train))
+            for i in range(0, len(perm) - batch + 1, batch):
+                yield perm[i:i + batch]
+
+    idx_iter = batch_indices()
+    schedule = [next(idx_iter) for _ in range(steps)]
+
+    progress(f"training the reference ({steps} steps, batch {batch})...")
+    t0 = time.perf_counter()
+    ref_losses = []
+    for i, idx in enumerate(schedule):
+        loss = ref_step([ref_train[j][0] for j in idx],
+                        [ref_train[j][1] for j in idx])
+        ref_losses.append(float(loss))
+    ref_train_s = time.perf_counter() - t0
+
+    # steady-state timing on a fixed batch (trace already done)
+    fixed_d = [ref_train[j][0] for j in schedule[0]]
+    fixed_l = [ref_train[j][1] for j in schedule[0]]
+    t0 = time.perf_counter()
+    for _ in range(timing_steps):
+        loss = ref_step(fixed_d, fixed_l)
+    float(loss)
+    ref_ms = (time.perf_counter() - t0) / timing_steps * 1e3
+
+    progress("evaluating the reference...")
+    ref_preds, eval_labels = [], []
+    for tensors, log_label in ref_eval:
+        ref_preds.append(np.exp(np.asarray(ref_forward(tensors))))
+        eval_labels.append(np.exp(log_label))
+    ref_metrics = shared_metrics(np.concatenate(ref_preds),
+                                 np.concatenate(eval_labels))
+
+    # ---- repo training loop ---------------------------------------------
+    pad = PaddingConfig(mode="multiple", multiple=32, min_size=32,
+                        seq_multiple=2)
+    tx = optax.adam(1e-3, eps=1e-7)
+    opt_state = tx.init(params)
+    step_cache = {}
+
+    def repo_step_fn(meta):
+        if meta not in step_cache:
+            @jax.jit
+            def step(params, opt_state, arrays):
+                def loss_fn(p):
+                    preds = model.apply(p, arrays, meta)
+                    mask = arrays["label_mask"].reshape(-1)
+                    sq = jnp.square(
+                        preds.reshape(-1) - arrays["label"].reshape(-1)
+                    ) * mask
+                    return (jnp.sum(sq) / jnp.sum(mask)
+                            + model.regularization_loss(p))
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state2 = tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state2, loss
+
+            step_cache[meta] = step
+        return step_cache[meta]
+
+    progress(f"training this repo ({steps} steps, batch {batch})...")
+    t0 = time.perf_counter()
+    repo_losses = []
+    for i, idx in enumerate(schedule):
+        arrays, meta = build_batch([repo_train[j] for j in idx], ir, pad)
+        params, opt_state, loss = repo_step_fn(meta)(params, opt_state, arrays)
+        repo_losses.append(float(loss))
+    repo_train_s = time.perf_counter() - t0
+
+    arrays0, meta0 = build_batch([repo_train[j] for j in schedule[0]], ir, pad)
+    step0 = repo_step_fn(meta0)
+    t0 = time.perf_counter()
+    for _ in range(timing_steps):
+        params, opt_state, loss = step0(params, opt_state, arrays0)
+    float(loss)
+    repo_ms = (time.perf_counter() - t0) / timing_steps * 1e3
+
+    progress("evaluating this repo...")
+    repo_preds = []
+    for s in repo_eval:
+        arrays, meta = build_batch([s], ir, pad)
+        preds = model.apply(params, arrays, meta)
+        mask = np.asarray(arrays["label_mask"]).reshape(-1).astype(bool)
+        repo_preds.append(np.exp(np.asarray(preds).reshape(-1)[mask]))
+    repo_metrics = shared_metrics(np.concatenate(repo_preds),
+                                  np.concatenate(eval_labels))
+
+    sub = slice(0, steps, loss_every)
+    return {
+        "config": {
+            "steps": steps, "hs": hs, "iters": iters, "batch": batch,
+            "n_train": len(ref_train), "n_eval": len(ref_eval),
+            "n_links": n_links, "n_paths": n_paths,
+            "max_path_len": max_path_len, "seed": seed,
+            "optimizer": "Adam(1e-3, eps=1e-7)",
+            "loss": "MSE(log delay) + l2 regularization",
+        },
+        "reference": {
+            "metrics": ref_metrics, "ms_per_step": round(ref_ms, 2),
+            "train_wall_s": round(ref_train_s, 1),
+            "loss_curve": [round(x, 6) for x in ref_losses[sub]],
+            "final_loss_mean_last50": float(np.mean(ref_losses[-50:])),
+        },
+        "repo": {
+            "metrics": repo_metrics, "ms_per_step": round(repo_ms, 2),
+            "train_wall_s": round(repo_train_s, 1),
+            "loss_curve": [round(x, 6) for x in repo_losses[sub]],
+            "final_loss_mean_last50": float(np.mean(repo_losses[-50:])),
+        },
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--hs", type=int, default=16)
+    p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--out", default="docs/ab_convergence.json")
+    args = p.parse_args()
+    res = run_ab(steps=args.steps, hs=args.hs, iters=args.iters,
+                 batch=args.batch)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps({
+        "reference": {**res["reference"]["metrics"],
+                      "ms_per_step": res["reference"]["ms_per_step"]},
+        "repo": {**res["repo"]["metrics"],
+                 "ms_per_step": res["repo"]["ms_per_step"]},
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()
