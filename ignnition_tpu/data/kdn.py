@@ -188,6 +188,46 @@ class KdnSample:
             "Flows": flows,
         }
 
+    def get_traffic_matrix(self) -> np.ndarray:
+        """[N, N] object matrix of per-pair traffic dicts (reference
+        datanetAPI.py:178-183; a plain object ndarray here instead of the
+        reference's np.matrix — same [i, j] indexing, same cell dicts,
+        diagonal included as the reference fills it)."""
+        if getattr(self, "_traffic_matrix", None) is None:
+            n = self.n_nodes
+            m = np.empty((n, n), dtype=object)
+            for i in range(n):
+                for j in range(n):
+                    m[i, j] = self.get_srcdst_traffic(i, j)
+            self._traffic_matrix = m
+        return self._traffic_matrix
+
+    def get_performance_matrix(self) -> np.ndarray:
+        """[N, N] object matrix of per-pair performance dicts (reference
+        datanetAPI.py:152-157)."""
+        if getattr(self, "_performance_matrix", None) is None:
+            n = self.n_nodes
+            m = np.empty((n, n), dtype=object)
+            for i in range(n):
+                for j in range(n):
+                    m[i, j] = self.get_srcdst_performance(i, j)
+            self._performance_matrix = m
+        return self._performance_matrix
+
+    def get_node_properties(self, node_id: int) -> Optional[Dict[str, object]]:
+        """Attribute dict of topology node `node_id`, or None when the node
+        does not exist (reference datanetAPI.py:244-263)."""
+        if node_id in self.topology.nodes:
+            return self.topology.nodes[node_id]
+        return None
+
+    def get_link_properties(self, src: int, dst: int) -> Optional[Dict[str, object]]:
+        """Attribute dict of the (first) topology edge src->dst, or None when
+        no such link exists (reference datanetAPI.py:266-289)."""
+        if src in self.topology and dst in self.topology[src]:
+            return self.topology[src][dst][0]
+        return None
+
     def get_srcdst_link_bandwidth(self, src: int, dst: int) -> float:
         g = self.topology
         if dst in g[src]:

@@ -72,8 +72,10 @@ SUPPORTED_LAYERS = (
     "LeakyReLU",
     "ReLU",
     "ELU",
+    "PReLU",
     "Softmax",
     "GaussianNoise",
+    "AlphaDropout",
 )
 
 

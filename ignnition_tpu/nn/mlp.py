@@ -57,8 +57,12 @@ def init(
             "ELU",
             "Softmax",
             "GaussianNoise",
+            "AlphaDropout",
         ):
             params.append({})
+        elif layer.kind == "PReLU":
+            # keras PReLU: per-feature trainable alpha, zeros-initialized
+            params.append({"alpha": jnp.zeros((dim,), jnp.float32)})
         elif layer.kind == "LayerNormalization":
             # Keras defaults: axis=-1, epsilon=1e-3, center/scale True,
             # gamma ones, beta zeros.
@@ -172,6 +176,24 @@ def _apply_layers(
             x = jnp.minimum(y, float(mx)) if mx is not None else y
         elif layer.kind == "ELU":
             x = jax.nn.elu(x, float(layer.extra.get("alpha", 1.0)))
+        elif layer.kind == "PReLU":
+            x = jnp.where(x >= 0, x, p["alpha"] * x)
+        elif layer.kind == "AlphaDropout":
+            # keras AlphaDropout (the selu-companion dropout): dropped units
+            # are set to alpha' = -selu_scale*selu_alpha, then an affine
+            # correction restores zero mean / unit variance
+            if not deterministic and layer.rate > 0.0:
+                if rng is None:
+                    raise ValueError(
+                        "AlphaDropout requires an rng in training mode"
+                    )
+                rng, key = jax.random.split(rng)
+                rate = float(layer.rate)
+                alpha_p = -1.6732632423543772 * 1.0507009873554805
+                keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+                a = ((1.0 - rate) * (1.0 + rate * alpha_p**2)) ** -0.5
+                b = -a * alpha_p * rate
+                x = a * jnp.where(keep, x, alpha_p) + b
         elif layer.kind == "Softmax":
             x = jax.nn.softmax(x, axis=int(layer.extra.get("axis", -1)))
         elif layer.kind == "GaussianNoise":

@@ -255,3 +255,61 @@ def test_agg_only_sample_exposes_single_flow(raw_dataset):
     np.testing.assert_allclose(t["Flows"][0]["AvgBw"], t["AggInfo"]["AvgBw"])
     p = s.get_srcdst_performance(0, 2)
     np.testing.assert_allclose(p["Flows"][0]["AvgDelay"], p["AggInfo"]["AvgDelay"])
+
+
+def test_matrix_and_property_accessor_parity_vs_reference(raw_dataset_with_flows):
+    """Full accessor-for-accessor parity with the ACTUAL reference Sample:
+    get_traffic_matrix / get_performance_matrix (every cell dict, diagonal
+    included), get_node_properties, get_link_properties
+    (datanetAPI.py:152-289)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/examples/Routenet")
+    try:
+        import datanetAPI as ref_api
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference datanetAPI not importable: {e}")
+
+    rs = next(iter(ref_api.DatanetAPI(raw_dataset_with_flows)))
+    os_ = next(iter(kdn.iter_kdn_samples(raw_dataset_with_flows)))
+
+    n = os_.get_network_size()
+    assert rs.get_network_size() == n
+
+    rtm, otm = rs.get_traffic_matrix(), os_.get_traffic_matrix()
+    rpm, opm = rs.get_performance_matrix(), os_.get_performance_matrix()
+    assert otm.shape == (n, n) and opm.shape == (n, n)
+
+    def assert_cell(ref_cell, our_cell, what):
+        for k, v in ref_cell["AggInfo"].items():
+            np.testing.assert_allclose(
+                our_cell["AggInfo"][k], v, rtol=1e-6,
+                err_msg=f"{what} AggInfo[{k}]")
+        assert len(our_cell["Flows"]) == len(ref_cell["Flows"])
+        for rf, of in zip(ref_cell["Flows"], our_cell["Flows"]):
+            for k, v in rf.items():
+                if isinstance(v, dict):
+                    assert of[k] == {kk: pytest.approx(vv)
+                                     for kk, vv in v.items()}, f"{what} {k}"
+                else:
+                    np.testing.assert_allclose(
+                        float(of[k]), float(v), rtol=1e-9,
+                        err_msg=f"{what} Flows[{k}]")
+
+    for i in range(n):
+        for j in range(n):
+            assert_cell(rtm[i, j], otm[i, j], f"traffic[{i},{j}]")
+            assert_cell(rpm[i, j], opm[i, j], f"performance[{i},{j}]")
+
+    for node in range(n):
+        assert os_.get_node_properties(node) == rs.get_node_properties(node)
+    assert os_.get_node_properties(n + 5) is None
+    assert rs.get_node_properties(n + 5) is None
+
+    for i in range(n):
+        for j in range(n):
+            ours = os_.get_link_properties(i, j)
+            ref = rs.get_link_properties(i, j)
+            assert (ours is None) == (ref is None), (i, j)
+            if ref is not None:
+                assert ours == ref, (i, j)

@@ -2,7 +2,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ignnition_tpu.frontend import ir
+from ignnition_tpu.frontend import ir, parser
 from ignnition_tpu.nn import mlp, rnn
 
 
@@ -184,3 +184,49 @@ def test_gaussian_noise_layer():
     )
     assert not np.allclose(y, np.asarray(x))
     assert 0.3 < np.std(y - np.asarray(x)) < 0.7
+
+
+def test_prelu_layer():
+    """PReLU: per-feature trainable alpha (zeros init == ReLU), negative
+    branch scales by alpha."""
+    spec = parser._parse_mlp(
+        {"nn_name": "n", "nn_architecture": [{"type_layer": "PReLU"}]}, "t"
+    )
+    params, dim = mlp.init(jax.random.PRNGKey(0), spec, 4)
+    assert dim == 4
+    assert params["layers"][0]["alpha"].shape == (4,)
+    x = jnp.array([[-2.0, -1.0, 1.0, 3.0]])
+    # zeros alpha: negative side clamps to 0
+    np.testing.assert_allclose(
+        mlp.apply(spec, params, x), [[0.0, 0.0, 1.0, 3.0]]
+    )
+    params = {"layers": ({"alpha": jnp.array([0.5, 0.25, 0.5, 0.5])},)}
+    np.testing.assert_allclose(
+        mlp.apply(spec, params, x), [[-1.0, -0.25, 1.0, 3.0]]
+    )
+
+
+def test_alpha_dropout_layer():
+    """AlphaDropout (selu companion): identity when deterministic; in
+    training mode preserves mean~0 / var~1 of standard-normal inputs
+    (keras formula: dropped units -> -scale*alpha, affine correction)."""
+    spec = parser._parse_mlp(
+        {"nn_name": "n",
+         "nn_architecture": [{"type_layer": "AlphaDropout", "rate": 0.3}]},
+        "t",
+    )
+    params, _ = mlp.init(jax.random.PRNGKey(0), spec, 64)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4096, 64))
+    np.testing.assert_allclose(mlp.apply(spec, params, x), x)  # eval mode
+    y = mlp.apply(spec, params, x, deterministic=False,
+                  rng=jax.random.PRNGKey(2))
+    y = np.asarray(y)
+    assert abs(y.mean()) < 0.02, y.mean()
+    assert abs(y.std() - 1.0) < 0.05, y.std()
+    # ~rate of the units carry the (affine-transformed) dropped constant
+    rate = 0.3
+    alpha_p = -1.6732632423543772 * 1.0507009873554805
+    a = ((1 - rate) * (1 + rate * alpha_p**2)) ** -0.5
+    dropped_value = a * alpha_p + (-a * alpha_p * rate)
+    frac = np.mean(np.isclose(y, dropped_value, atol=1e-5))
+    assert abs(frac - rate) < 0.02, frac

@@ -158,6 +158,11 @@ ARCHS = {
         {"type_layer": "BatchNormalization"},
         {"type_layer": "Dense", "units": 3, "activation": "None"},
     ],
+    "prelu": [
+        {"type_layer": "Dense", "units": 10, "activation": "None"},
+        {"type_layer": "PReLU"},
+        {"type_layer": "Dense", "units": 3, "activation": "None"},
+    ],
 }
 
 
@@ -167,6 +172,15 @@ def test_ffn_builder_parity(arch_name):
     arch = copy.deepcopy(ARCHS[arch_name])
     ff = ref.ac.Feed_forward_model({"architecture": copy.deepcopy(arch)}, "parity")
     kmodel, _ = ff.construct_tf_model("v", 7)
+    if arch_name == "prelu":
+        # keras PReLU initializes alpha to zeros (== ReLU); randomize it so
+        # the parity check exercises the negative branch
+        for kl in kmodel.layers:
+            if kl.__class__.__name__ == "PReLU":
+                kl.set_weights(
+                    [np.random.RandomState(6).rand(*kl.get_weights()[0].shape)
+                     .astype(np.float32)]
+                )
     x = np.random.RandomState(4).randn(9, 7).astype(np.float32)
     out_tf = np.asarray(kmodel(ref.tf.constant(x), training=False))
 

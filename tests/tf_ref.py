@@ -231,6 +231,8 @@ def mlp_params_from_keras(kmodel, spec, value_of=_read_var):
             p["moving_mean"] = jnp.asarray(w[i])
             p["moving_variance"] = jnp.asarray(w[i + 1])
             out.append(p)
+        elif sl.kind == "PReLU":
+            out.append({"alpha": jnp.asarray(np.reshape(w[0], (-1,)))})
         elif sl.kind == "LayerNormalization":
             p = {}
             i = 0
