@@ -10,7 +10,10 @@ analog produced here:
     IR (entities, stages, message passings, aggregations, updates, readout);
   * `params.txt`   — every parameter path with shape and size;
   * `model.hlo.txt` — the lowered stablehlo of one forward step on a small
-    batch from the training set (what XLA actually compiles).
+    batch from the training set (what XLA actually compiles);
+  * `model.dot` / `model.svg` and a TensorBoard GRAPH event — the browsable
+    visual graph (debuggraph.py), scope-for-scope matching the reference's
+    name_scope hierarchy.
 """
 
 from __future__ import annotations
@@ -116,6 +119,12 @@ def write_debug_artifacts(model, out_dir: Optional[str] = None, **runner_kw) -> 
     lowered = jax.jit(lambda p, b: runner.gnn.apply(p, b, meta)).lower(params, arrays)
     with open(os.path.join(out_dir, "model.hlo.txt"), "w") as f:
         f.write(lowered.as_text())
+
+    # visual graph artifacts: model.dot / model.svg / TensorBoard GraphDef
+    # event (the reference's browsable-graph debug workflow, f_o.py:262-268)
+    from .debuggraph import write_graph_artifacts
+
+    write_graph_artifacts(model.ir, out_dir)
 
     # TensorBoard-loadable event file (`tensorboard --logdir <debug_dir>`),
     # mirroring the reference's TensorBoard-based debug workflow
