@@ -271,6 +271,25 @@ def _time_forward(model, meta, params, arrays, iters=50):
     return max(time.time() - t0 - base, 1e-9) / (iters - 1)
 
 
+def _roofline_fields(make_step, dt):
+    """Speed-of-light accounting per family (BASELINE.md target;
+    utils/roofline.py conventions): % of the two-resource (HBM/MXU) bound
+    and of the access-pattern-aware bound that adds the measured
+    descriptor-bound gather floor."""
+    try:
+        from ignnition_tpu.utils.roofline import roofline_report
+
+        rep = roofline_report(make_step.model_ir, make_step.meta, dt * 1e3)
+        return {
+            "sol_ms": rep["sol_ms"],
+            "sol_pct": rep["sol_pct"],
+            "apsol_ms": rep["apsol_ms"],
+            "apsol_pct": rep["apsol_pct"],
+        }
+    except Exception as e:  # the throughput number must never be lost to this
+        return {"roofline_error": f"{type(e).__name__}: {e}"}
+
+
 def run_details(iters=20, on_case=None, flagship_case=None):
     import jax
     import jax.numpy as jnp
@@ -286,6 +305,7 @@ def run_details(iters=20, on_case=None, flagship_case=None):
                 "value": round(edges / dt / 1e6, 3),
                 "unit": "Medges/s/chip",
                 "ms_per_step": round(dt * 1e3, 3),
+                **_roofline_fields(make_step, dt),
             }
         except Exception as e:  # record the failure, don't hide the flagship
             detail[name] = {"error": f"{type(e).__name__}: {e}"}
@@ -363,6 +383,7 @@ def main():
             "unit": "Medges/s/chip",
             "ms_per_step": round(dt * 1e3, 3),
             "vs_baseline": round(dt_base / dt, 3),
+            **_roofline_fields(make_step, dt),
         }
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

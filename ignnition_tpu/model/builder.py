@@ -55,6 +55,16 @@ _ITER_REMAT = __import__("os").environ.get("IGNNITION_TPU_ITER_REMAT", "never")
 _SPLIT_FIRST = __import__("os").environ.get(
     "IGNNITION_TPU_SPLIT_FIRST_DENSE", "1"
 ) != "0"
+# v2 halo comm/compute overlap (SURVEY §2.4 item 2 "overlapped with local
+# segment-sum aggregation"): the source-row gather splits into an INTERIOR
+# pass reading the local pre-halo block — independent of the all_to_all, so
+# XLA's latency-hiding scheduler can run it while the collective is in
+# flight — and a BOUNDARY pass reading only the received halo rows (a small
+# cache-resident table). Exact by masking; 0 falls back to the synchronous
+# extend-then-gather.
+_HALO_OVERLAP = __import__("os").environ.get(
+    "IGNNITION_TPU_HALO_OVERLAP", "1"
+) != "0"
 _VECTOR_AGGS = ("sum", "attention", "convolution")
 # factored-last-Dense for sum-aggregated per-edge MLP messages (see the
 # message-creation loop): exact algebra, on by default; 0 disables for A/B
@@ -410,6 +420,34 @@ class GnnModel:
             return table
         return seg.halo_extend(table, send, node_axis)
 
+    @staticmethod
+    def _halo_gather(batch, adj, table, src_idx, node_axis):
+        """v2 source-row gather with comm/compute overlap (_HALO_OVERLAP).
+
+        Interior edges (source row owned locally, remapped index < B) gather
+        from the local PRE-halo block — that gather has no data dependency on
+        the all_to_all, so the latency-hiding scheduler overlaps it with the
+        collective. Boundary edges gather from the received halo rows alone
+        (a small [n_shards*H, D] table). The two masked passes sum to exactly
+        `halo_extend(table)[src_idx]` on real edges and a ZERO row on padding
+        edges (downstream consumers mask padding regardless). AD: interior
+        cotangents hit the local block directly; boundary cotangents route
+        through the transposed all_to_all, as before."""
+        send = batch.get(f"halo_send_{adj}")
+        if node_axis is None or send is None:
+            return table[src_idx]
+        imask = batch.get(f"interior_emask_{adj}")
+        if not _HALO_OVERLAP or imask is None:
+            return seg.halo_extend(table, send, node_axis)[src_idx]
+        bmask = batch[f"boundary_emask_{adj}"]
+        b_src = table.shape[0]
+        recv = seg.halo_recv(table, send, node_axis)
+        idx_int = jnp.minimum(src_idx, b_src - 1)
+        m_int = table[idx_int] * imask[:, None].astype(table.dtype)
+        idx_bnd = jnp.clip(src_idx - b_src, 0, recv.shape[0] - 1)
+        m_bnd = recv[idx_bnd] * bmask[:, None].astype(table.dtype)
+        return m_int + m_bnd
+
     def _message_passing_iteration(
         self, params, batch, meta, states, edge_axis=None, node_axis=None
     ):
@@ -467,8 +505,11 @@ class GnnModel:
                                     x,
                                 )
                         if node_axis is not None:
-                            node_table = src_table_of(src, node_table)
-                        messages = node_table[src_idx]
+                            messages = self._halo_gather(
+                                batch, a, node_table, src_idx, node_axis
+                            )
+                        else:
+                            messages = node_table[src_idx]
                     else:
                         # NOTE: a custom-vjp gather whose transpose runs the
                         # sorted segment kernel exists (ops.segment.gather_rows),
@@ -478,9 +519,10 @@ class GnnModel:
                         # permutation (edge lists are destination-sorted), so
                         # its transpose is a sorted segment sum for free.
                         if node_axis is not None:
-                            gathered_src = src_table_of(
-                                src, new_states[src.entity]
-                            )[src_idx]
+                            gathered_src = self._halo_gather(
+                                batch, a, new_states[src.entity], src_idx,
+                                node_axis,
+                            )
                         elif edge_axis is None:
                             gathered_src = seg.gather_rows(
                                 new_states[src.entity],
@@ -561,7 +603,9 @@ class GnnModel:
                                     # the halo then moves `units`-wide rows
                                     t = src_tbl @ ksrc
                                     if node_axis is not None:
-                                        part = src_table_of(src, t)[src_idx]
+                                        part = self._halo_gather(
+                                            batch, a, t, src_idx, node_axis
+                                        )
                                     elif edge_axis is None:
                                         part = seg.gather_rows(
                                             t,

@@ -286,6 +286,21 @@ def halo_extend(
     return jnp.concatenate([table, recv.reshape(-1, table.shape[1])], axis=0)
 
 
+def halo_recv(
+    table: jnp.ndarray,
+    send_idx: jnp.ndarray,
+    axis_name: str,
+) -> jnp.ndarray:
+    """The halo rows ALONE ([n_shards*H, D]), without concatenating the local
+    block — the interior/boundary overlap split (model/builder.py
+    _halo_gather) keeps the local-table gather independent of this
+    collective so XLA's latency-hiding scheduler can run it while the
+    all_to_all is in flight."""
+    send = table[send_idx]
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0, tiled=True)
+    return recv.reshape(-1, table.shape[1])
+
+
 import functools
 
 

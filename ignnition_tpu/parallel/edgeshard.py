@@ -238,6 +238,18 @@ def partition_batch(
             if l_par is not None:
                 l_par[:n] = params[idx]
 
+            if use_halo:
+                # interior/boundary split for comm/compute overlap: interior
+                # edges (source rows owned locally) aggregate from the local
+                # block while the halo all_to_all is in flight; boundary
+                # edges read the received halo rows (builder._halo_gather)
+                l_int = np.zeros(e_loc, np.float32)
+                l_bnd = np.zeros(e_loc, np.float32)
+                l_int[:n] = (s_owner == k).astype(np.float32)
+                l_bnd[:n] = (s_owner != k).astype(np.float32)
+                local[k][f"interior_emask_{a.name}"] = l_int
+                local[k][f"boundary_emask_{a.name}"] = l_bnd
+
             # edge-domain labels shard with their adjacency's edges: label
             # row i of the merged batch is aligned with (destination-sorted)
             # edge i, so the shard's edge selection IS its label selection.
@@ -505,6 +517,28 @@ def make_edgeshard_apply(
         return out
 
     return apply_fn
+
+
+def halo_fractions(
+    stacked: Dict[str, np.ndarray], model_ir
+) -> Dict[str, Dict[str, float]]:
+    """Interior/boundary edge accounting of a partitioned batch: the fraction
+    of real edges whose aggregation can proceed while the halo all_to_all is
+    in flight (the overlap structure, builder._halo_gather). Adjacencies
+    without a halo are fully interior."""
+    out = {}
+    for a in model_ir.adjacency_info():
+        em = stacked[f"edge_mask_{a.name}"]
+        real = float(em.sum())
+        im = stacked.get(f"interior_emask_{a.name}")
+        interior = real if im is None else float(im.sum())
+        out[a.name] = {
+            "real_edges": real,
+            "interior_edges": interior,
+            "boundary_edges": real - interior,
+            "boundary_frac": (real - interior) / real if real else 0.0,
+        }
+    return out
 
 
 # --------------------------------------------------------------------------

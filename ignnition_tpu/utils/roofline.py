@@ -1,0 +1,287 @@
+"""Speed-of-light accounting for a training step (BASELINE.md's "edges/sec
+per chip at speed-of-light SpMM" target).
+
+Computes, from the IR + a BatchMeta, an itemized lower bound on the
+MANDATORY work of one full training step (forward + backward + optimizer):
+
+  * HBM bytes — every value stream an implementation must move at least
+    once, under an OPTIMISTIC fusion convention (anything that fits VMEM is
+    assumed resident; node-rate tables count once per iteration; edge-rate
+    streams count once per direction of AD):
+      - aggregation input: the per-edge message stream E*D when the message
+        is genuinely per-edge, or for SEQUENCE (ordered/interleave)
+        aggregations whose RNN consumes per-slot inputs; node tables
+        (n*D) when a source-local message feeds a commutative aggregation
+        (sum/attention/convolution/concat) that can stream from the table;
+      - index companions: E * 4 bytes, read in forward and backward;
+      - updated state tables: n_d*D written fwd, cotangent read bwd;
+      - per-edge MLP activations: E*units per interior layer boundary
+        (1x fwd + 2x bwd: residual read + cotangent);
+      - readout activations at domain row rate;
+      - optimizer: ~20 bytes/param (p/m/v read+write, grad read).
+  * MXU FLOPs — 2*rows*in*out per Dense matmul, 12*D^2 per GRU element
+    (16*D^2 LSTM), x3 for training (backward of a matmul is ~2x forward);
+    aggregation adds E*D.
+  * gather rows (INFORMATIONAL, not part of the bound) — rows moved through
+    data-dependent indices per step. TPU random row access is descriptor-
+    bound at ~0.8-2 ns/row (PERF.md 'The XLA gather cliff'), a cost the
+    two-resource roofline cannot see; this count lets the reader reconstruct
+    the empirical access-pattern floor that explains measured-vs-SoL gaps.
+
+The bound is deliberately UNACHIEVABLE-optimistic (perfect fusion, zero
+re-materialization, no padding): achieved % of it is a conservative
+statement of headroom. Padded sizes from BatchMeta are used as stand-ins
+for real sizes (bench batches pad by <13%).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict
+
+
+@dataclass
+class HardwareSpec:
+    """TPU v5e defaults; override via env for other chips."""
+
+    name: str = "v5e"
+    hbm_gbps: float = float(os.environ.get("IGNNITION_TPU_HBM_GBPS", 819.0))
+    mxu_tflops_bf16: float = float(
+        os.environ.get("IGNNITION_TPU_MXU_TFLOPS", 197.0)
+    )
+    # measured descriptor-bound random-row cost range on this chip
+    # (PERF.md: 0.76 ns/row at 262k rows from small tables, ~2 ns/row
+    # typical, 5x past the 262k-row source cliff) — informational
+    gather_ns_per_row: float = float(
+        os.environ.get("IGNNITION_TPU_GATHER_NS", 2.0)
+    )
+
+
+@dataclass
+class StepCost:
+    bytes_by: Dict[str, float] = field(default_factory=dict)
+    flops_by: Dict[str, float] = field(default_factory=dict)
+    gather_rows: float = 0.0
+
+    def add_bytes(self, item: str, n: float):
+        self.bytes_by[item] = self.bytes_by.get(item, 0.0) + float(n)
+
+    def add_flops(self, item: str, n: float):
+        self.flops_by[item] = self.flops_by.get(item, 0.0) + float(n)
+
+    @property
+    def total_bytes(self) -> float:
+        return sum(self.bytes_by.values())
+
+    @property
+    def total_flops(self) -> float:
+        return sum(self.flops_by.values())
+
+    def bound_seconds(self, hw: HardwareSpec) -> Dict[str, float]:
+        t_bytes = self.total_bytes / (hw.hbm_gbps * 1e9)
+        t_flops = self.total_flops / (hw.mxu_tflops_bf16 * 1e12)
+        return {
+            "t_bytes_ms": t_bytes * 1e3,
+            "t_flops_ms": t_flops * 1e3,
+            "sol_ms": max(t_bytes, t_flops) * 1e3,
+            "binding": "bytes" if t_bytes >= t_flops else "flops",
+            "gather_floor_ms_informational": (
+                self.gather_rows * hw.gather_ns_per_row * 1e-9 * 1e3
+            ),
+        }
+
+
+def _mlp_dims(mlp, in_dim, last_units=None):
+    """[(in, out)] per Dense layer of an MLPSpec (point-wise kinds keep
+    width)."""
+    dims = []
+    d = in_dim
+    layers = mlp.layers
+    for j, l in enumerate(layers):
+        if l.kind == "Dense":
+            u = l.units
+            if j == len(layers) - 1 and last_units is not None:
+                u = last_units
+            dims.append((d, int(u)))
+            d = int(u)
+    return dims, d
+
+
+def _param_count(model_ir) -> float:
+    """Rough trainable-parameter count (Dense kernels + RNN cells)."""
+    state = model_ir.state_dims()
+    total = 0.0
+    for stage in model_ir.stages:
+        for mp in stage.passes:
+            d = state[mp.destination]
+            msg_dim = 0
+            for src in mp.sources:
+                in_dim = state[src.entity]
+                cur = in_dim
+                for op in src.ops:
+                    if op.kind == "mlp":
+                        dims, cur = _mlp_dims(op.mlp, cur)
+                        total += sum(i * o + o for i, o in dims)
+                msg_dim = max(msg_dim, cur)
+            if mp.update.kind == "recurrent":
+                g = 3 if mp.update.rnn.cell_type == "GRU" else 4
+                total += g * d * (msg_dim + d + 2)
+            else:
+                dims, _ = _mlp_dims(mp.update.mlp, msg_dim + d, last_units=d)
+                total += sum(i * o + o for i, o in dims)
+    for op in model_ir.readout:
+        if getattr(op, "mlp", None) is not None:
+            in_dim = sum(state.get(x, state.get(model_ir.entity_names[0], 32))
+                         for x in op.inputs)
+            dims, _ = _mlp_dims(op.mlp, in_dim)
+            total += sum(i * o + o for i, o in dims)
+    return total
+
+
+def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
+    """Itemized mandatory bytes/FLOPs of one training step (conventions in
+    the module docstring)."""
+    from ..frontend.ir import is_source_local
+
+    c = StepCost()
+    state = model_ir.state_dims()
+    iters = model_ir.num_iterations
+    b = dtype_bytes
+    adj_by_name = {a.name: a for a in model_ir.adjacency_info()}
+
+    for stage in model_ir.stages:
+        for mp in stage.passes:
+            d_dst = state[mp.destination]
+            n_d = meta.nodes(mp.destination)
+            seq_agg = mp.aggregation.kind in ("ordered", "interleave")
+            total_msg_elems = 0.0  # per-iteration RNN elements (ordered)
+            for src in mp.sources:
+                a = adj_by_name[src.adj_name]
+                E = meta.edges(src.adj_name)
+                d_src = state[src.entity]
+                n_s = meta.nodes(src.entity)
+                local = is_source_local(src.ops)
+
+                # message chain
+                cur = d_src
+                rows = n_s if local else E
+                chain_in = d_src
+                for op in src.ops:
+                    if op.kind == "mlp":
+                        chain_in = sum(
+                            state.get(mp.destination) if x == "hs_dest"
+                            else (src.edge_param_dim or 0) if x == "edge_params"
+                            else state.get(src.entity, cur)
+                            for x in op.inputs
+                        ) or cur
+                        dims, cur = _mlp_dims(op.mlp, chain_in)
+                        for (i, o) in dims:
+                            c.add_flops("message_mlp", 3 * 2 * rows * i * o * iters)
+                        # interior activations cross HBM (1 fwd + 2 bwd)
+                        for (_i, o) in dims[:-1]:
+                            c.add_bytes("message_acts", 3 * rows * o * b * iters)
+                if not local:
+                    # per-edge inputs must be gathered: the input stream and
+                    # its cotangent are edge-rate
+                    c.add_bytes("edge_stream", 3 * E * chain_in * b * iters)
+                    c.gather_rows += 2 * E * iters
+                msg_dim = cur
+
+                if seq_agg:
+                    # sequence consumption is inherently edge-slot-rate even
+                    # for source-local messages: fwd read + bwd residual +
+                    # bwd cotangent
+                    c.add_bytes("seq_stream", 3 * E * msg_dim * b * iters)
+                    c.gather_rows += 2 * E * iters
+                    total_msg_elems += E
+                elif local:
+                    # commutative aggregation streaming from the node-rate
+                    # message table: table read fwd + cotangent bwd
+                    c.add_bytes("node_tables", 2 * n_s * msg_dim * b * iters)
+                else:
+                    pass  # edge stream already counted above
+
+                # index companions (int32), fwd + bwd
+                c.add_bytes("indices", 2 * E * 4 * iters)
+                # aggregation adds
+                c.add_flops("aggregation", 2 * E * msg_dim * iters)
+
+                if mp.aggregation.kind == "attention":
+                    # per-node score matmuls + width-1 edge score stream
+                    c.add_flops("attention", 3 * 2 * (n_s + n_d) * d_dst
+                                * d_dst * iters)
+                    c.add_bytes("attention_scores", 3 * E * b * iters)
+                elif mp.aggregation.kind == "convolution":
+                    c.add_flops("convolution", 3 * 2 * n_s * d_src * d_dst
+                                * iters)
+
+            # update
+            if mp.update.kind == "recurrent":
+                per_elem = (12 if mp.update.rnn.cell_type == "GRU" else 16)
+                elems = total_msg_elems if seq_agg else n_d
+                c.add_flops("rnn_update", 3 * per_elem * d_dst * d_dst
+                            * elems * iters)
+            else:
+                msg_dim = max(state[s.entity] for s in mp.sources)
+                dims, _ = _mlp_dims(mp.update.mlp, msg_dim + d_dst,
+                                    last_units=d_dst)
+                for (i, o) in dims:
+                    c.add_flops("ff_update", 3 * 2 * n_d * i * o * iters)
+            # updated state: written fwd, cotangent read bwd
+            c.add_bytes("state_tables", 2 * n_d * d_dst * b * iters)
+
+    # readout at domain row rate
+    for op in model_ir.readout:
+        if getattr(op, "mlp", None) is None:
+            continue
+        ent = next((x for x in op.inputs if x in state), None)
+        rows = meta.nodes(ent) if ent else max(meta.label_pad, meta.num_graphs)
+        in_dim = sum(state.get(x, 0) for x in op.inputs) or state.get(
+            ent, 32
+        )
+        dims, _ = _mlp_dims(op.mlp, in_dim)
+        for (i, o) in dims:
+            c.add_flops("readout", 3 * 2 * rows * i * o)
+        for (_i, o) in dims[:-1]:
+            c.add_bytes("readout_acts", 3 * rows * o * b)
+
+    # optimizer: p/m/v read+write + grad read, f32 master weights
+    c.add_bytes("optimizer", 20 * _param_count(model_ir))
+    return c
+
+
+def roofline_report(model_ir, meta, measured_ms: float,
+                    hw: HardwareSpec = None,
+                    dtype_bytes: int = 2) -> Dict[str, object]:
+    """One dict per bench family: itemized model + bound + achieved %."""
+    hw = hw or HardwareSpec()
+    c = train_step_cost(model_ir, meta, dtype_bytes)
+    bounds = c.bound_seconds(hw)
+    # access-pattern-aware speed of light: the classic two resources PLUS
+    # the measured descriptor-bound random-row floor (the resource that
+    # actually binds these graph workloads on TPU)
+    apsol = max(bounds["sol_ms"], bounds["gather_floor_ms_informational"])
+    return {
+        "hw": hw.name,
+        "bytes_mb": round(c.total_bytes / 1e6, 2),
+        "gflops": round(c.total_flops / 1e9, 2),
+        "t_bytes_ms": round(bounds["t_bytes_ms"], 3),
+        "t_flops_ms": round(bounds["t_flops_ms"], 3),
+        "sol_ms": round(bounds["sol_ms"], 3),
+        "binding": bounds["binding"],
+        "measured_ms": round(measured_ms, 3),
+        "sol_pct": round(100.0 * bounds["sol_ms"] / measured_ms, 1)
+        if measured_ms else None,
+        "apsol_ms": round(apsol, 3),
+        "apsol_pct": round(100.0 * apsol / measured_ms, 1)
+        if measured_ms else None,
+        "gather_rows_m": round(c.gather_rows / 1e6, 2),
+        "gather_floor_ms_informational": round(
+            bounds["gather_floor_ms_informational"], 3
+        ),
+        "bytes_items_mb": {k: round(v / 1e6, 2)
+                           for k, v in sorted(c.bytes_by.items())},
+        "flops_items_g": {k: round(v / 1e9, 2)
+                          for k, v in sorted(c.flops_by.items())},
+    }
