@@ -65,6 +65,28 @@ _SPLIT_FIRST = __import__("os").environ.get(
 _HALO_OVERLAP = __import__("os").environ.get(
     "IGNNITION_TPU_HALO_OVERLAP", "1"
 ) != "0"
+# slice-rate per-edge MLP messages for ordered updates: a message MLP over
+# {hs_source, hs_dest} feeding an ordered aggregation evaluates at SLICE
+# rate — pre[t, n] = (src_tbl @ Ksrc)[slice_src[t, n]] + (dst @ Kdst)[n] —
+# so the destination part needs NO gather at all (indexed by n directly),
+# the source part rides the same host-precomputed slice map the direct
+# path uses, and no [E, D] per-edge tensor is ever materialized. Exact
+# (same math per real slot; masked slots are ignored by the scan's length
+# mask); 0 disables for A/B (tests/test_slice_mlp.py).
+_SLICE_MLP = __import__("os").environ.get(
+    "IGNNITION_TPU_SLICE_MLP", "1"
+) != "0"
+# slot-rate per-edge MLP messages for SUM aggregations: the same slice map
+# lays the edges out as [max_in_degree, n_dst] slots, pre[t, d] =
+# (src_tbl @ Ksrc)[slice_src[t, d]] + (dst @ Kdst)[d], and a masked dense
+# sum over t replaces BOTH per-edge gathers and the segment sum. Pays
+# (L*n_dst)/E padding overhead — skipped when that exceeds the cap.
+_SLOT_SUM = __import__("os").environ.get(
+    "IGNNITION_TPU_SLOT_SUM", "1"
+) != "0"
+_SLOT_SUM_CAP = float(
+    __import__("os").environ.get("IGNNITION_TPU_SLOT_SUM_CAP", 3.0)
+)
 _VECTOR_AGGS = ("sum", "attention", "convolution")
 # factored-last-Dense for sum-aggregated per-edge MLP messages (see the
 # message-creation loop): exact algebra, on by default; 0 disables for A/B
@@ -715,6 +737,90 @@ class GnnModel:
                     and edge_axis is None
                     and f"row_ptr_{per_source[0]['adj']}" in batch
                 )
+                slice_mlp_op = None
+                if (
+                    fast_ordered
+                    and _SLICE_MLP
+                    and _SPLIT_FIRST
+                    and node_axis is None
+                    and per_source[0]["table"] is None
+                    and f"slice_src_{per_source[0]['adj']}" in batch
+                    and len(mp.sources[0].ops) == 1
+                    and mp.sources[0].ops[0].kind == "mlp"
+                    and not mp.sources[0].ops[0].output_name
+                    and mp.sources[0].ops[0].inputs
+                    and all(
+                        n in ("hs_source", "hs_dest")
+                        for n in mp.sources[0].ops[0].inputs
+                    )
+                    and MLP.can_split_first(mp.sources[0].ops[0].mlp)
+                ):
+                    slice_mlp_op = mp.sources[0].ops[0]
+                if slice_mlp_op is not None:
+                    # slice-rate per-edge MLP into the ordered update
+                    # (_SLICE_MLP above): the message-loop's per-edge
+                    # formulation above is unused here and DCE'd by XLA
+                    s0 = per_source[0]
+                    a0 = s0["adj"]
+                    op = slice_mlp_op
+                    pkey = params["message"][f"s{si}/m{mi}/src0/op0"]
+                    k0 = pkey["layers"][0]["kernel"]
+                    src_tbl = new_states[mp.sources[0].entity]
+                    ksrc = kdst = None
+                    lo = 0
+                    for name in op.inputs:
+                        if name == "hs_source":
+                            w = src_tbl.shape[1]
+                            sl = k0[lo : lo + w]
+                            ksrc = sl if ksrc is None else ksrc + sl
+                        else:
+                            w = dst_states.shape[1]
+                            sl = k0[lo : lo + w]
+                            kdst = sl if kdst is None else kdst + sl
+                        lo += w
+                    assert lo == k0.shape[0], (
+                        f"first-Dense kernel layout drift: sliced {lo} rows "
+                        f"of {k0.shape[0]}"
+                    )
+                    pre = None
+                    if ksrc is not None:
+                        t = src_tbl @ ksrc
+                        pre = seg.gather_state_slices(
+                            t,
+                            batch[f"slice_src_{a0}"],
+                            batch[f"slice_sort_perm_{a0}"],
+                            batch[f"slice_sort_ids_{a0}"],
+                            batch[f"slice_sort_row_ptr_{a0}"],
+                        )
+                    if kdst is not None:
+                        part = (dst_states @ kdst)[None, :, :]
+                        if pre is None:
+                            # hs_dest-only chain: every time slot carries
+                            # the same destination part — broadcast to the
+                            # full sequence length
+                            pre = jnp.broadcast_to(
+                                part,
+                                (meta.maxlen(a0),) + part.shape[1:],
+                            )
+                        else:
+                            pre = pre + part
+                    L_, N_, H1 = pre.shape
+                    xs = MLP.apply_from_first_preact(
+                        op.mlp, pkey, pre.reshape(L_ * N_, H1)
+                    ).reshape(L_, N_, -1)
+                    node_mask = batch[f"node_mask_{dst}"]
+                    up = params["update"][f"{dst}_update"]
+                    new_state = RNN.masked_update_stacked(
+                        mp.update.rnn,
+                        up,
+                        xs,
+                        batch[f"lens_{a0}"].astype(jnp.int32),
+                        dst_states,
+                    )
+                    new_states[dst] = new_state * node_mask[:, None].astype(
+                        new_state.dtype
+                    )
+                    continue
                 if (
                     fast_ordered
                     and per_source[0]["table"] is not None
@@ -918,14 +1024,29 @@ class GnnModel:
                             # list is destination-sorted by construction, so
                             # EVERY source rides its own best fused path
                             # (multi-source sums included); the results add.
-                            aggregated = sum(
-                                _finish(
-                                    self._one_source_sum(s, batch, meta, n_dst),
+                            parts = []
+                            for i, s in enumerate(per_source):
+                                slot = self._slot_rate_sum(
+                                    mp.sources[i],
                                     s,
-                                    i,
+                                    params["message"].get(
+                                        f"s{si}/m{mi}/src{i}/op0"
+                                    ),
+                                    dst_states,
+                                    new_states,
+                                    batch,
+                                    meta,
+                                    n_dst,
                                 )
-                                for i, s in enumerate(per_source)
-                            )
+                                part = (
+                                    slot
+                                    if slot is not None
+                                    else self._one_source_sum(
+                                        s, batch, meta, n_dst
+                                    )
+                                )
+                                parts.append(_finish(part, s, i))
+                            aggregated = sum(parts)
                     elif agg.kind == "attention":
                         ap = params["aggregation"][f"s{si}/m{mi}"]
                         a0 = per_source[0]["adj"]
@@ -1083,6 +1204,97 @@ class GnnModel:
         return new_states
 
     # ------------------------------------------------------------------
+
+    def _slot_rate_sum(
+        self, srcspec, s, pkey, dst_states, new_states, batch, meta, n_dst
+    ):
+        """Per-edge MLP over {hs_source, hs_dest} into a SUM aggregation at
+        SLOT rate (_SLOT_SUM): the in-degree-sliced [L, n_dst] layout (the
+        same host-precomputed slice_src map the ordered update uses) turns
+
+            agg[d] = sum_e tail(relu((hs_src[s_e]|hs_dst[d]) @ K0 + b0))
+
+        into one slice gather of (src_tbl @ Ksrc), a gather-free node-rate
+        destination part, the MLP tail at slot rate, and a MASKED DENSE sum
+        over t — no per-edge gathers and no segment op anywhere, forward or
+        backward. Exact: valid slots compute the same math per edge; invalid
+        slots are zeroed by the in-degree mask before the sum. When the
+        message carries a factored last Dense (s['post']), the prefix sums
+        here and _finish applies the final matmul at node rate. Returns the
+        [n_dst, D] partial or None when ineligible (multi-op chains, inputs
+        beyond hs_source/hs_dest, published output_name — per-edge layout
+        required — or slot padding beyond _SLOT_SUM_CAP x edges)."""
+        if not (_SLOT_SUM and _SPLIT_FIRST) or pkey is None:
+            return None
+        if s["table"] is not None:
+            return None  # source-local chains ride the dense/fused paths
+        a0 = s["adj"]
+        ops = srcspec.ops
+        if (
+            len(ops) != 1
+            or ops[0].kind != "mlp"
+            or ops[0].output_name
+            or not ops[0].inputs
+            or not all(n in ("hs_source", "hs_dest") for n in ops[0].inputs)
+            or not MLP.can_split_first(ops[0].mlp)
+            or f"slice_src_{a0}" not in batch
+        ):
+            return None
+        L = meta.maxlen(a0)
+        if L * n_dst > _SLOT_SUM_CAP * meta.edges(a0):
+            return None
+        op = ops[0]
+        k0 = pkey["layers"][0]["kernel"]
+        src_tbl = new_states[srcspec.entity]
+        ksrc = kdst = None
+        lo = 0
+        for name in op.inputs:
+            if name == "hs_source":
+                w = src_tbl.shape[1]
+                sl = k0[lo : lo + w]
+                ksrc = sl if ksrc is None else ksrc + sl
+            else:
+                w = dst_states.shape[1]
+                sl = k0[lo : lo + w]
+                kdst = sl if kdst is None else kdst + sl
+            lo += w
+        assert lo == k0.shape[0], (
+            f"first-Dense kernel layout drift: sliced {lo} rows of "
+            f"{k0.shape[0]}"
+        )
+        pre = None
+        if ksrc is not None:
+            t = src_tbl @ ksrc
+            pre = seg.gather_state_slices(
+                t,
+                batch[f"slice_src_{a0}"],
+                batch[f"slice_sort_perm_{a0}"],
+                batch[f"slice_sort_ids_{a0}"],
+                batch[f"slice_sort_row_ptr_{a0}"],
+            )
+        if kdst is not None:
+            part = (dst_states @ kdst)[None, :, :]
+            if pre is None:
+                # hs_dest-only chain: each of a destination's deg(d) edges
+                # contributes the same message — broadcast over slots so the
+                # masked sum multiplies by the in-degree
+                pre = jnp.broadcast_to(part, (L,) + part.shape[1:])
+            else:
+                pre = pre + part
+        L_, N_, H1 = pre.shape
+        flat = pre.reshape(L_ * N_, H1)
+        if s["post"] is not None:
+            slots = MLP.prefix_from_first_preact(op.mlp, pkey, flat)
+        else:
+            slots = MLP.apply_from_first_preact(op.mlp, pkey, flat)
+        slots = slots.reshape(L_, N_, -1)
+        lens = batch[f"lens_{a0}"].astype(jnp.int32)
+        tmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (L_, N_), 0) < lens[None, :]
+        )
+        return jnp.sum(
+            slots * tmask[:, :, None].astype(slots.dtype), axis=0
+        )
 
     def _one_source_sum(self, s, batch, meta, n_dst):
         """Best available sum lowering for ONE destination-sorted source

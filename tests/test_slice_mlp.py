@@ -1,0 +1,150 @@
+"""Slice-rate (ordered) and slot-rate (sum) per-edge message MLP paths
+(builder._SLICE_MLP / _SLOT_SUM): per-edge MLPs over {hs_source, hs_dest}
+must compute EXACTLY the per-edge formulation while never materializing an
+[E, D] tensor or issuing a per-edge gather (PERF.md 'Per-edge message
+models', round 3)."""
+
+from __future__ import annotations
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ignnition_tpu.data import SampleSpec, build_batch, convert_sample
+from ignnition_tpu.frontend import parser
+from ignnition_tpu.model import build
+from ignnition_tpu.model import builder as B
+
+from helpers import routenet_description
+
+DIMS = {"link_capacity": 1, "traffic": 1,
+        "adj_links_paths": 0, "adj_paths_links": 0}
+
+
+def _mlp_desc(inputs=("hs_source", "hs_dest"), iters=3, extra_op=False,
+              output_name=None):
+    desc = routenet_description(num_iterations=iters, hs=8)
+    nn = {"nn_name": "msg", "nn_type": "feed_forward",
+          "nn_architecture": [
+              {"type_layer": "Dense", "units": 12, "activation": "relu"},
+              {"type_layer": "Dense", "units": 8, "activation": "None"}]}
+    desc["neural_networks"].append(nn)
+    msg = {"type": "neural_network", "nn_name": "msg", "input": list(inputs)}
+    if output_name:
+        msg["output_name"] = output_name
+    chain = [msg]
+    if extra_op:
+        chain = [dict(msg, output_name="m1"),
+                 {"type": "neural_network", "nn_name": "msg", "input": ["m1"]}]
+    for st in desc["message_passing"]["stages"]:
+        for mp in st["stage_mp"]:
+            for se in mp["source_entities"]:
+                se["message"] = copy.deepcopy(chain)
+    return desc
+
+
+def _batch_of(desc, seed=5, n_link=9, n_path=7):
+    ir = parser.parse_model_description(copy.deepcopy(desc), dict(DIMS))
+    r = np.random.RandomState(seed)
+    entities = {f"l{i}": "link" for i in range(n_link)}
+    entities.update({f"p{i}": "path" for i in range(n_path)})
+    adj = {}
+    inv = {f"l{i}": [] for i in range(n_link)}
+    for p in range(n_path):
+        links = r.choice(n_link, size=r.randint(2, 5), replace=False)
+        adj[f"p{p}"] = [f"l{i}" for i in links]
+        for i in links:
+            inv[f"l{i}"].append(f"p{p}")
+    sample = {"entities": entities,
+              "link_capacity": r.rand(n_link).tolist(),
+              "traffic": r.rand(n_path).tolist(),
+              "delay": r.rand(n_path).tolist(),
+              "adj_links_paths": adj,
+              "adj_paths_links": {k: v for k, v in inv.items() if v}}
+    arrays, meta = build_batch(
+        [convert_sample(sample, SampleSpec.from_ir(ir))], ir
+    )
+    return ir, arrays, meta
+
+
+def _loss_and_grads(ir, arrays, meta, slice_mlp, slot_sum):
+    old = B._SLICE_MLP, B._SLOT_SUM
+    B._SLICE_MLP, B._SLOT_SUM = slice_mlp, slot_sum
+    try:
+        model = build(ir)
+        params = model.init(jax.random.PRNGKey(0))
+
+        def loss(p):
+            preds = model.apply(p, arrays, meta, training=True)
+            m = arrays["label_mask"]
+            return jnp.sum(
+                jnp.square(preds.reshape(-1) - arrays["label"].reshape(-1)) * m
+            ) / jnp.sum(m)
+
+        l, g = jax.value_and_grad(loss)(params)
+        return float(l), jax.tree_util.tree_leaves(g)
+    finally:
+        B._SLICE_MLP, B._SLOT_SUM = old
+
+
+@pytest.mark.parametrize("inputs", [("hs_source", "hs_dest"),
+                                    ("hs_source",), ("hs_dest",),
+                                    ("hs_source", "hs_source")])
+def test_fast_paths_match_per_edge(inputs):
+    ir, arrays, meta = _batch_of(_mlp_desc(inputs))
+    base_l, base_g = _loss_and_grads(ir, arrays, meta, False, False)
+    fast_l, fast_g = _loss_and_grads(ir, arrays, meta, True, True)
+    np.testing.assert_allclose(fast_l, base_l, rtol=1e-6)
+    for a, b in zip(fast_g, base_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=1e-6)
+
+
+def test_paths_actually_fire():
+    """Both fast paths trace gather_state_slices; the per-edge formulation
+    traces none (the message-loop version is DCE'd)."""
+    from ignnition_tpu.ops import segment as seg
+
+    ir, arrays, meta = _batch_of(_mlp_desc())
+    model = build(ir)
+    params = model.init(jax.random.PRNGKey(0))
+    orig = seg.gather_state_slices
+    calls = []
+
+    def wrapped(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    seg.gather_state_slices = wrapped
+    try:
+        B._SLICE_MLP = B._SLOT_SUM = True
+        model.apply(params, arrays, meta)
+        assert len(calls) == 2, calls  # ordered stage1 + sum stage2
+        calls.clear()
+        B._SLICE_MLP = B._SLOT_SUM = False
+        model.apply(params, arrays, meta)
+        assert len(calls) == 0
+    finally:
+        seg.gather_state_slices = orig
+        B._SLICE_MLP = B._SLOT_SUM = True
+
+
+def test_ineligible_chains_still_exact():
+    """Published output_name and multi-op chains need the per-edge layout —
+    the fast paths must skip them, and results stay exact."""
+    for kw in (dict(extra_op=True), dict(output_name="mvar")):
+        ir, arrays, meta = _batch_of(_mlp_desc(**kw))
+        base_l, _ = _loss_and_grads(ir, arrays, meta, False, False)
+        fast_l, _ = _loss_and_grads(ir, arrays, meta, True, True)
+        np.testing.assert_allclose(fast_l, base_l, rtol=1e-6)
+
+
+def test_bf16_compute_dtype_runs():
+    ir, arrays, meta = _batch_of(_mlp_desc())
+    model = build(ir)
+    params = model.init(jax.random.PRNGKey(0))
+    out = model.apply(params, arrays, meta, compute_dtype=jnp.bfloat16)
+    assert np.all(np.isfinite(np.asarray(out, np.float32)))
