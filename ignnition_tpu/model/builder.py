@@ -87,6 +87,14 @@ _SLOT_SUM = __import__("os").environ.get(
 _SLOT_SUM_CAP = float(
     __import__("os").environ.get("IGNNITION_TPU_SLOT_SUM_CAP", 3.0)
 )
+# slot-rate per-destination GAT: softmax over the [max_in_degree, n_dst]
+# slot layout — L*n_dst score entries instead of the dense path's
+# n_dst*n_src matrix (90x fewer at flagship shapes) and no per-edge
+# gathers; covers source-local AND per-edge-MLP messages. Measured 2.3x
+# over the dense-incidence path at flagship shapes (PERF.md).
+_SLOT_ATTN = __import__("os").environ.get(
+    "IGNNITION_TPU_SLOT_ATTN", "1"
+) != "0"
 _VECTOR_AGGS = ("sum", "attention", "convolution")
 # factored-last-Dense for sum-aggregated per-edge MLP messages (see the
 # message-creation loop): exact algebra, on by default; 0 disables for A/B
@@ -1050,7 +1058,41 @@ class GnnModel:
                     elif agg.kind == "attention":
                         ap = params["aggregation"][f"s{si}/m{mi}"]
                         a0 = per_source[0]["adj"]
+                        slot_attn = None
                         if (
+                            agg.attention_softmax != "reference"
+                            and sorted_coo
+                            and edge_axis is None
+                            and node_axis is None
+                            and _SLOT_ATTN
+                            # source-local messages ride the dense-incidence
+                            # paths when available (measured faster: 17.5 vs
+                            # 21.8 ms at flagship shapes); the slot layout
+                            # serves what they cannot — per-edge MLP chains,
+                            # and source-local models without a dense
+                            # companion (over the dense-size cap)
+                            and not (
+                                per_source[0]["table"] is not None
+                                and (
+                                    f"inc_blocks_{a0}" in batch
+                                    or f"dense_inc_{a0}" in batch
+                                )
+                            )
+                        ):
+                            slot_attn = self._slot_attention(
+                                mp.sources[0],
+                                per_source[0],
+                                params["message"].get(f"s{si}/m{mi}/src0/op0"),
+                                ap,
+                                dst_states,
+                                new_states,
+                                batch,
+                                meta,
+                                n_dst,
+                            )
+                        if slot_attn is not None:
+                            aggregated = slot_attn
+                        elif (
                             agg.attention_softmax != "reference"
                             and sorted_coo
                             and edge_axis is None
@@ -1224,11 +1266,59 @@ class GnnModel:
         [n_dst, D] partial or None when ineligible (multi-op chains, inputs
         beyond hs_source/hs_dest, published output_name — per-edge layout
         required — or slot padding beyond _SLOT_SUM_CAP x edges)."""
-        if not (_SLOT_SUM and _SPLIT_FIRST) or pkey is None:
-            return None
         if s["table"] is not None:
-            return None  # source-local chains ride the dense/fused paths
+            # source-local chains ride the dense-incidence/fused sum paths
+            # (faster than the slot layout for plain sums; _one_source_sum)
+            return None
+        slots = self._slot_messages(
+            srcspec, s, pkey, dst_states, new_states, batch, meta, n_dst,
+            want_prefix=s["post"] is not None, enabled=_SLOT_SUM,
+        )
+        if slots is None:
+            return None
+        L_, N_ = slots.shape[:2]
+        lens = batch[f"lens_{s['adj']}"].astype(jnp.int32)
+        tmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (L_, N_), 0) < lens[None, :]
+        )
+        return jnp.sum(
+            slots * tmask[:, :, None].astype(slots.dtype), axis=0
+        )
+
+    def _slot_messages(
+        self, srcspec, s, pkey, dst_states, new_states, batch, meta, n_dst,
+        want_prefix=False, enabled=True,
+    ):
+        """[L, n_dst, D] slot-rate message tensor over the in-degree-sliced
+        layout, or None when ineligible. Two producers:
+
+          * source-local chains (per-node message table): one slice gather;
+          * per-edge MLPs over {hs_source, hs_dest}: split-first per-part
+            matmuls at node rate, parts meet at slot rate, MLP tail (or the
+            factored prefix, want_prefix) at slot rate.
+
+        Invalid slots carry garbage-but-finite rows — every consumer masks
+        by the in-degree (t < lens) before reducing."""
         a0 = s["adj"]
+        if not enabled or f"slice_src_{a0}" not in batch:
+            return None
+        L = meta.maxlen(a0)
+        if L * n_dst > _SLOT_SUM_CAP * meta.edges(a0):
+            return None
+
+        def slice_gather(t):
+            return seg.gather_state_slices(
+                t,
+                batch[f"slice_src_{a0}"],
+                batch[f"slice_sort_perm_{a0}"],
+                batch[f"slice_sort_ids_{a0}"],
+                batch[f"slice_sort_row_ptr_{a0}"],
+            )
+
+        if s["table"] is not None:
+            return slice_gather(s["table"])
+        if not _SPLIT_FIRST or pkey is None:
+            return None
         ops = srcspec.ops
         if (
             len(ops) != 1
@@ -1237,11 +1327,7 @@ class GnnModel:
             or not ops[0].inputs
             or not all(n in ("hs_source", "hs_dest") for n in ops[0].inputs)
             or not MLP.can_split_first(ops[0].mlp)
-            or f"slice_src_{a0}" not in batch
         ):
-            return None
-        L = meta.maxlen(a0)
-        if L * n_dst > _SLOT_SUM_CAP * meta.edges(a0):
             return None
         op = ops[0]
         k0 = pkey["layers"][0]["kernel"]
@@ -1264,37 +1350,68 @@ class GnnModel:
         )
         pre = None
         if ksrc is not None:
-            t = src_tbl @ ksrc
-            pre = seg.gather_state_slices(
-                t,
-                batch[f"slice_src_{a0}"],
-                batch[f"slice_sort_perm_{a0}"],
-                batch[f"slice_sort_ids_{a0}"],
-                batch[f"slice_sort_row_ptr_{a0}"],
-            )
+            pre = slice_gather(src_tbl @ ksrc)
         if kdst is not None:
             part = (dst_states @ kdst)[None, :, :]
             if pre is None:
                 # hs_dest-only chain: each of a destination's deg(d) edges
                 # contributes the same message — broadcast over slots so the
-                # masked sum multiplies by the in-degree
+                # masked reduction weights it by the in-degree
                 pre = jnp.broadcast_to(part, (L,) + part.shape[1:])
             else:
                 pre = pre + part
         L_, N_, H1 = pre.shape
         flat = pre.reshape(L_ * N_, H1)
-        if s["post"] is not None:
+        if want_prefix:
             slots = MLP.prefix_from_first_preact(op.mlp, pkey, flat)
         else:
             slots = MLP.apply_from_first_preact(op.mlp, pkey, flat)
-        slots = slots.reshape(L_, N_, -1)
+        return slots.reshape(L_, N_, -1)
+
+    def _slot_attention(
+        self, srcspec, s, msg_pkey, ap, dst_states, new_states, batch, meta,
+        n_dst,
+    ):
+        """Per-destination GAT softmax at SLOT rate (_SLOT_ATTN).
+
+        scores[t, d] = LeakyReLU(a1.(K1 m[t, d]) + a2.(K2 h_d)) over the
+        in-degree-sliced slot layout; masked softmax over the slot axis;
+        out[d] = sum_t w[t, d] * m[t, d]. One slice gather (or the slot-rate
+        split-first MLP) produces m — no per-edge gathers, no segment ops,
+        no [n_dst, n_src] incidence matrix anywhere, forward or backward
+        (the softmax statistics are dense masked reductions over L).
+        Invalid slots are finite garbage masked to weight zero; empty
+        destinations get an all-zero row (den guarded). Returns None when
+        the slot layout is unavailable (then the dense-incidence / fused
+        per-edge paths apply)."""
+        slots = self._slot_messages(
+            srcspec, s, msg_pkey, dst_states, new_states, batch, meta, n_dst,
+        )
+        if slots is None:
+            return None
+        a0 = s["adj"]
+        L_, N_, Dm = slots.shape
+        d1 = ap["kernel1"].shape[1]
+        m1 = slots.reshape(L_ * N_, Dm) @ ap["kernel1"]
+        s_src = (m1 @ ap["attn_kernel"][:d1]).reshape(L_, N_)
+        s_dst = ((dst_states @ ap["kernel2"]) @ ap["attn_kernel"][d1:])
+        scores = jax.nn.leaky_relu(
+            s_src + s_dst.reshape(1, N_), negative_slope=0.2
+        )
         lens = batch[f"lens_{a0}"].astype(jnp.int32)
         tmask = (
             jax.lax.broadcasted_iota(jnp.int32, (L_, N_), 0) < lens[None, :]
         )
-        return jnp.sum(
-            slots * tmask[:, :, None].astype(slots.dtype), axis=0
+        # softmax statistics in f32 (bf16 exp/sum drifts at long in-degrees)
+        sf = jnp.where(tmask, scores.astype(jnp.float32), -jnp.inf)
+        mx = jnp.max(sf, axis=0)
+        ex = jnp.where(
+            tmask, jnp.exp(sf - jnp.where(jnp.isfinite(mx), mx, 0.0)[None]),
+            0.0,
         )
+        den = jnp.sum(ex, axis=0)
+        w = (ex / jnp.where(den > 0, den, 1.0)[None]).astype(slots.dtype)
+        return jnp.einsum("ln,lnd->nd", w, slots)
 
     def _one_source_sum(self, s, batch, meta, n_dst):
         """Best available sum lowering for ONE destination-sorted source

@@ -148,3 +148,60 @@ def test_bf16_compute_dtype_runs():
     params = model.init(jax.random.PRNGKey(0))
     out = model.apply(params, arrays, meta, compute_dtype=jnp.bfloat16)
     assert np.all(np.isfinite(np.asarray(out, np.float32)))
+
+
+def _attention_desc(message=None):
+    desc = _mlp_desc() if message else routenet_description(num_iterations=3, hs=8)
+    desc["message_passing"]["stages"][1]["stage_mp"][0]["aggregation"] = {
+        "type": "attention"
+    }
+    if message:
+        desc["message_passing"]["stages"][1]["stage_mp"][0][
+            "source_entities"][0]["message"] = [
+            {"type": "neural_network", "nn_name": "msg",
+             "input": list(message)}]
+    return desc
+
+
+@pytest.mark.parametrize("message", [None, ("hs_source", "hs_dest"),
+                                     ("hs_source",)])
+def test_slot_attention_matches(message):
+    """Slot-rate per-destination GAT equals the per-edge/dense formulations
+    for direct, per-edge-MLP, and source-local messages (fwd+grad).
+
+    Dense incidence companions are stripped so the slot path actually fires
+    for source-local messages too (in production those prefer the dense
+    path — builder gates on the companions; the slot layout serves per-edge
+    chains and over-the-dense-cap models)."""
+    ir, arrays, meta = _batch_of(_attention_desc(message))
+    arrays = {k: v for k, v in arrays.items()
+              if not k.startswith(("dense_inc_", "inc_blocks_"))}
+    old = B._SLOT_ATTN
+    try:
+        B._SLOT_ATTN = True
+        on_l, on_g = _loss_and_grads(ir, arrays, meta, True, True)
+        B._SLOT_ATTN = False
+        off_l, off_g = _loss_and_grads(ir, arrays, meta, True, True)
+    finally:
+        B._SLOT_ATTN = old
+    np.testing.assert_allclose(on_l, off_l, rtol=1e-6)
+    for a, b in zip(on_g, off_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=1e-6)
+
+
+def test_slot_attention_skips_reference_quirk():
+    """attention_softmax='reference' must keep the quirk-exact path."""
+    desc = _attention_desc(None)
+    desc["message_passing"]["stages"][1]["stage_mp"][0]["aggregation"][
+        "attention_softmax"] = "reference"
+    ir, arrays, meta = _batch_of(desc)
+    old = B._SLOT_ATTN
+    try:
+        B._SLOT_ATTN = True
+        on_l, _ = _loss_and_grads(ir, arrays, meta, True, True)
+        B._SLOT_ATTN = False
+        off_l, _ = _loss_and_grads(ir, arrays, meta, True, True)
+    finally:
+        B._SLOT_ATTN = old
+    np.testing.assert_allclose(on_l, off_l, rtol=1e-6)
