@@ -120,8 +120,11 @@ def run_ab(
     timing_steps: int = 100,
     loss_every: int = 25,
     dataset_root: str | None = None,
+    model: str = "routenet",
     progress=print,
 ) -> dict:
+    """model: 'routenet' (ordered+sum, GRU) or 'qsize' (3 entities,
+    interleave {link,node}->path — the reference's other example family)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -130,7 +133,7 @@ def run_ab(
     import optax
 
     import tf_ref
-    from helpers import routenet_description
+    from helpers import qsize_description, routenet_description
     from ignnition_tpu.data import SampleSpec, build_batch
     from ignnition_tpu.data.dataset import iter_samples
     from ignnition_tpu.data.graph import PaddingConfig
@@ -141,6 +144,7 @@ def run_ab(
     ref = tf_ref.load_reference()
     tf = ref.tf
 
+    with_nodes = model == "qsize"
     root = dataset_root or tempfile.mkdtemp(prefix="ab_conv_")
     train_dir, eval_dir = os.path.join(root, "train"), os.path.join(root, "eval")
     per_archive = 25
@@ -148,21 +152,28 @@ def run_ab(
         write_dataset(
             train_dir, (n_train + per_archive - 1) // per_archive, per_archive,
             seed=seed, n_links=n_links, n_paths=n_paths,
-            max_path_len=max_path_len,
+            max_path_len=max_path_len, with_nodes=with_nodes,
         )
         write_dataset(
             eval_dir, (n_eval + per_archive - 1) // per_archive, per_archive,
             seed=seed + 1000, n_links=n_links, n_paths=n_paths,
-            max_path_len=max_path_len,
+            max_path_len=max_path_len, with_nodes=with_nodes,
         )
 
-    desc = routenet_description(num_iterations=iters, hs=hs)
+    desc = (
+        qsize_description(num_iterations=iters, hs=hs)
+        if with_nodes
+        else routenet_description(num_iterations=iters, hs=hs)
+    )
     ref_desc = copy.deepcopy(desc)
     for op in ref_desc["readout"]:
         # the log label normalization is applied manually ref-side (above)
         op.pop("label_normalization", None)
     dims = {"link_capacity": 1, "traffic": 1,
             "adj_links_paths": 0, "adj_paths_links": 0}
+    if with_nodes:
+        dims.update({"queue_sizes": 1,
+                     "adj_nodes_paths": 0, "adj_paths_nodes": 0})
 
     with tempfile.TemporaryDirectory() as td:
         mi = tf_ref.build_model_information(ref_desc, dims, td)
@@ -174,7 +185,7 @@ def run_ab(
 
     # ---- repo model + identical initial weights --------------------------
     ir = parser.parse_model_description(copy.deepcopy(desc), dict(dims))
-    model = build(ir)
+    gnn = build(ir)
     spec = SampleSpec.from_ir(ir)
     repo_train = list(iter_samples(train_dir, spec))
     repo_eval = list(iter_samples(eval_dir, spec))
@@ -182,7 +193,7 @@ def run_ab(
 
     comnet = ref.gm.ComnetModel()
     comnet({k: tf.constant(v) for k, v in ref_train[0][0].items()})
-    params = tf_ref.transfer_params(comnet, model)
+    params = tf_ref.transfer_params(comnet, gnn)
 
     # ---- reference training loop (compiled) ------------------------------
     opt_tf = tf.keras.optimizers.Adam(1e-3, epsilon=1e-7)
@@ -264,13 +275,13 @@ def run_ab(
             @jax.jit
             def step(params, opt_state, arrays):
                 def loss_fn(p):
-                    preds = model.apply(p, arrays, meta)
+                    preds = gnn.apply(p, arrays, meta)
                     mask = arrays["label_mask"].reshape(-1)
                     sq = jnp.square(
                         preds.reshape(-1) - arrays["label"].reshape(-1)
                     ) * mask
                     return (jnp.sum(sq) / jnp.sum(mask)
-                            + model.regularization_loss(p))
+                            + gnn.regularization_loss(p))
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state2 = tx.update(grads, opt_state, params)
@@ -300,7 +311,7 @@ def run_ab(
     repo_preds = []
     for s in repo_eval:
         arrays, meta = build_batch([s], ir, pad)
-        preds = model.apply(params, arrays, meta)
+        preds = gnn.apply(params, arrays, meta)
         mask = np.asarray(arrays["label_mask"]).reshape(-1).astype(bool)
         repo_preds.append(np.exp(np.asarray(preds).reshape(-1)[mask]))
     repo_metrics = shared_metrics(np.concatenate(repo_preds),
@@ -309,6 +320,7 @@ def run_ab(
     sub = slice(0, steps, loss_every)
     return {
         "config": {
+            "model": model,
             "steps": steps, "hs": hs, "iters": iters, "batch": batch,
             "n_train": len(ref_train), "n_eval": len(ref_eval),
             "n_links": n_links, "n_paths": n_paths,
@@ -337,10 +349,12 @@ def main():
     p.add_argument("--hs", type=int, default=16)
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--model", default="routenet",
+                   choices=["routenet", "qsize"])
     p.add_argument("--out", default="docs/ab_convergence.json")
     args = p.parse_args()
     res = run_ab(steps=args.steps, hs=args.hs, iters=args.iters,
-                 batch=args.batch)
+                 batch=args.batch, model=args.model)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)
