@@ -224,6 +224,37 @@ def dense_agg_adjacencies(model_ir) -> Set[str]:
     return out
 
 
+def slot_param_adjacencies(model_ir) -> Set[str]:
+    """Adjacencies whose per-edge message MLP reads `edge_params` through a
+    slot-eligible chain (single-op MLP over {hs_source, hs_dest,
+    edge_params}, no published output_name, first layer Dense) feeding an
+    ordered / sum / attention aggregation. build_batch relays their edge
+    params into the [max_len, n_dst, P] slot layout (`params_slice_{adj}`)
+    so the slice/slot-rate message paths cover edge-param chains too
+    (model/builder.py _slot_messages)."""
+    out: Set[str] = set()
+    for mp in model_ir.all_passes():
+        if mp.aggregation.kind not in ("ordered", "sum", "attention"):
+            continue
+        for src in mp.sources:
+            ops = src.ops
+            if (
+                len(ops) == 1
+                and ops[0].kind == "mlp"
+                and not ops[0].output_name
+                and ops[0].inputs
+                and "edge_params" in ops[0].inputs
+                and all(
+                    n in ("hs_source", "hs_dest", "edge_params")
+                    for n in ops[0].inputs
+                )
+                and ops[0].mlp.layers
+                and ops[0].mlp.layers[0].kind == "Dense"
+            ):
+                out.add(src.adj_name)
+    return out
+
+
 def block_sum_adjacencies(model_ir) -> Set[str]:
     """Adjacencies eligible for the BLOCK-DIAGONAL batched-matmul sum path.
 
@@ -704,6 +735,7 @@ def build_batch(
             for a in group:
                 max_len[a] = common
     dense_adjs = dense_agg_adjacencies(model_ir)
+    slot_param_adjs = slot_param_adjacencies(model_ir)
     block_adjs = block_sum_adjacencies(model_ir)
     inc_blocks_meta: Dict[str, Tuple[int, int, int]] = {}
     bwd_len_map: Dict[str, int] = {}
@@ -838,6 +870,17 @@ def build_batch(
         bwd_len_map[a.name] = (
             aux["bwd_slice_dst"].shape[0] if "bwd_slice_dst" in aux else 0
         )
+        if params is not None and a.name in slot_param_adjs:
+            # edge params relaid into the [max_len, n_dst, P] slot layout so
+            # the slice/slot-rate message paths cover edge-param chains
+            # (invalid slots zero; consumers mask by in-degree)
+            real = emask > 0
+            ps = np.zeros(
+                (max_len[a.name], node_pad[a.dst]) + params.shape[1:],
+                params.dtype,
+            )
+            ps[seq_arr[real], dst[real]] = params[real]
+            arrays[f"params_slice_{a.name}"] = ps
 
     # ---- interleave permutations ----
     # For each interleave destination, a per-graph permutation of the merged

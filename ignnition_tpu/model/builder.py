@@ -745,83 +745,37 @@ class GnnModel:
                     and edge_axis is None
                     and f"row_ptr_{per_source[0]['adj']}" in batch
                 )
-                slice_mlp_op = None
+                slice_xs = None
                 if (
                     fast_ordered
-                    and _SLICE_MLP
-                    and _SPLIT_FIRST
                     and node_axis is None
                     and per_source[0]["table"] is None
-                    and f"slice_src_{per_source[0]['adj']}" in batch
-                    and len(mp.sources[0].ops) == 1
-                    and mp.sources[0].ops[0].kind == "mlp"
-                    and not mp.sources[0].ops[0].output_name
-                    and mp.sources[0].ops[0].inputs
-                    and all(
-                        n in ("hs_source", "hs_dest")
-                        for n in mp.sources[0].ops[0].inputs
-                    )
-                    and MLP.can_split_first(mp.sources[0].ops[0].mlp)
                 ):
-                    slice_mlp_op = mp.sources[0].ops[0]
-                if slice_mlp_op is not None:
                     # slice-rate per-edge MLP into the ordered update
-                    # (_SLICE_MLP above): the message-loop's per-edge
-                    # formulation above is unused here and DCE'd by XLA
-                    s0 = per_source[0]
-                    a0 = s0["adj"]
-                    op = slice_mlp_op
-                    pkey = params["message"][f"s{si}/m{mi}/src0/op0"]
-                    k0 = pkey["layers"][0]["kernel"]
-                    src_tbl = new_states[mp.sources[0].entity]
-                    ksrc = kdst = None
-                    lo = 0
-                    for name in op.inputs:
-                        if name == "hs_source":
-                            w = src_tbl.shape[1]
-                            sl = k0[lo : lo + w]
-                            ksrc = sl if ksrc is None else ksrc + sl
-                        else:
-                            w = dst_states.shape[1]
-                            sl = k0[lo : lo + w]
-                            kdst = sl if kdst is None else kdst + sl
-                        lo += w
-                    assert lo == k0.shape[0], (
-                        f"first-Dense kernel layout drift: sliced {lo} rows "
-                        f"of {k0.shape[0]}"
+                    # (_SLICE_MLP / _slot_messages; the message-loop's
+                    # per-edge formulation above is unused here and DCE'd by
+                    # XLA). capped=False: the [L, n_dst] layout is inherent
+                    # to the scan, so slot padding costs nothing extra.
+                    slice_xs = self._slot_messages(
+                        mp.sources[0],
+                        per_source[0],
+                        params["message"].get(f"s{si}/m{mi}/src0/op0"),
+                        dst_states,
+                        new_states,
+                        batch,
+                        meta,
+                        n_dst,
+                        enabled=_SLICE_MLP,
+                        capped=False,
                     )
-                    pre = None
-                    if ksrc is not None:
-                        t = src_tbl @ ksrc
-                        pre = seg.gather_state_slices(
-                            t,
-                            batch[f"slice_src_{a0}"],
-                            batch[f"slice_sort_perm_{a0}"],
-                            batch[f"slice_sort_ids_{a0}"],
-                            batch[f"slice_sort_row_ptr_{a0}"],
-                        )
-                    if kdst is not None:
-                        part = (dst_states @ kdst)[None, :, :]
-                        if pre is None:
-                            # hs_dest-only chain: every time slot carries
-                            # the same destination part — broadcast to the
-                            # full sequence length
-                            pre = jnp.broadcast_to(
-                                part,
-                                (meta.maxlen(a0),) + part.shape[1:],
-                            )
-                        else:
-                            pre = pre + part
-                    L_, N_, H1 = pre.shape
-                    xs = MLP.apply_from_first_preact(
-                        op.mlp, pkey, pre.reshape(L_ * N_, H1)
-                    ).reshape(L_, N_, -1)
+                if slice_xs is not None:
+                    a0 = per_source[0]["adj"]
                     node_mask = batch[f"node_mask_{dst}"]
                     up = params["update"][f"{dst}_update"]
                     new_state = RNN.masked_update_stacked(
                         mp.update.rnn,
                         up,
-                        xs,
+                        slice_xs,
                         batch[f"lens_{a0}"].astype(jnp.int32),
                         dst_states,
                     )
@@ -1287,23 +1241,27 @@ class GnnModel:
 
     def _slot_messages(
         self, srcspec, s, pkey, dst_states, new_states, batch, meta, n_dst,
-        want_prefix=False, enabled=True,
+        want_prefix=False, enabled=True, capped=True,
     ):
         """[L, n_dst, D] slot-rate message tensor over the in-degree-sliced
         layout, or None when ineligible. Two producers:
 
           * source-local chains (per-node message table): one slice gather;
-          * per-edge MLPs over {hs_source, hs_dest}: split-first per-part
-            matmuls at node rate, parts meet at slot rate, MLP tail (or the
-            factored prefix, want_prefix) at slot rate.
+          * per-edge MLPs over {hs_source, hs_dest, edge_params}: split-first
+            per-part matmuls (node rate for states; the edge params come
+            pre-relaid in the slot layout, data layer `params_slice_{adj}`),
+            parts meet at slot rate, MLP tail (or the factored prefix,
+            want_prefix) at slot rate.
 
-        Invalid slots carry garbage-but-finite rows — every consumer masks
-        by the in-degree (t < lens) before reducing."""
+        capped=False skips the slot-padding cap — for ordered updates the
+        [L, n_dst] layout is inherent to the scan, so there is no padding
+        penalty to avoid. Invalid slots carry garbage-but-finite rows —
+        every consumer masks by the in-degree (t < lens) before reducing."""
         a0 = s["adj"]
         if not enabled or f"slice_src_{a0}" not in batch:
             return None
         L = meta.maxlen(a0)
-        if L * n_dst > _SLOT_SUM_CAP * meta.edges(a0):
+        if capped and L * n_dst > _SLOT_SUM_CAP * meta.edges(a0):
             return None
 
         def slice_gather(t):
@@ -1325,24 +1283,35 @@ class GnnModel:
             or ops[0].kind != "mlp"
             or ops[0].output_name
             or not ops[0].inputs
-            or not all(n in ("hs_source", "hs_dest") for n in ops[0].inputs)
+            or not all(
+                n in ("hs_source", "hs_dest", "edge_params")
+                for n in ops[0].inputs
+            )
+            or (
+                "edge_params" in ops[0].inputs
+                and f"params_slice_{a0}" not in batch
+            )
             or not MLP.can_split_first(ops[0].mlp)
         ):
             return None
         op = ops[0]
         k0 = pkey["layers"][0]["kernel"]
         src_tbl = new_states[srcspec.entity]
-        ksrc = kdst = None
+        ksrc = kdst = kep = None
         lo = 0
         for name in op.inputs:
             if name == "hs_source":
                 w = src_tbl.shape[1]
                 sl = k0[lo : lo + w]
                 ksrc = sl if ksrc is None else ksrc + sl
-            else:
+            elif name == "hs_dest":
                 w = dst_states.shape[1]
                 sl = k0[lo : lo + w]
                 kdst = sl if kdst is None else kdst + sl
+            else:
+                w = batch[f"params_slice_{a0}"].shape[-1]
+                sl = k0[lo : lo + w]
+                kep = sl if kep is None else kep + sl
             lo += w
         assert lo == k0.shape[0], (
             f"first-Dense kernel layout drift: sliced {lo} rows of "
@@ -1351,6 +1320,9 @@ class GnnModel:
         pre = None
         if ksrc is not None:
             pre = slice_gather(src_tbl @ ksrc)
+        if kep is not None:
+            part = batch[f"params_slice_{a0}"].astype(k0.dtype) @ kep
+            pre = part if pre is None else pre + part
         if kdst is not None:
             part = (dst_states @ kdst)[None, :, :]
             if pre is None:

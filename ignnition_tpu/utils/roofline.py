@@ -167,6 +167,19 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                 cur = d_src
                 rows = n_s if local else E
                 chain_in = d_src
+                # slot-eligible per-edge chains (model/builder._slot_messages)
+                # evaluate over the in-degree-sliced layout: ONE slice-map
+                # gather (+ its sorted-segment-sum transpose) replaces the
+                # per-edge input gathers, so their mandatory row movement is
+                # 2E per iteration total, not per input stream
+                slot_ok = (
+                    len(src.ops) == 1
+                    and src.ops[0].kind == "mlp"
+                    and not src.ops[0].output_name
+                    and bool(src.ops[0].inputs)
+                    and all(x in ("hs_source", "hs_dest", "edge_params")
+                            for x in src.ops[0].inputs)
+                )
                 for op in src.ops:
                     if op.kind == "mlp":
                         chain_in = sum(
@@ -185,7 +198,10 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                     # per-edge inputs must be gathered: the input stream and
                     # its cotangent are edge-rate
                     c.add_bytes("edge_stream", 3 * E * chain_in * b * iters)
-                    c.gather_rows += 2 * E * iters
+                    if slot_ok and seq_agg:
+                        pass  # the seq stream below IS the one slice gather
+                    else:
+                        c.gather_rows += 2 * E * iters
                 msg_dim = cur
 
                 if seq_agg:

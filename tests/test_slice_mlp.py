@@ -205,3 +205,65 @@ def test_slot_attention_skips_reference_quirk():
     finally:
         B._SLOT_ATTN = old
     np.testing.assert_allclose(on_l, off_l, rtol=1e-6)
+
+
+def test_edge_params_chain_rides_slot_paths():
+    """Chains reading edge_params are slot-eligible via the host-relaid
+    params_slice layout (data/graph.py slot_param_adjacencies) — exact vs
+    the per-edge formulation, and params_slice actually present."""
+    desc = _mlp_desc(inputs=("hs_source", "hs_dest"))
+    for st in desc["message_passing"]["stages"]:
+        for mp in st["stage_mp"]:
+            for se in mp["source_entities"]:
+                se["message"][0]["input"] = [
+                    "hs_source", "hs_dest", "edge_params"]
+    ir = parser.parse_model_description(copy.deepcopy(desc), {
+        "link_capacity": 1, "traffic": 1,
+        "adj_links_paths": 2, "adj_paths_links": 2,
+    })
+    r = np.random.RandomState(9)
+    n_link, n_path = 8, 6
+    entities = {f"l{i}": "link" for i in range(n_link)}
+    entities.update({f"p{i}": "path" for i in range(n_path)})
+    adj, inv = {}, {}
+    for p in range(n_path):
+        links = r.choice(n_link, size=r.randint(2, 4), replace=False)
+        adj[f"p{p}"] = [[f"l{i}", r.rand(2).tolist()] for i in links]
+        for i in links:
+            inv.setdefault(f"l{i}", []).append([f"p{p}", r.rand(2).tolist()])
+    sample = {"entities": entities,
+              "link_capacity": r.rand(n_link).tolist(),
+              "traffic": r.rand(n_path).tolist(),
+              "delay": r.rand(n_path).tolist(),
+              "adj_links_paths": adj, "adj_paths_links": inv}
+    arrays, meta = build_batch(
+        [convert_sample(sample, SampleSpec.from_ir(ir))], ir
+    )
+    assert "params_slice_adj_links_paths" in arrays
+    assert "params_slice_adj_paths_links" in arrays
+
+    def run(slice_mlp, slot_sum):
+        old = B._SLICE_MLP, B._SLOT_SUM
+        B._SLICE_MLP, B._SLOT_SUM = slice_mlp, slot_sum
+        try:
+            model = build(ir)
+            params = model.init(jax.random.PRNGKey(0))
+
+            def loss(p):
+                preds = model.apply(p, arrays, meta, training=True)
+                m = arrays["label_mask"]
+                return jnp.sum(jnp.square(
+                    preds.reshape(-1) - arrays["label"].reshape(-1)) * m
+                ) / jnp.sum(m)
+
+            l, g = jax.value_and_grad(loss)(params)
+            return float(l), jax.tree_util.tree_leaves(g)
+        finally:
+            B._SLICE_MLP, B._SLOT_SUM = old
+
+    on_l, on_g = run(True, True)
+    off_l, off_g = run(False, False)
+    np.testing.assert_allclose(on_l, off_l, rtol=1e-6)
+    for a, b in zip(on_g, off_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=1e-6)
