@@ -163,6 +163,7 @@ _AUX_PREFIXES = (
     "inc_blocks_",
     "bwd_slice_dst_",
     "out_lens_",
+    "params_slice_",
 )
 
 

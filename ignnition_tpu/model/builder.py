@@ -1258,7 +1258,11 @@ class GnnModel:
         penalty to avoid. Invalid slots carry garbage-but-finite rows —
         every consumer masks by the in-degree (t < lens) before reducing."""
         a0 = s["adj"]
-        if not enabled or f"slice_src_{a0}" not in batch:
+        if (
+            not enabled
+            or f"slice_src_{a0}" not in batch
+            or f"lens_{a0}" not in batch  # consumers mask slots by in-degree
+        ):
             return None
         L = meta.maxlen(a0)
         if capped and L * n_dst > _SLOT_SUM_CAP * meta.edges(a0):

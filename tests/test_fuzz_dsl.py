@@ -40,6 +40,7 @@ AUX_PREFIXES = (
     "row_ptr_", "lens_", "src_perm_", "src_row_ptr_", "src_sorted_",
     "dst_in_src_order_", "emask_src_order_", "slice_src_", "slice_sort_",
     "dense_inc_", "inc_blocks_", "bwd_slice_dst_", "out_lens_",
+    "params_slice_",
 )
 
 HS = 8  # one shared state dim (convolution requires src_dim == dst_dim)
