@@ -272,20 +272,72 @@ def _time_forward(model, meta, params, arrays, iters=50):
     return max(time.time() - t0 - base, 1e-9) / (iters - 1)
 
 
+_gather_ns = None
+
+
+def _calibrate_gather_ns():
+    """Measure THIS chip's descriptor-bound random-row gather cost (ns/row)
+    on a representative shape (262k rows from a 16k-row bf16 table — the
+    flagship stage access pattern), so the apsol bound uses a measured
+    constant instead of the canned default. Fetch-based timing like
+    time_step; cached per process."""
+    global _gather_ns
+    if _gather_ns is not None:
+        return _gather_ns
+    import jax
+    import jax.numpy as jnp
+
+    rows, n_src, d = 262144, 16384, 32
+    rng = np.random.default_rng(0)
+    table = jax.device_put(
+        jnp.asarray(rng.standard_normal((n_src, d)), jnp.bfloat16)
+    )
+    idx = jax.device_put(
+        jnp.asarray(rng.integers(0, n_src, rows), jnp.int32)
+    )
+
+    @jax.jit
+    def g(t, i):
+        return jnp.sum(t[i].astype(jnp.float32))
+
+    float(g(table, idx))  # compile
+    t0 = time.time()
+    float(g(table, idx))
+    base = time.time() - t0
+    iters = 30
+    t0 = time.time()
+    acc = 0.0
+    for _ in range(iters):
+        acc = g(table, idx)
+    float(acc)
+    dt = max(time.time() - t0 - base, 1e-9) / (iters - 1)
+    _gather_ns = max(dt / rows * 1e9, 0.05)
+    print(f"# gather calibration: {_gather_ns:.2f} ns/row "
+          f"({rows} rows from [{n_src}, {d}] bf16)", flush=True)
+    return _gather_ns
+
+
 def _roofline_fields(make_step, dt):
     """Speed-of-light accounting per family (BASELINE.md target;
     utils/roofline.py conventions): % of the two-resource (HBM/MXU) bound
-    and of the access-pattern-aware bound that adds the measured
-    descriptor-bound gather floor."""
+    and of the access-pattern-aware bound that adds the MEASURED
+    descriptor-bound gather floor (calibrated on this chip, above)."""
     try:
-        from ignnition_tpu.utils.roofline import roofline_report
+        from ignnition_tpu.utils.roofline import HardwareSpec, roofline_report
 
-        rep = roofline_report(make_step.model_ir, make_step.meta, dt * 1e3)
+        hw = HardwareSpec()
+        try:
+            hw.gather_ns_per_row = _calibrate_gather_ns()
+        except Exception:
+            pass  # keep the documented default
+        rep = roofline_report(make_step.model_ir, make_step.meta, dt * 1e3,
+                              hw=hw)
         return {
             "sol_ms": rep["sol_ms"],
             "sol_pct": rep["sol_pct"],
             "apsol_ms": rep["apsol_ms"],
             "apsol_pct": rep["apsol_pct"],
+            "gather_ns": round(hw.gather_ns_per_row, 2),
         }
     except Exception as e:  # the throughput number must never be lost to this
         return {"roofline_error": f"{type(e).__name__}: {e}"}
