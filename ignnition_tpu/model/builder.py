@@ -95,6 +95,26 @@ _SLOT_SUM_CAP = float(
 _SLOT_ATTN = __import__("os").environ.get(
     "IGNNITION_TPU_SLOT_ATTN", "1"
 ) != "0"
+# python-unrolled MP iterations (no lax.scan): AD then references
+# loop-invariant values directly instead of stacking a copy per iteration
+# into the scan residuals — profile-found on the attention family, whose
+# scan stacked the (invariant) dense incidence matrix per iteration.
+# Measured (v5e, bf16): attention 17.5 -> 11.9 ms (1.48x), flagship
+# 8.49 -> 7.77 (1.09x). Cost: compile time scales with num_iterations, so
+# "auto" (default) unrolls up to _ITER_UNROLL_MAX iterations and keeps the
+# scan beyond; 1/0 force either way.
+_ITER_UNROLL_MODE = __import__("os").environ.get(
+    "IGNNITION_TPU_ITER_UNROLL", "auto"
+)
+_ITER_UNROLL_MAX = int(
+    __import__("os").environ.get("IGNNITION_TPU_ITER_UNROLL_MAX", 16)
+)
+
+
+def _iter_unroll(num_iterations: int) -> bool:
+    if _ITER_UNROLL_MODE == "auto":
+        return num_iterations <= _ITER_UNROLL_MAX
+    return _ITER_UNROLL_MODE != "0"
 _VECTOR_AGGS = ("sum", "attention", "convolution")
 # factored-last-Dense for sum-aggregated per-edge MLP messages (see the
 # message-creation loop): exact algebra, on by default; 0 disables for A/B
@@ -413,9 +433,30 @@ class GnnModel:
             body = jax.checkpoint(one_iteration)
 
         init_tuple = tuple(states[k] for k in entity_order)
-        final_tuple, per_iter = jax.lax.scan(
-            body, init_tuple, None, length=model_ir.num_iterations
-        )
+        if _iter_unroll(model_ir.num_iterations):
+            # python-unrolled iterations: no scan residual stacking — AD
+            # references loop-invariant values (e.g. the dense incidence
+            # matrix inside attention custom-VJP residuals) directly
+            # instead of stacking a copy per iteration (see _ITER_UNROLL_MODE)
+            st_tuple = init_tuple
+            stacked = []
+            for _ in range(model_ir.num_iterations):
+                st_tuple, _ = body(st_tuple, None)
+                if return_iteration_states:
+                    stacked.append(st_tuple)
+            final_tuple = st_tuple
+            per_iter = (
+                tuple(
+                    jnp.stack([s[i] for s in stacked])
+                    for i in range(len(entity_order))
+                )
+                if return_iteration_states
+                else None
+            )
+        else:
+            final_tuple, per_iter = jax.lax.scan(
+                body, init_tuple, None, length=model_ir.num_iterations
+            )
         states = dict(zip(entity_order, final_tuple))
 
         # ---- readout ----

