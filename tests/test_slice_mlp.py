@@ -122,7 +122,12 @@ def test_paths_actually_fire():
     try:
         B._SLICE_MLP = B._SLOT_SUM = True
         model.apply(params, arrays, meta)
-        assert len(calls) == 2, calls  # ordered stage1 + sum stage2
+        # ordered stage1 + sum stage2, traced once per iteration when the
+        # iteration loop is python-unrolled (builder._iter_unroll), once
+        # total under lax.scan
+        expected = 2 * (ir.num_iterations if B._iter_unroll(ir.num_iterations)
+                        else 1)
+        assert len(calls) == expected, (len(calls), expected)
         calls.clear()
         B._SLICE_MLP = B._SLOT_SUM = False
         model.apply(params, arrays, meta)
