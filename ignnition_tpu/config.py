@@ -117,7 +117,9 @@ class RunConfig:
                     f"unknown config section [{section}] in '{path}'; "
                     f"expected {sorted(known)}"
                 )
-            unknown = set(cp[section]) - known[section]
+            # configparser folds [DEFAULT] keys into every section view —
+            # exclude them, they are interpolation helpers, not settings
+            unknown = set(cp[section]) - known[section] - set(cp.defaults())
             if unknown:
                 raise ValueError(
                     f"unknown key(s) {sorted(unknown)} in [{section}] of "

@@ -224,34 +224,33 @@ def dense_agg_adjacencies(model_ir) -> Set[str]:
     return out
 
 
-def slot_param_adjacencies(model_ir) -> Set[str]:
+def slot_param_adjacencies(model_ir) -> Dict[str, bool]:
     """Adjacencies whose per-edge message MLP reads `edge_params` through a
-    slot-eligible chain (single-op MLP over {hs_source, hs_dest,
-    edge_params}, no published output_name, first layer Dense) feeding an
-    ordered / sum / attention aggregation. build_batch relays their edge
-    params into the [max_len, n_dst, P] slot layout (`params_slice_{adj}`)
-    so the slice/slot-rate message paths cover edge-param chains too
-    (model/builder.py _slot_messages)."""
-    out: Set[str] = set()
+    slot-eligible chain (frontend.ir.is_slot_eligible — the ONE shared
+    predicate) feeding an ordered / sum / attention aggregation.
+    build_batch relays their edge params into the [max_len, n_dst, P] slot
+    layout (`params_slice_{adj}`) so the slice/slot-rate message paths
+    cover edge-param chains too (model/builder.py _slot_messages).
+
+    Maps adj name -> True when an ORDERED aggregation consumes it (the
+    [max_len, n_dst] layout is inherent to the scan, so the slot padding
+    cap does not apply); False means only capped consumers (sum/attention)
+    — build_batch then skips emission when the slot count exceeds
+    ir.SLOT_PAD_CAP x edges (a skewed-in-degree graph would otherwise
+    materialize a quadratic params_slice the builder refuses to read)."""
+    from ..frontend.ir import is_slot_eligible
+
+    out: Dict[str, bool] = {}
     for mp in model_ir.all_passes():
         if mp.aggregation.kind not in ("ordered", "sum", "attention"):
             continue
         for src in mp.sources:
-            ops = src.ops
             if (
-                len(ops) == 1
-                and ops[0].kind == "mlp"
-                and not ops[0].output_name
-                and ops[0].inputs
-                and "edge_params" in ops[0].inputs
-                and all(
-                    n in ("hs_source", "hs_dest", "edge_params")
-                    for n in ops[0].inputs
-                )
-                and ops[0].mlp.layers
-                and ops[0].mlp.layers[0].kind == "Dense"
+                is_slot_eligible(src.ops)
+                and "edge_params" in src.ops[0].inputs
             ):
-                out.add(src.adj_name)
+                uncapped = mp.aggregation.kind == "ordered"
+                out[src.adj_name] = out.get(src.adj_name, False) or uncapped
     return out
 
 
@@ -873,14 +872,20 @@ def build_batch(
         if params is not None and a.name in slot_param_adjs:
             # edge params relaid into the [max_len, n_dst, P] slot layout so
             # the slice/slot-rate message paths cover edge-param chains
-            # (invalid slots zero; consumers mask by in-degree)
-            real = emask > 0
-            ps = np.zeros(
-                (max_len[a.name], node_pad[a.dst]) + params.shape[1:],
-                params.dtype,
-            )
-            ps[seq_arr[real], dst[real]] = params[real]
-            arrays[f"params_slice_{a.name}"] = ps
+            # (invalid slots zero; consumers mask by in-degree). Capped
+            # consumers (sum/attention) skip emission when the slot padding
+            # exceeds the builder's cap — it would refuse the layout anyway
+            from ..frontend.ir import SLOT_PAD_CAP
+
+            slot_count = max_len[a.name] * node_pad[a.dst]
+            if slot_param_adjs[a.name] or slot_count <= SLOT_PAD_CAP * e_pad:
+                real = emask > 0
+                ps = np.zeros(
+                    (max_len[a.name], node_pad[a.dst]) + params.shape[1:],
+                    params.dtype,
+                )
+                ps[seq_arr[real], dst[real]] = params[real]
+                arrays[f"params_slice_{a.name}"] = ps
 
     # ---- interleave permutations ----
     # For each interleave destination, a per-graph permutation of the merged
@@ -1195,6 +1200,22 @@ def repad_to_meta(
                 and name not in dict(target.inc_blocks),
             ).items():
                 out[f"{key}_{name}"] = value
+            if f"params_slice_{name}" in out:
+                # the slot relayout is shaped [max_len, n_dst, P] — rebuild
+                # at the target sizes from the (repadded) edge arrays, like
+                # the slice companions above
+                params = out[f"params_{name}"]
+                emask = out[f"edge_mask_{name}"]
+                real = emask > 0
+                ps = np.zeros(
+                    (dict(target.max_len)[name], node_pad_t[a.dst])
+                    + params.shape[1:],
+                    params.dtype,
+                )
+                ps[out[f"seq_{name}"][real], out[f"dst_{name}"][real]] = (
+                    params[real]
+                )
+                out[f"params_slice_{name}"] = ps
 
     if out.get("label") is not None and "label" in out:
         out["label"] = pad_rows(out["label"], target.label_pad)

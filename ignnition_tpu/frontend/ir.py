@@ -133,6 +133,33 @@ def is_source_local(ops: Tuple["MessageOpSpec", ...]) -> bool:
     return True
 
 
+# slot padding cap shared by the data layer (params_slice emission) and the
+# builder (slot-rate sum/attention eligibility): the [max_len, n_dst] layout
+# is skipped when its slot count exceeds this multiple of the edge count
+SLOT_PAD_CAP = float(
+    __import__("os").environ.get("IGNNITION_TPU_SLOT_SUM_CAP", 3.0)
+)
+
+
+def is_slot_eligible(ops: Tuple["MessageOpSpec", ...]) -> bool:
+    """True when a per-edge message chain can evaluate over the in-degree-
+    sliced slot layout (model/builder.py _slot_messages): exactly one MLP op,
+    no published output_name (other ops may read per-edge values), inputs
+    drawn only from {hs_source, hs_dest, edge_params}, and a first Dense
+    layer so the input concat splits into per-part matmuls. ONE source of
+    truth for the data layer (params_slice emission, graph.py
+    slot_param_adjacencies), the builder, and the roofline's gather
+    convention."""
+    if len(ops) != 1 or ops[0].kind != "mlp" or ops[0].output_name:
+        return False
+    op = ops[0]
+    if not op.inputs or any(
+        n not in ("hs_source", "hs_dest", "edge_params") for n in op.inputs
+    ):
+        return False
+    return bool(op.mlp.layers) and op.mlp.layers[0].kind == "Dense"
+
+
 @dataclass(frozen=True)
 class SourceSpec:
     """A source entity feeding one message passing (reference `Source_Entity`)."""

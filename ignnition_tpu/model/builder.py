@@ -80,13 +80,11 @@ _SLICE_MLP = __import__("os").environ.get(
 # lays the edges out as [max_in_degree, n_dst] slots, pre[t, d] =
 # (src_tbl @ Ksrc)[slice_src[t, d]] + (dst @ Kdst)[d], and a masked dense
 # sum over t replaces BOTH per-edge gathers and the segment sum. Pays
-# (L*n_dst)/E padding overhead — skipped when that exceeds the cap.
+# (L*n_dst)/E padding overhead — skipped when that exceeds IR.SLOT_PAD_CAP
+# (shared with the data layer's params_slice emission).
 _SLOT_SUM = __import__("os").environ.get(
     "IGNNITION_TPU_SLOT_SUM", "1"
 ) != "0"
-_SLOT_SUM_CAP = float(
-    __import__("os").environ.get("IGNNITION_TPU_SLOT_SUM_CAP", 3.0)
-)
 # slot-rate per-destination GAT: softmax over the [max_in_degree, n_dst]
 # slot layout — L*n_dst score entries instead of the dense path's
 # n_dst*n_src matrix (90x fewer at flagship shapes) and no per-edge
@@ -116,6 +114,35 @@ def _iter_unroll(num_iterations: int) -> bool:
         return num_iterations <= _ITER_UNROLL_MAX
     return _ITER_UNROLL_MODE != "0"
 _VECTOR_AGGS = ("sum", "attention", "convolution")
+
+
+def _split_first_kernels(op, k0, w_src: int, w_dst: int, w_ep: int):
+    """Split a first-Dense kernel's rows by the op's named-input layout:
+    concat([hs_source | hs_dest | edge_params]) @ k0 decomposes into
+    per-part matmuls with (ksrc, kdst, kep) — repeated inputs accumulate.
+    ONE copy of the row walk, shared by the split-first message path and
+    the slot-rate paths; must stay in lockstep with MLP init's input-dim
+    accumulation (hence the layout assert)."""
+    ksrc = kdst = kep = None
+    lo = 0
+    for name in op.inputs:
+        if name == "hs_source":
+            w = w_src
+            sl = k0[lo : lo + w]
+            ksrc = sl if ksrc is None else ksrc + sl
+        elif name == "hs_dest":
+            w = w_dst
+            sl = k0[lo : lo + w]
+            kdst = sl if kdst is None else kdst + sl
+        else:
+            w = w_ep
+            sl = k0[lo : lo + w]
+            kep = sl if kep is None else kep + sl
+        lo += w
+    assert lo == k0.shape[0], (
+        f"first-Dense kernel layout drift: sliced {lo} rows of {k0.shape[0]}"
+    )
+    return ksrc, kdst, kep
 # factored-last-Dense for sum-aggregated per-edge MLP messages (see the
 # message-creation loop): exact algebra, on by default; 0 disables for A/B
 _FACTOR_LAST = __import__("os").environ.get(
@@ -526,15 +553,6 @@ class GnnModel:
         new_states = dict(states)
         edge_vars: Dict[str, jnp.ndarray] = {}
 
-        def src_table_of(src, table):
-            """The table edge gathers read source rows from: under v2
-            destination sharding, extend the local block with the halo rows
-            peers own (one all_to_all; see parallel/edgeshard.py). The
-            exchange happens AFTER any source-local message chain, so the
-            halo moves message-width rows, once per adjacency per
-            iteration."""
-            return self._halo_src_table(batch, src.adj_name, table, node_axis)
-
         for si, stage in enumerate(model_ir.stages):
             for mi, mp in enumerate(stage.passes):
                 dst = mp.destination
@@ -646,27 +664,14 @@ class GnnModel:
                                 ]
                                 k0 = pkey["layers"][0]["kernel"]
                                 src_tbl = new_states[src.entity]
-                                ksrc = kdst = kep = None
-                                lo = 0
-                                for name in op.inputs:
-                                    if name == "hs_source":
-                                        w = src_tbl.shape[1]
-                                        sl = k0[lo : lo + w]
-                                        ksrc = sl if ksrc is None else ksrc + sl
-                                    elif name == "hs_dest":
-                                        w = dst_states.shape[1]
-                                        sl = k0[lo : lo + w]
-                                        kdst = sl if kdst is None else kdst + sl
-                                    else:
-                                        w = batch[f"params_{a}"].shape[1]
-                                        sl = k0[lo : lo + w]
-                                        kep = sl if kep is None else kep + sl
-                                    lo += w
-                                # init-time input-dim accumulation and this
-                                # loop must agree on the kernel row layout
-                                assert lo == k0.shape[0], (
-                                    f"first-Dense kernel layout drift: "
-                                    f"sliced {lo} rows of {k0.shape[0]}"
+                                ksrc, kdst, kep = _split_first_kernels(
+                                    op,
+                                    k0,
+                                    src_tbl.shape[1],
+                                    dst_states.shape[1],
+                                    batch[f"params_{a}"].shape[1]
+                                    if f"params_{a}" in batch
+                                    else 0,
                                 )
                                 pre = None
                                 if ksrc is not None:
@@ -1306,7 +1311,7 @@ class GnnModel:
         ):
             return None
         L = meta.maxlen(a0)
-        if capped and L * n_dst > _SLOT_SUM_CAP * meta.edges(a0):
+        if capped and L * n_dst > IR.SLOT_PAD_CAP * meta.edges(a0):
             return None
 
         def slice_gather(t):
@@ -1323,44 +1328,22 @@ class GnnModel:
         if not _SPLIT_FIRST or pkey is None:
             return None
         ops = srcspec.ops
-        if (
-            len(ops) != 1
-            or ops[0].kind != "mlp"
-            or ops[0].output_name
-            or not ops[0].inputs
-            or not all(
-                n in ("hs_source", "hs_dest", "edge_params")
-                for n in ops[0].inputs
-            )
-            or (
-                "edge_params" in ops[0].inputs
-                and f"params_slice_{a0}" not in batch
-            )
-            or not MLP.can_split_first(ops[0].mlp)
+        if not IR.is_slot_eligible(ops) or (
+            "edge_params" in ops[0].inputs
+            and f"params_slice_{a0}" not in batch
         ):
             return None
         op = ops[0]
         k0 = pkey["layers"][0]["kernel"]
         src_tbl = new_states[srcspec.entity]
-        ksrc = kdst = kep = None
-        lo = 0
-        for name in op.inputs:
-            if name == "hs_source":
-                w = src_tbl.shape[1]
-                sl = k0[lo : lo + w]
-                ksrc = sl if ksrc is None else ksrc + sl
-            elif name == "hs_dest":
-                w = dst_states.shape[1]
-                sl = k0[lo : lo + w]
-                kdst = sl if kdst is None else kdst + sl
-            else:
-                w = batch[f"params_slice_{a0}"].shape[-1]
-                sl = k0[lo : lo + w]
-                kep = sl if kep is None else kep + sl
-            lo += w
-        assert lo == k0.shape[0], (
-            f"first-Dense kernel layout drift: sliced {lo} rows of "
-            f"{k0.shape[0]}"
+        ksrc, kdst, kep = _split_first_kernels(
+            op,
+            k0,
+            src_tbl.shape[1],
+            dst_states.shape[1],
+            batch[f"params_slice_{a0}"].shape[-1]
+            if f"params_slice_{a0}" in batch
+            else 0,
         )
         pre = None
         if ksrc is not None:

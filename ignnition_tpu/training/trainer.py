@@ -758,23 +758,25 @@ class Trainer:
         shuffle=True evaluates a shuffled stream (the reference's
         shuffle_eval_samples, framework_operations.py:162): with fewer
         num_batches than the dataset holds, each call draws a different
-        subset. Combined with cache=True the FULL eval set is built once and
-        a fresh permutation of it is drawn per call (same semantics at
-        batch_size=1 — which samples land in the evaluated prefix — without
-        re-reading archives)."""
+        subset. Combined with cache=True a POOL of up to 8x num_batches is
+        built once (bounded — a huge eval directory must not become
+        resident host memory) and a fresh permutation of the pool is drawn
+        per call (same semantics at batch_size=1 — which samples land in
+        the evaluated prefix — without re-reading archives)."""
         acc = MetricAccumulator()
         total_loss, n = 0.0, 0
         if seed is None:
             seed = int(np.random.default_rng().integers(2**31)) if shuffle else 0
         if cache:
-            key = (data_dir, batch_size, None if shuffle else num_batches)
+            pool = 8 * num_batches if shuffle else num_batches
+            key = (data_dir, batch_size, pool)
             if key not in self._eval_batches:
                 built = []
                 for item in self.batches(
                     data_dir, batch_size, shuffle=False, repeat=False
                 ):
                     built.append(item)
-                    if not shuffle and len(built) >= num_batches:
+                    if len(built) >= pool:
                         break
                 self._eval_batches[key] = built
             cached = self._eval_batches[key]

@@ -167,19 +167,15 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                 cur = d_src
                 rows = n_s if local else E
                 chain_in = d_src
-                # slot-eligible per-edge chains (model/builder._slot_messages)
-                # evaluate over the in-degree-sliced layout: ONE slice-map
-                # gather (+ its sorted-segment-sum transpose) replaces the
-                # per-edge input gathers, so their mandatory row movement is
-                # 2E per iteration total, not per input stream
-                slot_ok = (
-                    len(src.ops) == 1
-                    and src.ops[0].kind == "mlp"
-                    and not src.ops[0].output_name
-                    and bool(src.ops[0].inputs)
-                    and all(x in ("hs_source", "hs_dest", "edge_params")
-                            for x in src.ops[0].inputs)
-                )
+                # slot-eligible per-edge chains (model/builder._slot_messages,
+                # shared predicate frontend.ir.is_slot_eligible) evaluate
+                # over the in-degree-sliced layout: ONE slice-map gather
+                # (+ its sorted-segment-sum transpose) replaces the per-edge
+                # input gathers, so their mandatory row movement is 2E per
+                # iteration total, not per input stream
+                from ..frontend.ir import is_slot_eligible
+
+                slot_ok = is_slot_eligible(src.ops)
                 for op in src.ops:
                     if op.kind == "mlp":
                         chain_in = sum(

@@ -105,3 +105,18 @@ def test_eval_knobs_parse_from_ini(tmp_path):
     cfg = RunConfig.from_ini(str(p))
     assert cfg.eval_batch_size == 8
     assert cfg.shuffle_eval_samples is True
+
+
+def test_default_section_keys_allowed(tmp_path):
+    """configparser folds [DEFAULT] keys into every section view — they are
+    interpolation helpers, not settings, and must not trip the unknown-key
+    validation (review-found)."""
+    p = tmp_path / "train_options.ini"
+    p.write_text(
+        "[DEFAULT]\nroot = /data\n"
+        "[PATHS]\ntrain_dataset = ${root}/train\n"
+        "[TRAINING_OPTIONS]\nbatch_size = 4\n"
+    )
+    cfg = RunConfig.from_ini(str(p))
+    assert cfg.train_dataset == "/data/train"
+    assert cfg.batch_size == 4

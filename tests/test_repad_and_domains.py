@@ -96,3 +96,66 @@ def test_graph_domain_label_layout():
     preds = model.apply(params, arrays, meta)
     assert preds.shape == (3,)
     assert np.isfinite(np.asarray(preds)).all()
+
+
+def test_repad_rebuilds_params_slice():
+    """Growing a batch to a target meta must rebuild params_slice_{adj} at
+    the target [max_len, n_dst, P] shape (review-found: stack_batches over
+    variable-size graphs crashed on shape mismatch for edge-param slot
+    models)."""
+    import copy
+
+    from helpers import routenet_description
+    from ignnition_tpu.data.graph import merge_metas, repad_to_meta
+
+    desc = routenet_description(num_iterations=2, hs=8)
+    desc["neural_networks"].append({
+        "nn_name": "msg", "nn_type": "feed_forward",
+        "nn_architecture": [
+            {"type_layer": "Dense", "units": 8, "activation": "relu"},
+            {"type_layer": "Dense", "units": 8, "activation": "None"}]})
+    for st in desc["message_passing"]["stages"]:
+        for mp in st["stage_mp"]:
+            for se in mp["source_entities"]:
+                se["message"] = [{"type": "neural_network", "nn_name": "msg",
+                                  "input": ["hs_source", "edge_params"]}]
+    ir = parser.parse_model_description(copy.deepcopy(desc), {
+        "link_capacity": 1, "traffic": 1,
+        "adj_links_paths": 1, "adj_paths_links": 1,
+    })
+    spec = SampleSpec.from_ir(ir)
+    r = np.random.RandomState(3)
+
+    def sample(n_link, n_path):
+        entities = {f"l{i}": "link" for i in range(n_link)}
+        entities.update({f"p{i}": "path" for i in range(n_path)})
+        adj, inv = {}, {}
+        for p in range(n_path):
+            links = r.choice(n_link, size=min(2, n_link), replace=False)
+            adj[f"p{p}"] = [[f"l{i}", [float(r.rand())]] for i in links]
+            for i in links:
+                inv.setdefault(f"l{i}", []).append(
+                    [f"p{p}", [float(r.rand())]])
+        return {"entities": entities,
+                "link_capacity": r.rand(n_link).tolist(),
+                "traffic": r.rand(n_path).tolist(),
+                "delay": r.rand(n_path).tolist(),
+                "adj_links_paths": adj, "adj_paths_links": inv}
+
+    small = build_batch([convert_sample(sample(4, 3), spec)], ir)
+    big = build_batch([convert_sample(sample(14, 12), spec)], ir)
+    assert "params_slice_adj_links_paths" in small[0]
+    target = merge_metas([small[1], big[1]])
+    re_small = repad_to_meta(small[0], small[1], target, ir)
+    re_big = repad_to_meta(big[0], big[1], target, ir)
+    for k in re_small:
+        assert re_small[k].shape == re_big[k].shape, k
+    # repadded slot layout stays consistent with the model: forward equal
+    model = build(ir)
+    params = model.init(jax.random.PRNGKey(0))
+    base = np.asarray(model.apply(params, small[0], small[1]))
+    re = np.asarray(model.apply(params, re_small, target))
+    mask0 = np.asarray(small[0]["label_mask"]) > 0
+    np.testing.assert_allclose(
+        re[: len(base)][mask0], base[mask0], rtol=1e-5, atol=1e-6
+    )
