@@ -301,17 +301,29 @@ def _calibrate_gather_ns():
         return jnp.sum(t[i].astype(jnp.float32))
 
     float(g(table, idx))  # compile
-    t0 = time.time()
-    float(g(table, idx))
-    base = time.time() - t0
-    iters = 30
-    t0 = time.time()
-    acc = 0.0
-    for _ in range(iters):
-        acc = g(table, idx)
-    float(acc)
-    dt = max(time.time() - t0 - base, 1e-9) / (iters - 1)
-    _gather_ns = max(dt / rows * 1e9, 0.05)
+
+    def trial(iters=30):
+        t0 = time.time()
+        float(g(table, idx))
+        base = time.time() - t0
+        t0 = time.time()
+        acc = 0.0
+        for _ in range(iters):
+            acc = g(table, idx)
+        float(acc)
+        return max(time.time() - t0 - base, 1e-9) / (iters - 1)
+
+    # min over trials: the remote tunnel's dispatch latency drifts run to
+    # run (PERF.md 'Streaming H2D'); additive noise only ever inflates
+    best = min(trial() for _ in range(3)) / rows * 1e9
+    if not (0.3 <= best <= 4.0):
+        # outside the range ever measured on this hardware class — a
+        # polluted measurement would push apsol above the measured step;
+        # fall back to the documented default
+        print(f"# gather calibration polluted ({best:.2f} ns/row), "
+              f"using default 2.0", flush=True)
+        best = 2.0
+    _gather_ns = best
     print(f"# gather calibration: {_gather_ns:.2f} ns/row "
           f"({rows} rows from [{n_src}, {d}] bf16)", flush=True)
     return _gather_ns
