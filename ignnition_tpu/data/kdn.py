@@ -51,6 +51,16 @@ class TimeDist(IntEnum):
     ONOFF_T = 4
     PPBP_T = 5
 
+    @staticmethod
+    def getStrig(timeDist) -> str:
+        """Name for a distribution code; "UNKNOWN" for out-of-range values
+        (reference datanetAPI.py:35-49 — the reference spells it `getStrig`,
+        kept verbatim for drop-in API parity)."""
+        try:
+            return TimeDist(timeDist).name
+        except ValueError:
+            return "UNKNOWN"
+
 
 class SizeDist(IntEnum):
     """Packet size distributions (reference datanetAPI.py:52-72; datasets_v0
@@ -60,6 +70,15 @@ class SizeDist(IntEnum):
     UNIFORM_S = 1
     BINOMIAL_S = 2
     GENERIC_S = 3
+
+    @staticmethod
+    def getStrig(sizeDist) -> str:
+        """Name for a distribution code; "UNKNOWN" for out-of-range values
+        (reference datanetAPI.py:61-72, same `getStrig` spelling)."""
+        try:
+            return SizeDist(sizeDist).name
+        except ValueError:
+            return "UNKNOWN"
 
 
 @dataclass

@@ -313,3 +313,22 @@ def test_matrix_and_property_accessor_parity_vs_reference(raw_dataset_with_flows
             assert (ours is None) == (ref is None), (i, j)
             if ref is not None:
                 assert ours == ref, (i, j)
+
+
+def test_getstrig_parity_vs_reference():
+    """The enum `getStrig` helpers return the same strings as the reference's
+    (datanetAPI.py:35-49, 61-72), including the "UNKNOWN" fallback."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/examples/Routenet")
+    try:
+        import datanetAPI as ref_api
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference datanetAPI not importable: {e}")
+
+    for code in range(-1, 8):
+        assert kdn.TimeDist.getStrig(code) == ref_api.TimeDist.getStrig(code)
+        assert kdn.SizeDist.getStrig(code) == ref_api.SizeDist.getStrig(code)
+    # enum members themselves work as arguments too
+    assert kdn.TimeDist.getStrig(kdn.TimeDist.ONOFF_T) == "ONOFF_T"
+    assert kdn.SizeDist.getStrig(kdn.SizeDist.GENERIC_S) == "GENERIC_S"
