@@ -27,6 +27,15 @@ MANDATORY work of one full training step (forward + backward + optimizer):
     bound at ~0.8-2 ns/row (PERF.md 'The XLA gather cliff'), a cost the
     two-resource roofline cannot see; this count lets the reader reconstruct
     the empirical access-pattern floor that explains measured-vs-SoL gaps.
+    The constant is a HARDWARE bound, not an XLA artifact
+    (tools/exp_gather_floor.py; PERF.md 'The gather floor is hardware'):
+    sub-tile data-dependent DMAs are inexpressible on this architecture
+    (Mosaic requires 8-sublane x 128-lane-aligned slices, so the smallest
+    kernel-issuable unit is a 4 KB tile), a Pallas rolling-DMA loop at that
+    granularity issues descriptors 2.3-4x SLOWER than XLA's gather moves
+    the same blocks, and XLA's per-row cost is flat in row width
+    (2.4/2.2/2.2 ns/row at d=8/32/128 f32) — pure descriptor cost that no
+    alternative issue path undercuts.
 
 The bound is deliberately UNACHIEVABLE-optimistic (perfect fusion, zero
 re-materialization, no padding): achieved % of it is a conservative

@@ -65,3 +65,46 @@ def test_repo_step_not_slower(ab_result):
     must not be slower than the reference's compiled CPU step (in practice
     it is ~10x faster; assert a loose bound so noise can't flake)."""
     assert ab_result["repo"]["ms_per_step"] < ab_result["reference"]["ms_per_step"]
+
+
+@pytest.fixture(scope="module")
+def ab_flagship_result(tmp_path_factory):
+    """FLAGSHIP configuration (hs=32, 8 iterations, repo on the bf16
+    mixed-precision path) — the benchmark model's config, reduced in steps/
+    graph size. The full 600-step run is docs/ab_convergence_flagship.json
+    (R^2 0.9454 ref vs 0.9439 repo-bf16)."""
+    return run_ab(
+        steps=150,
+        hs=32,
+        iters=8,
+        batch=4,
+        n_train=100,
+        n_eval=40,
+        n_links=16,
+        n_paths=20,
+        max_path_len=5,
+        timing_steps=5,
+        loss_every=10,
+        bf16=True,
+        dataset_root=str(tmp_path_factory.mktemp("ab_ds_flag")),
+        progress=lambda *a: None,
+    )
+
+
+def test_flagship_config_trajectory_tracks(ab_flagship_result):
+    """bf16 deep-unroll trajectory vs the f32 reference: the first loss is
+    the forward-parity check (bf16 rounding only), the rest bounds the
+    accumulated drift of the mixed-precision path at flagship depth."""
+    ref = np.asarray(ab_flagship_result["reference"]["loss_curve"])
+    got = np.asarray(ab_flagship_result["repo"]["loss_curve"])
+    np.testing.assert_allclose(got[0], ref[0], rtol=2e-2)
+    np.testing.assert_allclose(got, ref, rtol=0.08)
+
+
+def test_flagship_config_accuracy_matches(ab_flagship_result):
+    r_ref = ab_flagship_result["reference"]["metrics"]
+    r_got = ab_flagship_result["repo"]["metrics"]
+    assert abs(r_got["r2"] - r_ref["r2"]) < 0.06, (r_got, r_ref)
+    l_ref = ab_flagship_result["reference"]["final_loss_mean_last50"]
+    l_got = ab_flagship_result["repo"]["final_loss_mean_last50"]
+    assert abs(l_got - l_ref) < 0.15 * max(abs(l_ref), 1e-9), (l_got, l_ref)

@@ -121,10 +121,17 @@ def run_ab(
     loss_every: int = 25,
     dataset_root: str | None = None,
     model: str = "routenet",
+    bf16: bool = False,
     progress=print,
 ) -> dict:
     """model: 'routenet' (ordered+sum, GRU) or 'qsize' (3 entities,
-    interleave {link,node}->path — the reference's other example family)."""
+    interleave {link,node}->path — the reference's other example family).
+
+    bf16=True runs the REPO side through its mixed-precision compute path
+    (compute_dtype=bfloat16, f32 master weights — the exact benchmark
+    configuration) while the reference stays f32: the A/B then bounds the
+    trajectory drift the bf16 path itself introduces at convergence level
+    (VERDICT r3 weak #5)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -270,12 +277,14 @@ def run_ab(
     opt_state = tx.init(params)
     step_cache = {}
 
+    cdt = jnp.bfloat16 if bf16 else None
+
     def repo_step_fn(meta):
         if meta not in step_cache:
             @jax.jit
             def step(params, opt_state, arrays):
                 def loss_fn(p):
-                    preds = gnn.apply(p, arrays, meta)
+                    preds = gnn.apply(p, arrays, meta, compute_dtype=cdt)
                     mask = arrays["label_mask"].reshape(-1)
                     sq = jnp.square(
                         preds.reshape(-1) - arrays["label"].reshape(-1)
@@ -311,7 +320,7 @@ def run_ab(
     repo_preds = []
     for s in repo_eval:
         arrays, meta = build_batch([s], ir, pad)
-        preds = gnn.apply(params, arrays, meta)
+        preds = gnn.apply(params, arrays, meta, compute_dtype=cdt)
         mask = np.asarray(arrays["label_mask"]).reshape(-1).astype(bool)
         repo_preds.append(np.exp(np.asarray(preds).reshape(-1)[mask]))
     repo_metrics = shared_metrics(np.concatenate(repo_preds),
@@ -320,7 +329,7 @@ def run_ab(
     sub = slice(0, steps, loss_every)
     return {
         "config": {
-            "model": model,
+            "model": model, "repo_bf16": bf16,
             "steps": steps, "hs": hs, "iters": iters, "batch": batch,
             "n_train": len(ref_train), "n_eval": len(ref_eval),
             "n_links": n_links, "n_paths": n_paths,
@@ -351,10 +360,17 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--model", default="routenet",
                    choices=["routenet", "qsize"])
+    p.add_argument("--bf16", action="store_true",
+                   help="repo side runs the bf16 mixed-precision path")
+    p.add_argument("--n-links", type=int, default=14)
+    p.add_argument("--n-paths", type=int, default=18)
+    p.add_argument("--max-path-len", type=int, default=5)
     p.add_argument("--out", default="docs/ab_convergence.json")
     args = p.parse_args()
     res = run_ab(steps=args.steps, hs=args.hs, iters=args.iters,
-                 batch=args.batch, model=args.model)
+                 batch=args.batch, model=args.model, bf16=args.bf16,
+                 n_links=args.n_links, n_paths=args.n_paths,
+                 max_path_len=args.max_path_len)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)
