@@ -634,28 +634,50 @@ def _dense_masked_softmax_matmul(ssrc, sdst, msg_table, dense_inc):
     Custom VJP so the [n_dst, n_src] attention matrix is RECOMPUTED in the
     backward from the per-node score vectors instead of being stacked as a
     per-iteration residual of the outer MP scan (8 iterations x 64 MB
-    would dominate HBM)."""
+    would dominate HBM). The backward is MATMUL-FACTORED (flash-attention
+    style; round 4): no [n_dst, n_src] f32 intermediate is ever
+    materialized — the softmax-VJP row statistic is the row-dot of the
+    cotangent with the recomputed output (sum_s dA[d,s]*A[d,s] =
+    ct[d].out[d]), and the per-node score gradients collapse into matmuls
+    against A and W = A*LeakyReLU' (profile: the da=[n_dst,n_src] f32
+    materialization + its reduction read were the two largest
+    attention-specific fusions, 2.7 ms/step at flagship scale).
+    IGNNITION_TPU_DENSE_ATTN_BWD=legacy restores the materializing
+    backward for A/B."""
     out, _ = _dmsm_compute(ssrc, sdst, msg_table, dense_inc)
     return out
 
 
-def _dmsm_compute(ssrc, sdst, msg_table, dense_inc):
-    dtype = msg_table.dtype
-    m = dense_inc.astype(jnp.float32)
-    e = jax.nn.leaky_relu(
-        sdst[:, None].astype(jnp.float32) + ssrc[None, :].astype(jnp.float32),
-        negative_slope=0.2,
-    )
+def _dmsm_attn(ssrc, sdst, dense_inc, dtype):
+    """The [n_dst, n_src] attention matrix in the compute dtype, without
+    materializing the f32 score matrix: LeakyReLU is monotone, so the
+    masked row max of e is lrelu(sdst + masked-rowmax(ssrc)) — a reduction
+    over the (bf16) incidence support alone."""
     neg = jnp.float32(-1e30)
-    row_max = jnp.max(jnp.where(m > 0, e, neg), axis=1)
-    row_max = jnp.maximum(row_max, neg * 0.5)  # empty rows: any finite shift
+    m = dense_inc
+    srcf = ssrc.astype(jnp.float32)
+    sup = jnp.max(jnp.where(m > 0, srcf[None, :], neg), axis=1)
+    row_max = jax.nn.leaky_relu(
+        sdst.astype(jnp.float32) + sup, negative_slope=0.2
+    )
+    row_max = jnp.maximum(row_max, neg * 0.5)  # empty rows: finite shift
+    e = jax.nn.leaky_relu(
+        sdst[:, None].astype(jnp.float32) + srcf[None, :], negative_slope=0.2
+    )
     # the where guards empty rows (their shifted e would overflow exp; the
     # m multiply would then produce inf * 0 = NaN)
-    z = jnp.where(m > 0, jnp.exp(e - row_max[:, None]), 0.0) * m
+    z = jnp.where(m > 0, jnp.exp(e - row_max[:, None]), 0.0) * m.astype(
+        jnp.float32
+    )
     denom = jnp.sum(z, axis=1)
-    a = (z / jnp.maximum(denom, 1e-30)[:, None]).astype(dtype)
+    return (z / jnp.maximum(denom, 1e-30)[:, None]).astype(dtype)
+
+
+def _dmsm_compute(ssrc, sdst, msg_table, dense_inc):
+    dtype = msg_table.dtype
+    a = _dmsm_attn(ssrc, sdst, dense_inc, dtype)
     out = _dot(a, msg_table, ((1,), (0,)), dtype)
-    return out.astype(dtype), (a, e)
+    return out.astype(dtype), a
 
 
 def _dmsm_fwd(ssrc, sdst, msg_table, dense_inc):
@@ -663,25 +685,152 @@ def _dmsm_fwd(ssrc, sdst, msg_table, dense_inc):
     return out, (ssrc, sdst, msg_table, dense_inc)
 
 
-def _dmsm_bwd(res, ct):
+def _dmsm_bwd_legacy(res, ct):
     ssrc, sdst, msg_table, dense_inc = res
     dtype = msg_table.dtype
-    _, (a, e) = _dmsm_compute(ssrc, sdst, msg_table, dense_inc)
+    a = _dmsm_attn(ssrc, sdst, dense_inc, dtype)
     ct = ct.astype(dtype)
     d_table = _dot(a, ct, ((0,), (0,)), dtype).astype(msg_table.dtype)
     da = _dot(ct, msg_table, ((1,), (1,)), dtype)  # [n_dst, n_src] f32
     af = a.astype(jnp.float32)
     s_row = jnp.sum(da * af, axis=1, keepdims=True)
     de = af * (da - s_row)
-    # LeakyReLU'(pre): e was computed FROM pre, slope 0.2 — recover the sign
-    # from e itself (leaky_relu is sign-preserving)
-    d_pre = de * jnp.where(e > 0, 1.0, 0.2)
+    # LeakyReLU'(pre): slope by the sign of pre = sdst + ssrc (leaky_relu
+    # is sign-preserving)
+    pre = sdst[:, None].astype(jnp.float32) + ssrc[None, :].astype(jnp.float32)
+    d_pre = de * jnp.where(pre > 0, 1.0, 0.2)
     d_sdst = jnp.sum(d_pre, axis=1).astype(sdst.dtype)
     d_ssrc = jnp.sum(d_pre, axis=0).astype(ssrc.dtype)
     return d_ssrc, d_sdst, d_table, None
 
 
+def _dmsm_bwd(res, ct):
+    """Matmul-factored dense-attention backward.
+
+    With W = A * LeakyReLU'(pre) and dA[d,s] = ct[d].x[s]:
+      s_row[d]  = sum_s A[d,s] dA[d,s]            = ct[d] . (A @ x)[d]
+      d_sdst[d] = sum_s W[d,s](dA[d,s] - s_row[d]) = ct[d].(W@x)[d]
+                                                     - s_row[d]*rowsum(W)[d]
+      d_ssrc[s] = sum_d W[d,s](dA[d,s] - s_row[d]) = x[s].(W^T@ct)[s]
+                                                     - (W^T@s_row)[s]
+    so the only [n_dst, n_src] tensors are A and W in the COMPUTE dtype,
+    each consumed by matmuls — no f32 matrix round-trips. A ones column on
+    x and an s_row column on ct fold the row sums into the same matmuls."""
+    if os.environ.get("IGNNITION_TPU_DENSE_ATTN_BWD") == "legacy":
+        return _dmsm_bwd_legacy(res, ct)
+    ssrc, sdst, msg_table, dense_inc = res
+    dtype = msg_table.dtype
+    a = _dmsm_attn(ssrc, sdst, dense_inc, dtype)
+    pre = sdst[:, None].astype(jnp.float32) + ssrc[None, :].astype(jnp.float32)
+    w = (a.astype(jnp.float32) * jnp.where(pre > 0, 1.0, 0.2)).astype(dtype)
+    ct = ct.astype(dtype)
+    x = msg_table.astype(dtype)
+
+    d_table = _dot(a, ct, ((0,), (0,)), dtype).astype(msg_table.dtype)
+    out_rec = _dot(a, x, ((1,), (0,)), dtype)  # [n_dst, D] f32
+    s_row = jnp.sum(ct.astype(jnp.float32) * out_rec, axis=1)  # [n_dst]
+
+    ones = jnp.ones((x.shape[0], 1), dtype)
+    xe = jnp.concatenate([x, ones], axis=1)  # [n_src, D+1]
+    wx = _dot(w, xe, ((1,), (0,)), dtype)  # [n_dst, D+1] f32
+    d_sdst = (
+        jnp.sum(ct.astype(jnp.float32) * wx[:, :-1], axis=1)
+        - s_row * wx[:, -1]
+    ).astype(sdst.dtype)
+
+    cts = jnp.concatenate(
+        [ct, s_row[:, None].astype(dtype)], axis=1
+    )  # [n_dst, D+1]
+    wt = _dot(w, cts, ((0,), (0,)), dtype)  # [n_src, D+1] f32
+    d_ssrc = (
+        jnp.sum(x.astype(jnp.float32) * wt[:, :-1], axis=1) - wt[:, -1]
+    ).astype(ssrc.dtype)
+    return d_ssrc, d_sdst, d_table, None
+
+
 _dense_masked_softmax_matmul.defvjp(_dmsm_fwd, _dmsm_bwd)
+
+
+# -- flash-attention lowering of the dense path (ops/pallas/attention_kernels)
+# streams the incidence matrix once per pass with all [TD, TS] attention
+# tiles VMEM-resident: no [n_dst, n_src] HBM materialization at all.
+_FLASH_ATTN_MODE = os.environ.get("IGNNITION_TPU_FLASH_ATTN", "auto")
+_FLASH_ATTN_MIN_ENTRIES = 1 << 22  # below this the XLA path compiles faster
+# and the matrix round-trips it saves are too small to matter
+
+
+def _flash_stab(ssrc, sdst):
+    """Global score bound lrelu(max sdst + max ssrc) >= every e[d, s]
+    (LeakyReLU monotonicity) — the same global-shift stabilization
+    sorted_segment_softmax uses."""
+    s = jnp.max(sdst.astype(jnp.float32)) + jnp.max(ssrc.astype(jnp.float32))
+    s = jax.nn.leaky_relu(s, negative_slope=0.2)
+    return jnp.where(jnp.isfinite(s), s, 0.0)
+
+
+@jax.custom_vjp
+def _flash_masked_softmax_matmul(ssrc, sdst, msg_table, dense_inc):
+    """Same contract as `_dense_masked_softmax_matmul`, lowered through the
+    flash kernels. Residuals are vectors only (out/den/stab) — the backward
+    recomputes every attention tile in VMEM from one more pass over the
+    incidence matrix."""
+    out, _, _ = _flash_fwd_impl(ssrc, sdst, msg_table, dense_inc)
+    return out
+
+
+def _flash_fwd_impl(ssrc, sdst, msg_table, dense_inc):
+    from .pallas.attention_kernels import flash_gat_forward, pick_tiles
+
+    td, ts = pick_tiles(*dense_inc.shape)  # dispatch guarantees eligibility
+    stab = _flash_stab(ssrc, sdst)
+    out, den = flash_gat_forward(
+        ssrc, sdst, msg_table, dense_inc, stab, td=td, ts=ts
+    )
+    return out, den, stab
+
+
+def _flash_fwd(ssrc, sdst, msg_table, dense_inc):
+    out, den, stab = _flash_fwd_impl(ssrc, sdst, msg_table, dense_inc)
+    return out, (ssrc, sdst, msg_table, dense_inc, out, den, stab)
+
+
+def _flash_bwd(res, ct):
+    from .pallas.attention_kernels import flash_gat_backward, pick_tiles
+
+    ssrc, sdst, x, m, out, den, stab = res
+    td, ts = pick_tiles(*m.shape)
+    # sum_s dA[d,s] A[d,s] = ct[d].out[d] — the flash softmax-VJP statistic
+    srow = jnp.sum(
+        ct.astype(jnp.float32) * out.astype(jnp.float32),
+        axis=1, keepdims=True,
+    )
+    dtab_plus, dsdst = flash_gat_backward(
+        ssrc, sdst, x, m, stab, den, ct, srow, td=td, ts=ts
+    )
+    return (
+        dtab_plus[:, -1].astype(ssrc.dtype),
+        dsdst[:, 0].astype(sdst.dtype),
+        dtab_plus[:, :-1].astype(x.dtype),
+        None,
+    )
+
+
+_flash_masked_softmax_matmul.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _use_flash_attn(dense_inc) -> bool:
+    if _FLASH_ATTN_MODE == "never" or _PALLAS_MODE == "never":
+        return False
+    if not _on_tpu():
+        return False
+    from .pallas.attention_kernels import pick_tiles
+
+    if pick_tiles(*dense_inc.shape) is None:
+        return False
+    return (
+        _FLASH_ATTN_MODE == "always"
+        or dense_inc.shape[0] * dense_inc.shape[1] >= _FLASH_ATTN_MIN_ENTRIES
+    )
 
 
 def _bdot(a, b, dims, dtype):
@@ -714,24 +863,35 @@ def _blocks_masked_softmax_matmul(ssrc, sdst, msg_table, blocks):
     return out
 
 
+def _bmsm_attn(ssrc, sdst, blocks, dtype):
+    """Per-graph [g, bd, bs] attention tensor (see _dmsm_attn: the masked
+    row max rides LeakyReLU's monotonicity, no f32 score tensor is
+    materialized)."""
+    g, bd, bs = blocks.shape
+    neg = jnp.float32(-1e30)
+    m = blocks
+    srcf = ssrc.reshape(g, 1, bs).astype(jnp.float32)
+    dstf = sdst.reshape(g, bd, 1).astype(jnp.float32)
+    sup = jnp.max(jnp.where(m > 0, srcf, neg), axis=2)
+    row_max = jax.nn.leaky_relu(
+        dstf[:, :, 0] + sup, negative_slope=0.2
+    )
+    row_max = jnp.maximum(row_max, neg * 0.5)  # empty rows: finite shift
+    e = jax.nn.leaky_relu(dstf + srcf, negative_slope=0.2)
+    z = jnp.where(m > 0, jnp.exp(e - row_max[:, :, None]), 0.0) * m.astype(
+        jnp.float32
+    )
+    denom = jnp.sum(z, axis=2)
+    return (z / jnp.maximum(denom, 1e-30)[:, :, None]).astype(dtype)
+
+
 def _bmsm_compute(ssrc, sdst, msg_table, blocks):
     g, bd, bs = blocks.shape
     dtype = msg_table.dtype
-    m = blocks.astype(jnp.float32)
-    e = jax.nn.leaky_relu(
-        sdst.reshape(g, bd, 1).astype(jnp.float32)
-        + ssrc.reshape(g, 1, bs).astype(jnp.float32),
-        negative_slope=0.2,
-    )
-    neg = jnp.float32(-1e30)
-    row_max = jnp.max(jnp.where(m > 0, e, neg), axis=2)
-    row_max = jnp.maximum(row_max, neg * 0.5)  # empty rows: any finite shift
-    z = jnp.where(m > 0, jnp.exp(e - row_max[:, :, None]), 0.0) * m
-    denom = jnp.sum(z, axis=2)
-    a = (z / jnp.maximum(denom, 1e-30)[:, :, None]).astype(dtype)
+    a = _bmsm_attn(ssrc, sdst, blocks, dtype)
     x = msg_table.reshape(g, bs, -1)
     out = _bdot(a, x, ((2,), (1,)), dtype)  # [g, bd, D]
-    return out.reshape(g * bd, -1).astype(dtype), (a, e)
+    return out.reshape(g * bd, -1).astype(dtype), a
 
 
 def _bmsm_fwd(ssrc, sdst, msg_table, blocks):
@@ -740,21 +900,40 @@ def _bmsm_fwd(ssrc, sdst, msg_table, blocks):
 
 
 def _bmsm_bwd(res, ct):
+    """Matmul-factored backward, batched per graph (see _dmsm_bwd)."""
     ssrc, sdst, msg_table, blocks = res
     g, bd, bs = blocks.shape
     dtype = msg_table.dtype
-    _, (a, e) = _bmsm_compute(ssrc, sdst, msg_table, blocks)
+    a = _bmsm_attn(ssrc, sdst, blocks, dtype)
+    pre = (
+        sdst.reshape(g, bd, 1).astype(jnp.float32)
+        + ssrc.reshape(g, 1, bs).astype(jnp.float32)
+    )
+    w = (a.astype(jnp.float32) * jnp.where(pre > 0, 1.0, 0.2)).astype(dtype)
     ct3 = ct.reshape(g, bd, -1).astype(dtype)
-    x = msg_table.reshape(g, bs, -1)
+    x = msg_table.reshape(g, bs, -1).astype(dtype)
+
     d_table = _bdot(a, ct3, ((1,), (1,)), dtype)  # [g, bs, D]
     d_table = d_table.reshape(g * bs, -1).astype(msg_table.dtype)
-    da = _bdot(ct3, x, ((2,), (2,)), dtype)  # [g, bd, bs] f32
-    af = a.astype(jnp.float32)
-    s_row = jnp.sum(da * af, axis=2, keepdims=True)
-    de = af * (da - s_row)
-    d_pre = de * jnp.where(e > 0, 1.0, 0.2)
-    d_sdst = jnp.sum(d_pre, axis=2).reshape(g * bd).astype(sdst.dtype)
-    d_ssrc = jnp.sum(d_pre, axis=1).reshape(g * bs).astype(ssrc.dtype)
+    out_rec = _bdot(a, x, ((2,), (1,)), dtype)  # [g, bd, D] f32
+    s_row = jnp.sum(ct3.astype(jnp.float32) * out_rec, axis=2)  # [g, bd]
+
+    ones = jnp.ones((g, bs, 1), dtype)
+    xe = jnp.concatenate([x, ones], axis=2)  # [g, bs, D+1]
+    wx = _bdot(w, xe, ((2,), (1,)), dtype)  # [g, bd, D+1] f32
+    d_sdst = (
+        jnp.sum(ct3.astype(jnp.float32) * wx[:, :, :-1], axis=2)
+        - s_row * wx[:, :, -1]
+    ).reshape(g * bd).astype(sdst.dtype)
+
+    cts = jnp.concatenate(
+        [ct3, s_row[:, :, None].astype(dtype)], axis=2
+    )  # [g, bd, D+1]
+    wt = _bdot(w, cts, ((1,), (1,)), dtype)  # [g, bs, D+1] f32
+    d_ssrc = (
+        jnp.sum(x.astype(jnp.float32) * wt[:, :, :-1], axis=2)
+        - wt[:, :, -1]
+    ).reshape(g * bs).astype(ssrc.dtype)
     return d_ssrc, d_sdst, d_table, None
 
 
@@ -809,6 +988,8 @@ def dense_attention_aggregate(
     dtype = msg_table.dtype
     ssrc = _dot(msg_table @ kernel1, a1, ((1,), (0,)), dtype)[:, 0]
     sdst = _dot(dst_states @ kernel2, a2, ((1,), (0,)), dtype)[:, 0]
+    if _use_flash_attn(dense_inc):
+        return _flash_masked_softmax_matmul(ssrc, sdst, msg_table, dense_inc)
     return _dense_masked_softmax_matmul(ssrc, sdst, msg_table, dense_inc)
 
 

@@ -65,6 +65,15 @@ class HardwareSpec:
     gather_ns_per_row: float = float(
         os.environ.get("IGNNITION_TPU_GATHER_NS", 2.0)
     )
+    # measured per-entry-per-pass cost of the dense GAT softmax (the flash
+    # kernel's score/exp VPU chain + its one incidence-matrix read,
+    # calibrated end-to-end: 0.21 ms / 33.5M entries isolated forward on
+    # v5e — PERF.md 'Dense attention at its floor'). The dense-attention
+    # lowering is VPU-bound, a resource the two-resource roofline cannot
+    # see; this term carries it into apsol for dense-eligible attention
+    dense_attn_ps_per_entry: float = float(
+        os.environ.get("IGNNITION_TPU_DENSE_ATTN_PS", 6.3)
+    )
 
 
 @dataclass
@@ -72,6 +81,10 @@ class StepCost:
     bytes_by: Dict[str, float] = field(default_factory=dict)
     flops_by: Dict[str, float] = field(default_factory=dict)
     gather_rows: float = 0.0
+    # [n_dst, n_src]-entry passes of the dense attention lowering (2 per
+    # iteration: one forward, one backward recompute) — charged at the
+    # calibrated HardwareSpec.dense_attn_ps_per_entry
+    dense_attn_entry_passes: float = 0.0
 
     def add_bytes(self, item: str, n: float):
         self.bytes_by[item] = self.bytes_by.get(item, 0.0) + float(n)
@@ -233,6 +246,25 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                     c.add_flops("attention", 3 * 2 * (n_s + n_d) * d_dst
                                 * d_dst * iters)
                     c.add_bytes("attention_scores", 3 * E * b * iters)
+                    # the dense lowering (the fastest measured one for
+                    # direct-message attention, flash kernel) pays one
+                    # score/exp pass over every [n_dst, n_src] entry per
+                    # direction of AD — a VPU-bound cost outside the
+                    # two-resource model (charged in apsol via
+                    # dense_attn_ps_per_entry; the one incidence-matrix
+                    # read per pass is INSIDE that calibrated constant,
+                    # so no separate bytes item is added)
+                    from ..data.graph import (
+                        _DENSE_INC_MAX_ENTRIES, dense_agg_adjacencies,
+                    )
+
+                    if src.adj_name in dense_agg_adjacencies(model_ir):
+                        blk = dict(meta.inc_blocks).get(src.adj_name)
+                        entries = (
+                            blk[0] * blk[1] * blk[2] if blk else n_d * n_s
+                        )
+                        if entries <= _DENSE_INC_MAX_ENTRIES:
+                            c.dense_attn_entry_passes += entries * 2 * iters
                 elif mp.aggregation.kind == "convolution":
                     c.add_flops("convolution", 3 * 2 * n_s * d_src * d_dst
                                 * iters)
@@ -281,8 +313,16 @@ def roofline_report(model_ir, meta, measured_ms: float,
     bounds = c.bound_seconds(hw)
     # access-pattern-aware speed of light: the classic two resources PLUS
     # the measured descriptor-bound random-row floor (the resource that
-    # actually binds these graph workloads on TPU)
-    apsol = max(bounds["sol_ms"], bounds["gather_floor_ms_informational"])
+    # actually binds these graph workloads on TPU), plus the calibrated
+    # dense-attention softmax term where that lowering applies (VPU-bound
+    # work over [n_dst, n_src] entries — additive because it overlaps
+    # neither the gather descriptors nor the counted byte streams)
+    dense_attn_ms = (
+        c.dense_attn_entry_passes * hw.dense_attn_ps_per_entry * 1e-12 * 1e3
+    )
+    apsol = max(
+        bounds["sol_ms"], bounds["gather_floor_ms_informational"]
+    ) + dense_attn_ms
     return {
         "hw": hw.name,
         "bytes_mb": round(c.total_bytes / 1e6, 2),
@@ -301,6 +341,7 @@ def roofline_report(model_ir, meta, measured_ms: float,
         "gather_floor_ms_informational": round(
             bounds["gather_floor_ms_informational"], 3
         ),
+        "dense_attn_ms": round(dense_attn_ms, 3),
         "bytes_items_mb": {k: round(v / 1e6, 2)
                            for k, v in sorted(c.bytes_by.items())},
         "flops_items_g": {k: round(v / 1e9, 2)

@@ -1,0 +1,100 @@
+"""Flash-GAT Pallas kernels (ops/pallas/attention_kernels.py) vs the XLA
+dense attention path — interpret-mode on CPU (the real lowering is bench /
+TPU-verified; tests/test_dense_inc.py covers the XLA path itself)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ignnition_tpu.ops import segment as seg
+from ignnition_tpu.ops.pallas.attention_kernels import (
+    flash_gat_backward, flash_gat_forward, pick_tiles,
+)
+
+
+def _case(n_dst, n_src, d=16, seed=0, density=0.05, empty_first_row=True):
+    rng = np.random.default_rng(seed)
+    m = (rng.random((n_dst, n_src)) < density).astype(np.float32)
+    m *= rng.integers(1, 4, (n_dst, n_src))  # multiplicities up to 3
+    if empty_first_row:
+        m[0] = 0.0  # an isolated destination: out must be exactly 0
+    m = jnp.asarray(m, jnp.bfloat16)
+    ssrc = jnp.asarray(rng.standard_normal(n_src), jnp.float32)
+    sdst = jnp.asarray(rng.standard_normal(n_dst), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((n_src, d)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((n_dst, d)), jnp.float32)
+    return ssrc, sdst, x, m, ct
+
+
+@pytest.mark.parametrize("shape", [(64, 256), (40, 384), (8, 128)])
+def test_forward_matches_dense_path(shape):
+    ssrc, sdst, x, m, ct = _case(*shape)
+    td, ts = pick_tiles(*m.shape)
+    stab = seg._flash_stab(ssrc, sdst)
+    out, den = flash_gat_forward(ssrc, sdst, x, m, stab, td=td, ts=ts,
+                                 interpret=True)
+    ref = seg._dense_masked_softmax_matmul(ssrc, sdst, x, m)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # the isolated destination aggregates to exactly zero
+    np.testing.assert_array_equal(np.asarray(out[0]), 0.0)
+    # den is the softmax denominator in the stab frame: rows with support
+    # are strictly positive
+    assert float(jnp.min(den[1:])) > 0.0
+
+
+@pytest.mark.parametrize("shape", [(64, 256), (40, 384)])
+def test_backward_matches_dense_path_grads(shape):
+    ssrc, sdst, x, m, ct = _case(*shape, seed=3)
+    td, ts = pick_tiles(*m.shape)
+    stab = seg._flash_stab(ssrc, sdst)
+    out, den = flash_gat_forward(ssrc, sdst, x, m, stab, td=td, ts=ts,
+                                 interpret=True)
+    srow = jnp.sum(ct * out.astype(jnp.float32), axis=1, keepdims=True)
+    dtab_plus, dsdst = flash_gat_backward(
+        ssrc, sdst, x, m, stab, den, ct, srow, td=td, ts=ts, interpret=True
+    )
+
+    def loss(ssrc, sdst, x):
+        return jnp.sum(seg._dense_masked_softmax_matmul(ssrc, sdst, x, m) * ct)
+
+    g_ssrc, g_sdst, g_x = jax.grad(loss, argnums=(0, 1, 2))(ssrc, sdst, x)
+    np.testing.assert_allclose(np.asarray(dtab_plus[:, :-1]),
+                               np.asarray(g_x), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dtab_plus[:, -1]),
+                               np.asarray(g_ssrc), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dsdst[:, 0]),
+                               np.asarray(g_sdst), rtol=2e-4, atol=2e-5)
+
+
+def test_pick_tiles():
+    assert pick_tiles(2048, 16384) == (256, 1024)
+    assert pick_tiles(40, 384) == (8, 128)
+    assert pick_tiles(7, 256) is None  # dst not divisible by 8
+    assert pick_tiles(64, 100) is None  # src not divisible by 128
+
+
+def test_dispatch_gates():
+    """_use_flash_attn: off-TPU and small/ineligible shapes fall back."""
+    m_small = jnp.zeros((64, 256), jnp.bfloat16)
+    assert not seg._use_flash_attn(m_small)  # CPU (and below min entries)
+
+
+def test_legacy_and_factored_backward_agree():
+    """The round-4 matmul-factored XLA backward equals the materializing
+    legacy backward (IGNNITION_TPU_DENSE_ATTN_BWD=legacy A/B toggle)."""
+    ssrc, sdst, x, m, ct = _case(48, 256, seed=5)
+
+    def loss(ssrc, sdst, x):
+        return jnp.sum(seg._dense_masked_softmax_matmul(ssrc, sdst, x, m) * ct)
+
+    g_new = jax.grad(loss, argnums=(0, 1, 2))(ssrc, sdst, x)
+    res = (ssrc, sdst, x, m)
+    ct_full = jnp.asarray(np.asarray(ct), jnp.float32)
+    g_leg = seg._dmsm_bwd_legacy(res, ct_full)
+    for a, b in zip(g_new, g_leg[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

@@ -18,13 +18,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bench import build_case
+from bench import build_case, detail_cases
 
 TRACE_DIR = "/tmp/ignnition_profile"
 
 
 def main():
-    make_step, params, opt_state, arrays, _ = build_case()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", default="flagship",
+                    help="flagship or a bench detail family "
+                         "(attention/mlp_message/qsize/blocks_g4)")
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    if args.family == "flagship":
+        case = build_case()
+    else:
+        case = detail_cases(20)[args.family]()
+    make_step, params, opt_state, arrays, _ = case
     arrays = jax.device_put(arrays)
     fn = jax.jit(make_step(jnp.bfloat16))
     p, o, l = fn(params, opt_state, arrays)
@@ -66,7 +79,7 @@ def main():
         total += d
     print(f"process lanes: {sorted(set(pid_names.values()))}")
     print(f"total device time over 5 steps: {total:.2f} ms ({total/5:.2f} ms/step)\n")
-    top = sorted(dur_by_op.items(), key=lambda kv: -kv[1])[:40]
+    top = sorted(dur_by_op.items(), key=lambda kv: -kv[1])[:args.top]
     for name, d in top:
         print(f"{d/5:8.3f} ms/step  x{cnt_by_op[name]//5:<4d} {name[:110]}")
 
