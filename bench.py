@@ -245,6 +245,12 @@ def detail_cases(iters):
         "blocks_g4": lambda: build_case(
             n_paths=4096, n_links=512, n_graphs=4, per_graph=True
         ),
+        # 4x the flagship single graph (1.05M real edges per step across
+        # both directions x 4): ABOVE the 262k-row XLA gather cliff and the
+        # dense-incidence cap — tracks the windowed backward + slot paths'
+        # large-graph behavior round-over-round (VERDICT r3 #4). Target:
+        # >=85% of flagship's per-edge throughput
+        "flagship_x4": lambda: build_case(n_links=8192, n_paths=65536),
     }
 
 

@@ -233,6 +233,38 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                     # commutative aggregation streaming from the node-rate
                     # message table: table read fwd + cotangent bwd
                     c.add_bytes("node_tables", 2 * n_s * msg_dim * b * iters)
+                    # ...but streaming-from-the-table requires a dense/
+                    # blocks incidence lowering. When the shape is
+                    # ineligible (entry cap — e.g. flagship_x4's 537M-entry
+                    # matrix), the best available lowering gathers the
+                    # edge-rate message stream (fwd) and routes its
+                    # cotangent (bwd): charge the descriptor floor for that
+                    # movement, the same best-available-lowering convention
+                    # the slot paths set in round 3
+                    from ..data.graph import (
+                        _DENSE_INC_MAX_ENTRIES, dense_agg_adjacencies,
+                    )
+
+                    dense_ok = src.adj_name in dense_agg_adjacencies(
+                        model_ir
+                    ) and (
+                        src.adj_name in dict(meta.inc_blocks)
+                        or n_d * n_s <= _DENSE_INC_MAX_ENTRIES
+                    )
+                    if not dense_ok:
+                        c.gather_rows += 2 * E * iters
+                    else:
+                        # the dense lowering's mandatory traffic is the
+                        # incidence matrix itself, read once per direction
+                        # of AD per iteration (M @ s fwd, M^T @ ct bwd) —
+                        # blocks shrink it to the per-graph diagonal
+                        blk = dict(meta.inc_blocks).get(src.adj_name)
+                        entries = (
+                            blk[0] * blk[1] * blk[2] if blk else n_d * n_s
+                        )
+                        c.add_bytes(
+                            "dense_inc_matrix", entries * b * 2 * iters
+                        )
                 else:
                     pass  # edge stream already counted above
 
