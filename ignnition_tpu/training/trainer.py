@@ -202,6 +202,7 @@ class Trainer:
         prefetch: int = 4,
         workers: int = 1,
         cache: bool = False,
+        sample_transform: Optional[Callable] = None,
     ) -> Iterator[Tuple[Dict[str, np.ndarray], BatchMeta]]:
         """Stream (arrays, meta) merged batches, built on background threads
         (the reference prefetches 10 batches through tf.data,
@@ -223,7 +224,10 @@ class Trainer:
         device, so steady-state steps pay NO host->device transfer at all
         (the per-step dispatch cost of a host-resident batch dominates
         small-graph streaming — PERF.md 'Streaming H2D'). Trades device
-        HBM for throughput: dataset_bytes must fit alongside the model."""
+        HBM for throughput: dataset_bytes must fit alongside the model.
+
+        sample_transform: per-sample GraphSample -> GraphSample hook applied
+        before batch construction (the locality renumbering rides it)."""
         if cache:
             if not repeat:
                 raise ValueError("cache=True requires repeat=True")
@@ -231,7 +235,7 @@ class Trainer:
                 self.batches(
                     data_dir, batch_size, shuffle=shuffle, repeat=False,
                     training=training, seed=seed, prefetch=prefetch,
-                    workers=workers,
+                    workers=workers, sample_transform=sample_transform,
                 )
             )
             if cache == "device":
@@ -247,6 +251,8 @@ class Trainer:
         spec = SampleSpec.from_ir(self.ir, training=training)
 
         def make(group):
+            if sample_transform is not None:
+                group = [sample_transform(s) for s in group]
             return build_batch(
                 group,
                 self.ir,
@@ -442,8 +448,16 @@ class Trainer:
         histogram_every: int = 0,
         profile_dir: Optional[str] = None,
         profile_steps: Tuple[int, int] = (10, 15),
+        locality_reorder="auto",
     ) -> TrainState:
         """Run the training loop.
+
+        locality_reorder: renumber each sample's nodes to minimize the
+        destination-sharding edge cut before partitioning (parallel/
+        locality.py). "auto" (default) = on exactly when dest_shard is
+        active; True/False force it. A pure permutation — losses and
+        gradients are unchanged; halo traffic shrinks with the recovered
+        cut (docs/scaling.md 'Locality-aware partitioner').
 
         mesh: a jax Mesh with ('data','model') axes for SPMD training — each
         step consumes mesh.shape['data'] merged batches (stacked, re-padded
@@ -526,9 +540,24 @@ class Trainer:
             and mesh.shape.get("model", 1) > 1
         )
         if dest_shard:
+            transform = None
+            on = dest_shard if locality_reorder == "auto" else locality_reorder
+            if on:
+                # renumber each sample for the exact shard count before the
+                # contiguous-block partition — the cut (halo volume) is a
+                # pure function of row order, and the renumbering is an
+                # exactness-preserving permutation (parallel/locality.py;
+                # losses/gradients identical, tests/test_locality.py)
+                from ..parallel.locality import reorder_sample
+
+                n_model = mesh.shape["model"]
+                transform = lambda s: reorder_sample(  # noqa: E731
+                    s, self.ir, n_model=n_model
+                )[0]
             batch_iter = self._destshard_batch_iter(
                 data_dir, batch_size, mesh, shuffle,
                 workers=input_workers, cache=cache_batches,
+                sample_transform=transform,
             )
             step_cache: Dict[Any, Callable] = {}
         elif mesh is not None:
@@ -662,7 +691,8 @@ class Trainer:
                 group = []
 
     def _sharded_batch_iter(
-        self, data_dir, batch_size, mesh, shuffle, workers=1, cache=False
+        self, data_dir, batch_size, mesh, shuffle, workers=1, cache=False,
+        sample_transform=None,
     ):
         """Group this process's share of the mesh's 'data' axis per step and
         stack it on the leading axis (re-padded to a common bucket).
@@ -688,7 +718,7 @@ class Trainer:
         group = []
         for item in self.batches(
             data_dir, batch_size, shuffle=shuffle, repeat=True, seed=seed,
-            workers=workers, cache=cache,
+            workers=workers, cache=cache, sample_transform=sample_transform,
         ):
             group.append(item)
             if len(group) == n_local:
@@ -696,7 +726,8 @@ class Trainer:
                 group = []
 
     def _destshard_batch_iter(
-        self, data_dir, batch_size, mesh, shuffle, workers=1, cache=False
+        self, data_dir, batch_size, mesh, shuffle, workers=1, cache=False,
+        sample_transform=None,
     ):
         """v2 destination sharding: group the mesh's data axis, partition
         each merged batch over the model axis (parallel/edgeshard.py), and
@@ -710,7 +741,8 @@ class Trainer:
         pad_to: Dict[str, Dict[str, int]] = {"halo": {}, "edges": {}}
 
         for stacked, meta in self._sharded_batch_iter(
-            data_dir, batch_size, mesh, shuffle, workers=workers, cache=cache
+            data_dir, batch_size, mesh, shuffle, workers=workers, cache=cache,
+            sample_transform=sample_transform,
         ):
             n_data = next(iter(stacked.values())).shape[0]
             while True:

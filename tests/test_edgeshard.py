@@ -489,7 +489,8 @@ def test_trainer_dest_shard_edge_domain(tmp_path):
 
 def test_trainer_dest_shard_integration(tmp_path):
     """Trainer.train(mesh=..., model_strategy='dest_shard') streams
-    partitioned batches through the v2 step (shape-stable via pad_to)."""
+    partitioned batches through the v2 step (shape-stable via pad_to);
+    locality_reorder='auto' rides this path by default."""
     from ignnition_tpu.data.synthetic import write_dataset
     from ignnition_tpu.training.trainer import Trainer
 
@@ -512,3 +513,39 @@ def test_trainer_dest_shard_integration(tmp_path):
     assert state.step == 3
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_trainer_locality_reorder_is_exact(tmp_path):
+    """The locality renumbering is a pure permutation: the SAME training run
+    with locality_reorder on vs off lands on identical parameters."""
+    from ignnition_tpu.data.synthetic import write_dataset
+    from ignnition_tpu.training.trainer import Trainer
+
+    d = str(tmp_path / "ds")
+    write_dataset(d, 1, 4, seed=9, n_links=24, n_paths=20)
+    ir = parser.parse_model_description(
+        routenet_description(num_iterations=2, hs=8),
+        {"link_capacity": 1, "traffic": 1},
+    )
+    from ignnition_tpu.model import build as build_model
+
+    model = build_model(ir)
+    mesh = make_mesh(data=1, model=2)
+
+    def run(reorder):
+        tr = Trainer(model, padding=PAD)
+        state = tr.init_state(jax.random.PRNGKey(1))
+        return tr.train(
+            state, d, max_steps=3, batch_size=2, mesh=mesh, shuffle=False,
+            model_strategy="dest_shard", log_every=0,
+            locality_reorder=reorder,
+        )
+
+    p_on = run(True).params
+    p_off = run(False).params
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        p_on, p_off,
+    )
