@@ -188,6 +188,23 @@ def _assert_pallas_lowers():
     np.testing.assert_allclose(np.asarray(out), np.full((8, 32), 32.0))
     print("# pallas segment kernel lowers on this backend", flush=True)
 
+    # the flash-GAT kernels must lower too (the attention family's number
+    # rides them): uniform scores + uniform incidence -> out == row mean
+    from ignnition_tpu.ops.pallas.attention_kernels import flash_gat_forward
+
+    n_d, n_s = 8, 128
+    x = jnp.tile(jnp.arange(32, dtype=jnp.bfloat16)[None, :], (n_s, 1))
+    o, _ = flash_gat_forward(
+        jnp.zeros((n_s,), jnp.float32), jnp.zeros((n_d,), jnp.float32),
+        x, jnp.ones((n_d, n_s), jnp.bfloat16), jnp.zeros((), jnp.float32),
+        td=8, ts=128,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o, np.float32), np.tile(np.arange(32)[None, :], (n_d, 1)),
+        rtol=1e-2,
+    )
+    print("# flash attention kernel lowers on this backend", flush=True)
+
 
 # --------------------------------------------------------------------------
 # detail cases: the non-flagship model families the driver should track

@@ -825,12 +825,75 @@ def _use_flash_attn(dense_inc) -> bool:
         return False
     from .pallas.attention_kernels import pick_tiles
 
-    if pick_tiles(*dense_inc.shape) is None:
+    if pick_tiles(*dense_inc.shape[-2:]) is None:
         return False
+    import math
+
     return (
         _FLASH_ATTN_MODE == "always"
-        or dense_inc.shape[0] * dense_inc.shape[1] >= _FLASH_ATTN_MIN_ENTRIES
+        or math.prod(dense_inc.shape) >= _FLASH_ATTN_MIN_ENTRIES
     )
+
+
+@jax.custom_vjp
+def _flash_blocks_masked_softmax_matmul(ssrc, sdst, msg_table, blocks):
+    """Blocks form of `_flash_masked_softmax_matmul`: the per-graph [bd, bs]
+    kernels run vmapped over the graph axis (Pallas lowers the vmap as a
+    leading grid dimension)."""
+    out, _, _ = _flash_blocks_fwd_impl(ssrc, sdst, msg_table, blocks)
+    return out
+
+
+def _flash_blocks_fwd_impl(ssrc, sdst, msg_table, blocks):
+    from .pallas.attention_kernels import flash_gat_forward, pick_tiles
+
+    g, bd, bs = blocks.shape
+    td, ts = pick_tiles(bd, bs)
+    stab = _flash_stab(ssrc, sdst)
+    out, den = jax.vmap(
+        lambda s1, s2, xx, mm: flash_gat_forward(
+            s1, s2, xx, mm, stab, td=td, ts=ts
+        )
+    )(
+        ssrc.reshape(g, bs), sdst.reshape(g, bd),
+        msg_table.reshape(g, bs, -1), blocks,
+    )
+    return out.reshape(g * bd, -1), den, stab
+
+
+def _flash_blocks_fwd(ssrc, sdst, msg_table, blocks):
+    out, den, stab = _flash_blocks_fwd_impl(ssrc, sdst, msg_table, blocks)
+    return out, (ssrc, sdst, msg_table, blocks, out, den, stab)
+
+
+def _flash_blocks_bwd(res, ct):
+    from .pallas.attention_kernels import flash_gat_backward, pick_tiles
+
+    ssrc, sdst, x, blocks, out, den, stab = res
+    g, bd, bs = blocks.shape
+    td, ts = pick_tiles(bd, bs)
+    srow = jnp.sum(
+        ct.astype(jnp.float32) * out.astype(jnp.float32),
+        axis=1, keepdims=True,
+    ).reshape(g, bd, 1)
+    dtab_plus, dsdst = jax.vmap(
+        lambda s1, s2, xx, mm, dd, cc, rr: flash_gat_backward(
+            s1, s2, xx, mm, stab, dd, cc, rr, td=td, ts=ts
+        )
+    )(
+        ssrc.reshape(g, bs), sdst.reshape(g, bd),
+        x.reshape(g, bs, -1), blocks, den,
+        ct.reshape(g, bd, -1), srow,
+    )
+    return (
+        dtab_plus[:, :, -1].reshape(g * bs).astype(ssrc.dtype),
+        dsdst[:, :, 0].reshape(g * bd).astype(sdst.dtype),
+        dtab_plus[:, :, :-1].reshape(g * bs, -1).astype(x.dtype),
+        None,
+    )
+
+
+_flash_blocks_masked_softmax_matmul.defvjp(_flash_blocks_fwd, _flash_blocks_bwd)
 
 
 def _bdot(a, b, dims, dtype):
@@ -952,7 +1015,18 @@ def dense_attention_aggregate_blocks(
     dtype = msg_table.dtype
     ssrc = _dot(msg_table @ kernel1, a1, ((1,), (0,)), dtype)[:, 0]
     sdst = _dot(dst_states @ kernel2, a2, ((1,), (0,)), dtype)[:, 0]
-    out = _blocks_masked_softmax_matmul(
+    # blocks attention KEEPS the XLA factored path by default: the vmapped
+    # flash kernels measured slightly SLOWER at both tested block sizes
+    # (G=4 x 2.1M entries: 7.9 vs 7.4 ms/step; G=2 x 8.4M: 8.6 vs 8.4) —
+    # XLA's batched fused softmax+matmul is already strong on per-graph
+    # blocks, and the per-graph matrices sidestep the single-matrix
+    # memory blowup the flash path exists for. Opt-in for A/B only.
+    fn = (
+        _flash_blocks_masked_softmax_matmul
+        if _FLASH_ATTN_MODE == "always" and _use_flash_attn(blocks[0])
+        else _blocks_masked_softmax_matmul
+    )
+    out = fn(
         ssrc[: g * bs], sdst[: g * bd], msg_table[: g * bs], blocks
     )
     if n_dst_pad > g * bd:

@@ -83,6 +83,50 @@ def test_dispatch_gates():
     assert not seg._use_flash_attn(m_small)  # CPU (and below min entries)
 
 
+def test_blocks_flash_matches_blocks_path():
+    """The vmapped blocks flash kernels (opt-in, kept for A/B) match the
+    XLA blocks path for values and gradients."""
+    rng = np.random.default_rng(7)
+    g, bd, bs, d = 3, 16, 128, 8
+    m = (rng.random((g, bd, bs)) < 0.08).astype(np.float32)
+    m *= rng.integers(1, 3, (g, bd, bs))
+    m = jnp.asarray(m, jnp.bfloat16)
+    ssrc = jnp.asarray(rng.standard_normal(g * bs), jnp.float32)
+    sdst = jnp.asarray(rng.standard_normal(g * bd), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((g * bs, d)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((g * bd, d)), jnp.float32)
+
+    # interpret mode on CPU: patch the kernel entry points
+    import functools
+    import ignnition_tpu.ops.pallas.attention_kernels as ak
+
+    orig_f, orig_b = ak.flash_gat_forward, ak.flash_gat_backward
+    ak_fwd = functools.partial(orig_f.__wrapped__, interpret=True)
+    ak_bwd = functools.partial(orig_b.__wrapped__, interpret=True)
+    try:
+        ak.flash_gat_forward = ak_fwd
+        ak.flash_gat_backward = ak_bwd
+
+        def l_ref(*a):
+            return jnp.sum(seg._blocks_masked_softmax_matmul(*a, m) * ct)
+
+        def l_flash(*a):
+            return jnp.sum(seg._flash_blocks_masked_softmax_matmul(*a, m) * ct)
+
+        np.testing.assert_allclose(
+            float(l_flash(ssrc, sdst, x)), float(l_ref(ssrc, sdst, x)),
+            rtol=1e-5,
+        )
+        g1 = jax.grad(l_ref, argnums=(0, 1, 2))(ssrc, sdst, x)
+        g2 = jax.grad(l_flash, argnums=(0, 1, 2))(ssrc, sdst, x)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-5)
+    finally:
+        ak.flash_gat_forward = orig_f
+        ak.flash_gat_backward = orig_b
+
+
 def test_legacy_and_factored_backward_agree():
     """The round-4 matmul-factored XLA backward equals the materializing
     legacy backward (IGNNITION_TPU_DENSE_ATTN_BWD=legacy A/B toggle)."""
