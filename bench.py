@@ -196,7 +196,7 @@ def _assert_pallas_lowers():
     x = jnp.tile(jnp.arange(32, dtype=jnp.bfloat16)[None, :], (n_s, 1))
     o, _ = flash_gat_forward(
         jnp.zeros((n_s,), jnp.float32), jnp.zeros((n_d,), jnp.float32),
-        x, jnp.ones((n_d, n_s), jnp.bfloat16), jnp.zeros((), jnp.float32),
+        x, jnp.ones((n_d, n_s), jnp.bfloat16), jnp.zeros((n_d,), jnp.float32),
         td=8, ts=128,
     )
     np.testing.assert_allclose(

@@ -22,10 +22,12 @@ multiplicity-weighted support):
             w = a * LeakyReLU'(pre). srow rides the saved forward output
             (sum_s dA*A = ct.out — the flash softmax-VJP row statistic).
 
-Stabilization uses the GLOBAL score bound lrelu(max sdst + max ssrc)
-(monotonicity — computable from the per-node score vectors alone), the
-same global-shift tradeoff `sorted_segment_softmax` documents as exact for
-GAT score ranges; exp(e - stab) <= 1 never overflows.
+Stabilization uses the PER-ROW score bound lrelu(sdst[d] + max ssrc)
+(monotonicity — computable from the per-node score vectors alone, no pass
+over the matrix): exact in the sdst spread, and only an ssrc spread past
+the ~88-nat exp budget can underflow a row — the same exposure class
+`sorted_segment_softmax` documents as exact for GAT score ranges;
+exp(e - stab) <= 1 never overflows.
 
 Constraints: n_dst divisible by 8 and n_src by 128 (tile split picks the
 largest legal [TD, TS]); callers fall back to the XLA dense path otherwise
@@ -58,17 +60,19 @@ def pick_tiles(n_dst: int, n_src: int):
     return None if td is None or ts is None else (td, ts)
 
 
-def _tile_z(sdst_t, ssrc_t, m_t, stab):
+def _tile_z(sdst_t, ssrc_t, m_t, stab_t):
     """z = m * exp(lrelu(sdst+ssrc) - stab) for one [TD, TS] tile, f32.
 
     The kernels are VPU-bound on this chain (33.5M entries x 15 passes at
-    flagship scale), so it is kept minimal: stab >= every e by construction
-    (global lrelu(max+max) bound), hence exp(e - stab) <= 1 — finite — and
-    the absent-edge mask needs no select, the m multiply alone zeroes it
-    (no inf * 0 hazard, unlike per-row-max stabilization)."""
+    flagship scale), so it is kept minimal: stab is the PER-ROW bound
+    lrelu(sdst + max ssrc) >= every e in the row (so the sdst spread can
+    never underflow a row — only an >~88-nat ssrc spread can, the exposure
+    class sorted_segment_softmax documents as exact for GAT ranges), hence
+    exp(e - stab) <= 1 — finite — and the absent-edge mask needs no
+    select, the m multiply alone zeroes it (no inf * 0 hazard)."""
     pre = sdst_t + ssrc_t  # (TD,1)+(1,TS) broadcast
     e = jnp.maximum(pre, _SLOPE * pre)  # lrelu, branch-free (slope < 1)
-    return jnp.exp(e - stab) * m_t.astype(jnp.float32), pre
+    return jnp.exp(e - stab_t) * m_t.astype(jnp.float32), pre
 
 
 def _prec(dtype):
@@ -92,7 +96,7 @@ def _fwd_kernel(stab_ref, sdst_ref, ssrc_ref, xe_ref, m_ref,
         acc[:, :] = jnp.zeros_like(acc)
 
     z, _ = _tile_z(sdst_ref[:, :], ssrc_ref[:, :], m_ref[:, :],
-                   stab_ref[0, 0])
+                   stab_ref[:, :])
     acc[:, :] += jax.lax.dot_general(
         z.astype(xe_ref.dtype), xe_ref[:, :],
         (((1,), (0,)), ((), ())),
@@ -111,7 +115,8 @@ def _fwd_kernel(stab_ref, sdst_ref, ssrc_ref, xe_ref, m_ref,
 
 @functools.partial(jax.jit, static_argnames=("td", "ts", "interpret"))
 def flash_gat_forward(ssrc, sdst, x, m, stab, td, ts, interpret=False):
-    """(out [n_dst, D], den [n_dst, 1] f32)."""
+    """(out [n_dst, D], den [n_dst, 1] f32). `stab` is the [n_dst] per-row
+    score bound (segment.py _flash_stab)."""
     n_dst, n_src = m.shape
     d = x.shape[1]
     xe = jnp.concatenate([x, jnp.ones((n_src, 1), x.dtype)], axis=1)
@@ -121,8 +126,7 @@ def flash_gat_forward(ssrc, sdst, x, m, stab, td, ts, interpret=False):
         grid=grid,
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((td, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((td, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((1, ts), lambda i, j: (0, j)),
             pl.BlockSpec((ts, d + 1), lambda i, j: (j, 0)),
@@ -137,7 +141,8 @@ def flash_gat_forward(ssrc, sdst, x, m, stab, td, ts, interpret=False):
             jax.ShapeDtypeStruct((n_dst, 1), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((td, d + 1), jnp.float32)],
-    )(stab.reshape(1, 1), sdst.reshape(-1, 1).astype(jnp.float32),
+    )(stab.reshape(-1, 1).astype(jnp.float32),
+      sdst.reshape(-1, 1).astype(jnp.float32),
       ssrc.reshape(1, -1).astype(jnp.float32), xe, m)
 
 
@@ -156,7 +161,7 @@ def _bwd_kernel(stab_ref, sdst_ref, ssrc_ref, x_ref, m_ref, den_ref,
         dsdst_ref[:, :] = jnp.zeros_like(dsdst_ref)
 
     z, pre = _tile_z(sdst_ref[:, :], ssrc_ref[:, :], m_ref[:, :],
-                     stab_ref[0, 0])
+                     stab_ref[:, :])
     a = z / jnp.maximum(den_ref[:, :], 1e-30)  # (TD, TS) f32
     ab = a.astype(ct_ref.dtype)
     ct = ct_ref[:, :]
@@ -197,8 +202,7 @@ def flash_gat_backward(ssrc, sdst, x, m, stab, den, ct, srow, td, ts,
         grid=grid,
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((td, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((td, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((1, ts), lambda i, j: (0, j)),
             pl.BlockSpec((ts, d), lambda i, j: (j, 0)),
@@ -215,6 +219,7 @@ def flash_gat_backward(ssrc, sdst, x, m, stab, den, ct, srow, td, ts,
             jax.ShapeDtypeStruct((n_src, d + 1), jnp.float32),
             jax.ShapeDtypeStruct((n_dst, 1), jnp.float32),
         ],
-    )(stab.reshape(1, 1), sdst.reshape(-1, 1).astype(jnp.float32),
+    )(stab.reshape(-1, 1).astype(jnp.float32),
+      sdst.reshape(-1, 1).astype(jnp.float32),
       ssrc.reshape(1, -1).astype(jnp.float32), x, m, den,
       ct.astype(x.dtype), srow)

@@ -760,11 +760,19 @@ _FLASH_ATTN_MIN_ENTRIES = 1 << 22  # below this the XLA path compiles faster
 
 
 def _flash_stab(ssrc, sdst):
-    """Global score bound lrelu(max sdst + max ssrc) >= every e[d, s]
-    (LeakyReLU monotonicity) — the same global-shift stabilization
-    sorted_segment_softmax uses."""
-    s = jnp.max(sdst.astype(jnp.float32)) + jnp.max(ssrc.astype(jnp.float32))
-    s = jax.nn.leaky_relu(s, negative_slope=0.2)
+    """PER-ROW score bound lrelu(sdst[d] + max ssrc) >= every e[d, s]
+    (LeakyReLU monotonicity; [n_dst] vector, no pass over the matrix).
+    Exact in the sdst spread — a destination's own score magnitude can
+    never underflow its row (an all-rows global bound could: a +60-nat
+    sdst outlier on ANOTHER row would push exp(e - stab) below the f32
+    budget and zero that row's output AND gradients) — leaving only the
+    ssrc-spread exposure sorted_segment_softmax documents as exact for
+    GAT score ranges."""
+    sup = jnp.max(ssrc.astype(jnp.float32))
+    sup = jnp.where(jnp.isfinite(sup), sup, 0.0)
+    s = jax.nn.leaky_relu(
+        sdst.astype(jnp.float32) + sup, negative_slope=0.2
+    )
     return jnp.where(jnp.isfinite(s), s, 0.0)
 
 
@@ -849,15 +857,13 @@ def _flash_blocks_fwd_impl(ssrc, sdst, msg_table, blocks):
 
     g, bd, bs = blocks.shape
     td, ts = pick_tiles(bd, bs)
-    stab = _flash_stab(ssrc, sdst)
+    ssrc3, sdst3 = ssrc.reshape(g, bs), sdst.reshape(g, bd)
+    stab = jax.vmap(_flash_stab)(ssrc3, sdst3)  # per graph, per row
     out, den = jax.vmap(
-        lambda s1, s2, xx, mm: flash_gat_forward(
-            s1, s2, xx, mm, stab, td=td, ts=ts
+        lambda s1, s2, xx, mm, st: flash_gat_forward(
+            s1, s2, xx, mm, st, td=td, ts=ts
         )
-    )(
-        ssrc.reshape(g, bs), sdst.reshape(g, bd),
-        msg_table.reshape(g, bs, -1), blocks,
-    )
+    )(ssrc3, sdst3, msg_table.reshape(g, bs, -1), blocks, stab)
     return out.reshape(g * bd, -1), den, stab
 
 
@@ -877,12 +883,12 @@ def _flash_blocks_bwd(res, ct):
         axis=1, keepdims=True,
     ).reshape(g, bd, 1)
     dtab_plus, dsdst = jax.vmap(
-        lambda s1, s2, xx, mm, dd, cc, rr: flash_gat_backward(
-            s1, s2, xx, mm, stab, dd, cc, rr, td=td, ts=ts
+        lambda s1, s2, xx, mm, st, dd, cc, rr: flash_gat_backward(
+            s1, s2, xx, mm, st, dd, cc, rr, td=td, ts=ts
         )
     )(
         ssrc.reshape(g, bs), sdst.reshape(g, bd),
-        x.reshape(g, bs, -1), blocks, den,
+        x.reshape(g, bs, -1), blocks, stab, den,
         ct.reshape(g, bd, -1), srow,
     )
     return (

@@ -246,18 +246,28 @@ def locality_order(
         ent_id[offs[ent] : offs[ent] + ent_sizes[ent]] = i
 
     if n_model is not None and n_model >= 2:
-        # Two candidate layouts — the BFS+barycenter coordinate and the
-        # input order itself (an already-well-numbered dataset should never
-        # get WORSE) — each block-refined; keep whichever cuts fewer edges.
+        # Three candidate layouts — BFS+barycenter refined, the input order
+        # refined, and the input order UNREFINED — keep whichever cuts
+        # fewer edges. The unrefined-identity candidate makes never-worse
+        # unconditional: refinement's paired-swap gains are evaluated on
+        # per-pass counts (stale after moves) and double-count a shared
+        # edge between two swapped same-entity neighbors, so on
+        # non-bipartite adjacencies a refined layout CAN exceed the input
+        # cut (bipartite graphs measured safe across a 360-config sweep).
         identity = np.arange(n, dtype=np.float64)
         best = None
-        for base in (coord, identity):
+        for base, passes in (
+            (coord, refine_passes),
+            (identity, refine_passes),
+            (identity, 0),
+        ):
             blk = _membership(
                 base, entities, offs, ent_sizes, n_model, node_pad
             )
-            blk = _refine_blocks(
-                blk, u, v, ent_id, len(entities), n_model, refine_passes
-            )
+            if passes:
+                blk = _refine_blocks(
+                    blk, u, v, ent_id, len(entities), n_model, passes
+                )
             cut = int(np.count_nonzero(blk[u] != blk[v]))
             if best is None or cut < best[0]:
                 best = (cut, blk, base)

@@ -548,12 +548,9 @@ class Trainer:
                 # pure function of row order, and the renumbering is an
                 # exactness-preserving permutation (parallel/locality.py;
                 # losses/gradients identical, tests/test_locality.py)
-                from ..parallel.locality import reorder_sample
-
-                n_model = mesh.shape["model"]
-                transform = lambda s: reorder_sample(  # noqa: E731
-                    s, self.ir, n_model=n_model
-                )[0]
+                transform = self._locality_transform(
+                    mesh.shape["model"], batch_size
+                )
             batch_iter = self._destshard_batch_iter(
                 data_dir, batch_size, mesh, shuffle,
                 workers=input_workers, cache=cache_batches,
@@ -689,6 +686,52 @@ class Trainer:
             if len(group) == n_accum:
                 yield stack_batches(group, self.ir)
                 group = []
+
+    def _locality_transform(self, n_model: int, batch_size: int) -> Callable:
+        """Per-sample locality renumbering with a content-keyed memo: epochs
+        re-yield the SAME samples as fresh objects, and the O(E) ordering
+        pipeline is a pure function of (adjacencies, n_model) — recomputing
+        it every epoch would tax the input threads for nothing. For
+        single-sample batches the entity pad sizes are forwarded so block
+        refinement splits exactly where partition_batch's padded ceil-split
+        will; merged multi-graph batches pass no node_pad (their block
+        boundaries depend on the merge, and mostly align with graph
+        boundaries anyway)."""
+        import hashlib
+
+        from ..parallel.locality import locality_order, reorder_sample
+
+        memo: Dict[bytes, Dict[str, np.ndarray]] = {}
+
+        def key_of(s) -> bytes:
+            h = hashlib.blake2b(digest_size=16)
+            for name in sorted(s.adjacencies):
+                arrs = s.adjacencies[name]
+                h.update(name.encode())
+                h.update(np.ascontiguousarray(arrs.src_idx).tobytes())
+                h.update(np.ascontiguousarray(arrs.dst_idx).tobytes())
+            for ent in sorted(s.num_nodes):
+                h.update(f"{ent}={s.num_nodes[ent]};".encode())
+            return h.digest()
+
+        def transform(s):
+            k = key_of(s)
+            orders = memo.get(k)
+            if orders is None:
+                node_pad = None
+                if batch_size == 1:
+                    node_pad = {
+                        ent: self.padding.pad_size(n)
+                        for ent, n in s.num_nodes.items()
+                    }
+                orders = locality_order(
+                    s, self.ir, n_model=n_model, node_pad=node_pad
+                )
+                if len(memo) < 4096:  # bound host memory on huge datasets
+                    memo[k] = orders
+            return reorder_sample(s, self.ir, orders=orders)[0]
+
+        return transform
 
     def _sharded_batch_iter(
         self, data_dir, batch_size, mesh, shuffle, workers=1, cache=False,

@@ -242,14 +242,20 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                     # movement, the same best-available-lowering convention
                     # the slot paths set in round 3
                     from ..data.graph import (
-                        _DENSE_INC_MAX_ENTRIES, dense_agg_adjacencies,
+                        _DENSE_INC_MAX_ENTRIES, _DENSE_INC_MIN_EDGES,
+                        dense_agg_adjacencies,
                     )
 
-                    dense_ok = src.adj_name in dense_agg_adjacencies(
-                        model_ir
-                    ) and (
-                        src.adj_name in dict(meta.inc_blocks)
-                        or n_d * n_s <= _DENSE_INC_MAX_ENTRIES
+                    # both data-layer gates: the entry cap AND the minimum
+                    # edge count below which the matrix is never emitted
+                    # (graph.py _DENSE_INC_MIN_EDGES)
+                    dense_ok = (
+                        src.adj_name in dense_agg_adjacencies(model_ir)
+                        and E >= _DENSE_INC_MIN_EDGES
+                        and (
+                            src.adj_name in dict(meta.inc_blocks)
+                            or n_d * n_s <= _DENSE_INC_MAX_ENTRIES
+                        )
                     )
                     if not dense_ok:
                         c.gather_rows += 2 * E * iters
@@ -287,10 +293,14 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                     # read per pass is INSIDE that calibrated constant,
                     # so no separate bytes item is added)
                     from ..data.graph import (
-                        _DENSE_INC_MAX_ENTRIES, dense_agg_adjacencies,
+                        _DENSE_INC_MAX_ENTRIES, _DENSE_INC_MIN_EDGES,
+                        dense_agg_adjacencies,
                     )
 
-                    if src.adj_name in dense_agg_adjacencies(model_ir):
+                    if (
+                        src.adj_name in dense_agg_adjacencies(model_ir)
+                        and E >= _DENSE_INC_MIN_EDGES
+                    ):
                         blk = dict(meta.inc_blocks).get(src.adj_name)
                         entries = (
                             blk[0] * blk[1] * blk[2] if blk else n_d * n_s

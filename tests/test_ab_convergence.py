@@ -53,15 +53,19 @@ def test_final_accuracy_matches(ab_result):
     training-loss average gets the tighter bound."""
     r_ref = ab_result["reference"]["metrics"]
     r_got = ab_result["repo"]["metrics"]
-    if r_ref["r2"] > 0.5:
-        # mid-convergence R² still moves fast; compare only when the
-        # reference run converged this time (TF threading makes ~1-in-N
-        # runs plateau at a few hundred steps — the trajectory test above
-        # still binds those runs, step for step)
-        assert abs(r_got["r2"] - r_ref["r2"]) < 0.06, (r_got, r_ref)
     l_ref = ab_result["reference"]["final_loss_mean_last50"]
     l_got = ab_result["repo"]["final_loss_mean_last50"]
     assert abs(l_got - l_ref) < 0.15 * max(abs(l_ref), 1e-9), (l_got, l_ref)
+    if r_ref["r2"] <= 0.5:
+        # LOUD skip, not a silent pass: TF threading makes ~1-in-N runs
+        # plateau at a few hundred steps; the trajectory test above still
+        # binds those runs step for step, and a PERSISTENT reference
+        # regression shows up as accumulating skips in the report
+        pytest.skip(
+            f"reference run plateaued this time (R²={r_ref['r2']:.3f}); "
+            "trajectory + loss bounds still asserted"
+        )
+    assert abs(r_got["r2"] - r_ref["r2"]) < 0.06, (r_got, r_ref)
 
 
 def test_repo_step_not_slower(ab_result):

@@ -70,6 +70,38 @@ def test_backward_matches_dense_path_grads(shape):
                                np.asarray(g_sdst), rtol=2e-4, atol=2e-5)
 
 
+def test_score_outliers_do_not_underflow_rows():
+    """Regression (round-4 review): a +60-nat sdst outlier on ONE row plus a
+    +60-nat ssrc outlier outside another row's support used to push a
+    GLOBAL stab bound past the exp budget and zero that row's output; the
+    per-row bound lrelu(sdst[d] + max ssrc) keeps every row exact vs the
+    per-row-max XLA dense path."""
+    rng = np.random.default_rng(11)
+    n_dst, n_src, d = 16, 128, 8
+    m = np.zeros((n_dst, n_src), np.float32)
+    # row 0 connects only to low-score sources; row 1 owns the outliers
+    m[0, 1:9] = 1.0
+    m[1, 0] = 1.0
+    for i in range(2, n_dst):
+        m[i, rng.integers(1, n_src, 6)] = 1.0
+    m = jnp.asarray(m, jnp.bfloat16)
+    ssrc = np.asarray(rng.standard_normal(n_src), np.float32)
+    ssrc[0] = 60.0  # outlier source, only in row 1's support
+    sdst = np.asarray(rng.standard_normal(n_dst), np.float32)
+    sdst[1] = 60.0  # outlier destination
+    ssrc, sdst = jnp.asarray(ssrc), jnp.asarray(sdst)
+    x = jnp.asarray(rng.standard_normal((n_src, d)), jnp.float32)
+
+    td, ts = pick_tiles(n_dst, n_src)
+    stab = seg._flash_stab(ssrc, sdst)
+    out, den = flash_gat_forward(ssrc, sdst, x, m, stab, td=td, ts=ts,
+                                 interpret=True)
+    ref = seg._dense_masked_softmax_matmul(ssrc, sdst, x, m)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    assert float(jnp.min(den)) > 0.0  # no row underflowed to zero support
+
+
 def test_pick_tiles():
     assert pick_tiles(2048, 16384) == (256, 1024)
     assert pick_tiles(40, 384) == (8, 128)
@@ -125,6 +157,50 @@ def test_blocks_flash_matches_blocks_path():
     finally:
         ak.flash_gat_forward = orig_f
         ak.flash_gat_backward = orig_b
+
+
+def test_factored_backward_adds_no_bf16_error():
+    """Round-4 review concern: the factored backward's difference-of-
+    near-equal-matmuls form could amplify bf16 quantization where the
+    legacy elementwise (da - s_row) form would not. Measured: the two are
+    EQUAL to ~1e-3 relative in bf16 even in the worst (near-uniform
+    attention) regime — the bf16 error both share comes from the quantized
+    score inputs upstream, not the backward's algebra."""
+    import os
+
+    rng = np.random.default_rng(2)
+    n_dst, n_src, d = 64, 256, 16
+    m = jnp.asarray(
+        (rng.random((n_dst, n_src)) < 0.05).astype(np.float32), jnp.bfloat16
+    )
+    # near-uniform: tiny scores make (da - s_row) maximally cancellation-prone
+    ssrc = jnp.asarray(0.01 * rng.standard_normal(n_src), jnp.bfloat16)
+    sdst = jnp.asarray(0.01 * rng.standard_normal(n_dst), jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((n_src, d)), jnp.bfloat16)
+    ct = jnp.asarray(rng.standard_normal((n_dst, d)), jnp.float32)
+
+    def grads(a, b, c):
+        return jax.grad(
+            lambda s1, s2, xx: jnp.sum(
+                seg._dense_masked_softmax_matmul(s1, s2, xx, m).astype(
+                    jnp.float32
+                ) * ct
+            ),
+            argnums=(0, 1, 2),
+        )(a, b, c)
+
+    g_fac = grads(ssrc, sdst, x)
+    os.environ["IGNNITION_TPU_DENSE_ATTN_BWD"] = "legacy"
+    try:
+        g_leg = grads(ssrc, sdst, x)
+    finally:
+        del os.environ["IGNNITION_TPU_DENSE_ATTN_BWD"]
+    for a, b in zip(g_fac, g_leg):
+        af, bf = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = max(np.abs(bf).max(), 1e-9)
+        # within a couple of bf16 output ulps — NOT the orders-of-magnitude
+        # amplification the cancellation scenario predicted
+        assert np.abs(af - bf).max() / scale < 6e-3
 
 
 def test_legacy_and_factored_backward_agree():
