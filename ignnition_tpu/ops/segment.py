@@ -755,8 +755,10 @@ _dense_masked_softmax_matmul.defvjp(_dmsm_fwd, _dmsm_bwd)
 # streams the incidence matrix once per pass with all [TD, TS] attention
 # tiles VMEM-resident: no [n_dst, n_src] HBM materialization at all.
 _FLASH_ATTN_MODE = os.environ.get("IGNNITION_TPU_FLASH_ATTN", "auto")
-_FLASH_ATTN_MIN_ENTRIES = 1 << 22  # below this the XLA path compiles faster
-# and the matrix round-trips it saves are too small to matter
+# single-matrix break-even (v5e, isolated fwd+bwd): flash wins 2.2-2.9x from
+# ~2M entries up (2.1M: 0.085 vs 0.190 ms; 8.4M: 0.136 vs 0.391); below
+# ~1M the op is dispatch-dominated and the XLA path compiles faster
+_FLASH_ATTN_MIN_ENTRIES = 1 << 21
 
 
 def _flash_stab(ssrc, sdst):
