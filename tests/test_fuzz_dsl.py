@@ -513,7 +513,7 @@ def test_fuzzed_parallel_step_matches_serial(seed):
     from ignnition_tpu.parallel import (
         make_mesh, make_parallel_train_step, stack_batches,
     )
-    from ignnition_tpu.training import build_optimizer, get_loss
+    from ignnition_tpu.training import get_loss
 
     rng = np.random.default_rng(2000 + seed)
     desc, entities, adjacencies, patterns = random_description(rng)
@@ -539,7 +539,13 @@ def test_fuzzed_parallel_step_matches_serial(seed):
     model = build(model_ir)
     params = model.init(jax.random.PRNGKey(seed))
     loss_fn = get_loss(model_ir.learning.loss)
-    opt = build_optimizer(model_ir.learning.optimizer)
+    # SGD(1.0): the post-step param delta IS the gradient. Comparing after
+    # an ADAM step instead amplifies fp-order gradient noise to O(lr) on
+    # leaves whose true gradient is structurally ~zero (e.g. attention
+    # score kernels when most in-degrees are 1 — softmax over one edge is
+    # score-independent), flaking on rare seeds; the optimizer plumbing is
+    # optimizer-agnostic and covered by the integration tests
+    opt = optax.sgd(1.0)
     opt_state = opt.init(params)
 
     stacked, meta = stack_batches(batches, model_ir)
@@ -582,7 +588,7 @@ def test_fuzzed_edgeshard_step_matches_serial(seed):
     from ignnition_tpu.parallel import (
         make_edgeshard_train_step, make_mesh, partition_batch,
     )
-    from ignnition_tpu.training import build_optimizer, get_loss
+    from ignnition_tpu.training import get_loss
 
     rng = np.random.default_rng(3000 + seed)
     desc, entities, adjacencies, patterns = random_description(rng)
@@ -606,7 +612,9 @@ def test_fuzzed_edgeshard_step_matches_serial(seed):
     model = build(model_ir)
     params = model.init(jax.random.PRNGKey(seed))
     loss_fn = get_loss(model_ir.learning.loss)
-    opt = build_optimizer(model_ir.learning.optimizer)
+    # SGD(1.0): the delta IS the gradient (see the parallel fuzz test for
+    # why comparing after an Adam step flakes on rare seeds)
+    opt = optax.sgd(1.0)
 
     stacked, local_meta = partition_batch(arrays, meta, model_ir, 2)
     mesh = make_mesh(data=1, model=2)
@@ -615,11 +623,17 @@ def test_fuzzed_edgeshard_step_matches_serial(seed):
         params, opt.init(params), {k: v[None] for k, v in stacked.items()}
     )
 
-    def serial_loss(p):
+    def serial_data_loss(p):
         preds = model.apply(p, arrays, meta, training=True)
-        return loss_fn(arrays["label"], preds, arrays["label_mask"]) + \
-            model.regularization_loss(p)
+        return loss_fn(arrays["label"], preds, arrays["label_mask"])
 
+    def serial_loss(p):
+        return serial_data_loss(p) + model.regularization_loss(p)
+
+    np.testing.assert_allclose(
+        float(loss_sharded), float(serial_data_loss(params)), rtol=2e-4,
+        err_msg=f"seed {seed}\n" + json.dumps(desc)[:1500],
+    )
     grads = jax.grad(serial_loss)(params)
     updates, _ = opt.update(grads, opt.init(params), params)
     p_serial = optax.apply_updates(params, updates)
