@@ -65,14 +65,17 @@ class HardwareSpec:
     gather_ns_per_row: float = float(
         os.environ.get("IGNNITION_TPU_GATHER_NS", 2.0)
     )
-    # measured per-entry-per-pass cost of the dense GAT softmax (the flash
-    # kernel's score/exp VPU chain + its one incidence-matrix read,
-    # calibrated end-to-end: 0.21 ms / 33.5M entries isolated forward on
-    # v5e — PERF.md 'Dense attention at its floor'). The dense-attention
-    # lowering is VPU-bound, a resource the two-resource roofline cannot
-    # see; this term carries it into apsol for dense-eligible attention
+    # measured per-entry-per-pass cost of the dense GAT softmax, calibrated
+    # from the isolated flash kernels on v5e (min-of-trials; PERF.md
+    # 'Dense attention at its floor'): forward 2.38 ps/entry — the 2-byte
+    # incidence read AT HBM bandwidth, the score/exp VPU chain fully hidden
+    # under the DMA — and backward ~6.7 ps/entry (tile recompute + three
+    # VMEM matmul passes); 4.55 ps/entry averaged over the two passes per
+    # iteration. A cost the two-resource roofline cannot see (the matrix
+    # bytes alone under-count the backward); carried into apsol for
+    # dense-eligible attention
     dense_attn_ps_per_entry: float = float(
-        os.environ.get("IGNNITION_TPU_DENSE_ATTN_PS", 6.3)
+        os.environ.get("IGNNITION_TPU_DENSE_ATTN_PS", 4.55)
     )
 
 
