@@ -53,10 +53,22 @@ def _pick(n, cands):
     return None
 
 
-def pick_tiles(n_dst: int, n_src: int):
-    """Largest legal [TD, TS] split, or None if the shape is ineligible."""
-    td = _pick(n_dst, (256, 128, 64, 32, 16, 8))
-    ts = _pick(n_src, (1024, 512, 256, 128))
+def pick_tiles(n_dst: int, n_src: int, dtype=None):
+    """Preferred legal [TD, TS] split, or None if the shape is ineligible.
+
+    Tuned on v5e at [2048, 16384] (min-of-trials, isolated fwd+bwd per
+    iteration, bf16): (512, 2048) 0.33 ms < (512, 1024) 0.40 <
+    (256, 1024) 0.74 — bigger dst tiles amortize the per-tile MXU setup
+    of the backward's D=32 contractions, bigger src tiles its accumulator
+    slicing. f32 keeps the smaller (256, 1024) split: the f32 backward's
+    per-tile intermediates at (512, 2048) exceed scoped VMEM by a hair
+    (16.02M vs the 16M limit)."""
+    if dtype is not None and jnp.dtype(dtype) == jnp.float32:
+        td = _pick(n_dst, (256, 128, 64, 32, 16, 8))
+        ts = _pick(n_src, (1024, 512, 256, 128))
+    else:
+        td = _pick(n_dst, (512, 256, 128, 64, 32, 16, 8))
+        ts = _pick(n_src, (2048, 1024, 512, 256, 128))
     return None if td is None or ts is None else (td, ts)
 
 

@@ -791,7 +791,8 @@ def _flash_masked_softmax_matmul(ssrc, sdst, msg_table, dense_inc):
 def _flash_fwd_impl(ssrc, sdst, msg_table, dense_inc):
     from .pallas.attention_kernels import flash_gat_forward, pick_tiles
 
-    td, ts = pick_tiles(*dense_inc.shape)  # dispatch guarantees eligibility
+    # dispatch guarantees eligibility; tiles are dtype-aware (f32 VMEM)
+    td, ts = pick_tiles(*dense_inc.shape, dtype=msg_table.dtype)
     stab = _flash_stab(ssrc, sdst)
     out, den = flash_gat_forward(
         ssrc, sdst, msg_table, dense_inc, stab, td=td, ts=ts
@@ -808,7 +809,7 @@ def _flash_bwd(res, ct):
     from .pallas.attention_kernels import flash_gat_backward, pick_tiles
 
     ssrc, sdst, x, m, out, den, stab = res
-    td, ts = pick_tiles(*m.shape)
+    td, ts = pick_tiles(*m.shape, dtype=x.dtype)
     # sum_s dA[d,s] A[d,s] = ct[d].out[d] — the flash softmax-VJP statistic
     srow = jnp.sum(
         ct.astype(jnp.float32) * out.astype(jnp.float32),
@@ -858,7 +859,7 @@ def _flash_blocks_fwd_impl(ssrc, sdst, msg_table, blocks):
     from .pallas.attention_kernels import flash_gat_forward, pick_tiles
 
     g, bd, bs = blocks.shape
-    td, ts = pick_tiles(bd, bs)
+    td, ts = pick_tiles(bd, bs, dtype=msg_table.dtype)
     ssrc3, sdst3 = ssrc.reshape(g, bs), sdst.reshape(g, bd)
     stab = jax.vmap(_flash_stab)(ssrc3, sdst3)  # per graph, per row
     out, den = jax.vmap(
@@ -879,7 +880,7 @@ def _flash_blocks_bwd(res, ct):
 
     ssrc, sdst, x, blocks, out, den, stab = res
     g, bd, bs = blocks.shape
-    td, ts = pick_tiles(bd, bs)
+    td, ts = pick_tiles(bd, bs, dtype=x.dtype)
     srow = jnp.sum(
         ct.astype(jnp.float32) * out.astype(jnp.float32),
         axis=1, keepdims=True,

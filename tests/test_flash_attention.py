@@ -103,7 +103,7 @@ def test_score_outliers_do_not_underflow_rows():
 
 
 def test_pick_tiles():
-    assert pick_tiles(2048, 16384) == (256, 1024)
+    assert pick_tiles(2048, 16384) == (512, 2048)
     assert pick_tiles(40, 384) == (8, 128)
     assert pick_tiles(7, 256) is None  # dst not divisible by 8
     assert pick_tiles(64, 100) is None  # src not divisible by 128
