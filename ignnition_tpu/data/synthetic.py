@@ -104,6 +104,32 @@ def make_routenet_sample(
     return sample
 
 
+def _write_archives(
+    directory: str,
+    make_sample,
+    num_archives: int,
+    samples_per_archive: int,
+    seed: int,
+    **sample_kw,
+) -> None:
+    """Shared writer: `num_archives` tar.gz files of `samples_per_archive`
+    samples each, one `data.json` member per archive — the dataset layout
+    data/dataset.py consumes (the migration tooling batches 100 samples per
+    archive, reference migrate.py:119-127)."""
+    os.makedirs(directory, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for a in range(num_archives):
+        samples = [
+            make_sample(rng, **sample_kw) for _ in range(samples_per_archive)
+        ]
+        payload = json.dumps(samples).encode()
+        path = os.path.join(directory, f"sample_{a}.tar.gz")
+        with tarfile.open(path, "w:gz") as tar:
+            info = tarfile.TarInfo("data.json")
+            info.size = len(payload)
+            tar.addfile(info, BytesIO(payload))
+
+
 def write_dataset(
     directory: str,
     num_archives: int = 2,
@@ -112,22 +138,10 @@ def write_dataset(
     with_nodes: bool = False,
     **sample_kw,
 ) -> None:
-    """Write `num_archives` tar.gz files of `samples_per_archive` samples each
-    (the migration tooling batches 100 samples per archive,
-    reference migrate.py:119-127)."""
-    os.makedirs(directory, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    for a in range(num_archives):
-        samples = [
-            make_routenet_sample(rng, with_nodes=with_nodes, **sample_kw)
-            for _ in range(samples_per_archive)
-        ]
-        payload = json.dumps(samples).encode()
-        path = os.path.join(directory, f"sample_{a}.tar.gz")
-        with tarfile.open(path, "w:gz") as tar:
-            info = tarfile.TarInfo("data.json")
-            info.size = len(payload)
-            tar.addfile(info, BytesIO(payload))
+    _write_archives(
+        directory, make_routenet_sample, num_archives, samples_per_archive,
+        seed, with_nodes=with_nodes, **sample_kw,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -199,19 +213,10 @@ def write_graphprop_dataset(
     seed: int = 0,
     **sample_kw,
 ) -> None:
-    os.makedirs(directory, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    for a in range(num_archives):
-        samples = [
-            make_graphprop_sample(rng, **sample_kw)
-            for _ in range(samples_per_archive)
-        ]
-        payload = json.dumps(samples).encode()
-        path = os.path.join(directory, f"sample_{a}.tar.gz")
-        with tarfile.open(path, "w:gz") as tar:
-            info = tarfile.TarInfo("data.json")
-            info.size = len(payload)
-            tar.addfile(info, BytesIO(payload))
+    _write_archives(
+        directory, make_graphprop_sample, num_archives, samples_per_archive,
+        seed, **sample_kw,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -269,19 +274,10 @@ def write_linkpred_dataset(
     seed: int = 0,
     **sample_kw,
 ) -> None:
-    os.makedirs(directory, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    for a in range(num_archives):
-        samples = [
-            make_linkpred_sample(rng, **sample_kw)
-            for _ in range(samples_per_archive)
-        ]
-        payload = json.dumps(samples).encode()
-        path = os.path.join(directory, f"sample_{a}.tar.gz")
-        with tarfile.open(path, "w:gz") as tar:
-            info = tarfile.TarInfo("data.json")
-            info.size = len(payload)
-            tar.addfile(info, BytesIO(payload))
+    _write_archives(
+        directory, make_linkpred_sample, num_archives, samples_per_archive,
+        seed, **sample_kw,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -343,16 +339,7 @@ def write_gat_dataset(
     seed: int = 0,
     **sample_kw,
 ) -> None:
-    os.makedirs(directory, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    for a in range(num_archives):
-        samples = [
-            make_gat_sample(rng, **sample_kw)
-            for _ in range(samples_per_archive)
-        ]
-        payload = json.dumps(samples).encode()
-        path = os.path.join(directory, f"sample_{a}.tar.gz")
-        with tarfile.open(path, "w:gz") as tar:
-            info = tarfile.TarInfo("data.json")
-            info.size = len(payload)
-            tar.addfile(info, BytesIO(payload))
+    _write_archives(
+        directory, make_gat_sample, num_archives, samples_per_archive,
+        seed, **sample_kw,
+    )

@@ -16,8 +16,8 @@ import pytest
 import yaml
 
 import ignnition_tpu as ig
-from ignnition_tpu.data import SampleSpec, build_batch, convert_sample, iter_samples
-from ignnition_tpu.data.synthetic import make_gat_sample, write_gat_dataset
+from ignnition_tpu.data import SampleSpec, build_batch, iter_samples
+from ignnition_tpu.data.synthetic import write_gat_dataset
 from ignnition_tpu.frontend import parser
 from ignnition_tpu.model import build
 

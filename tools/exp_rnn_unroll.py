@@ -13,7 +13,9 @@ object, so no stale-trace hazard):
   d) python loop, no checkpoint (AD saves gates per step — measures
      whether remat still pays once the loop is unrolled)
 
-Usage: python tools/exp_rnn_unroll.py [flagship|qsize]
+Measured (v5e, flagship, PERF.md 'Failed experiments'): a/b/c within run
+noise (7.55/7.58/7.48 ms); d regresses to 8.34 — the scan steps' cost is
+gate compute + state round-trips, not loop overhead, and remat still pays.
 """
 
 import os
@@ -66,9 +68,7 @@ def python_loop(spec, params, xs, lengths, init_state, remat=True):
 def run(name, fn):
     RNN.masked_update_stacked = fn
     try:
-        make_step, params, opt_state, arrays, eps = build_case(
-            mutate=MUTATE
-        )
+        make_step, params, opt_state, arrays, eps = build_case()
         dt = time_step(make_step(jnp.bfloat16), params, opt_state, arrays, iters=40)
         print(f"{name:28s} {dt*1e3:8.2f} ms  {eps/dt/1e6:7.1f} Medges/s", flush=True)
     finally:
@@ -76,10 +76,8 @@ def run(name, fn):
 
 
 if __name__ == "__main__":
-    family = sys.argv[1] if len(sys.argv) > 1 else "flagship"
-    MUTATE = None
     run("a) scan+remat (current)", _orig)
     run("b) scan(unroll=L)+remat", scan_unrolled)
-    run("c) python loop + remat", functools.partial(python_loop))
+    run("c) python loop + remat", python_loop)
     run("d) python loop, no remat",
         functools.partial(python_loop, remat=False))
