@@ -43,11 +43,23 @@ class Model:
     config: RunConfig
 
 
+def _enable_compilation_cache(cfg: RunConfig) -> None:
+    """Point JAX's persistent compilation cache at the configured directory
+    (no-op when unset). Restarted processes then reuse compiled TPU
+    executables instead of repaying the full XLA compile."""
+    d = getattr(cfg, "compilation_cache_dir", None)
+    if d:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", str(d))
+
+
 def create_model(config: str | RunConfig = "./train_options.ini") -> Model:
     """Parse and validate the model description named by the config
     (reference create_model, f_o.py:42-47): infers dataset dimensions from
     the first training archive, then builds the IR."""
     cfg = config if isinstance(config, RunConfig) else RunConfig.from_ini(config)
+    _enable_compilation_cache(cfg)
     dims = find_dataset_dimensions(cfg.train_dataset)
     model_ir = parse_model_file(cfg.json_path, dims)
     return Model(ir=model_ir, config=cfg)
@@ -72,6 +84,7 @@ class Runner:
         destination-sharded halo exchange) for the mesh's model axis — see
         docs/scaling.md."""
         self.model = model
+        _enable_compilation_cache(model.config)  # programmatic-config path
         self.gnn = build(model.ir)
         if padding is None and getattr(model.config, "per_graph_padding", False):
             padding = PaddingConfig(per_graph=True)

@@ -31,6 +31,11 @@ class RunConfig:
     model_dir: str = "./checkpoints"
     debug_dir: str = "./debug_model"
     warm_start_path: Optional[str] = None
+    # extension over the reference: persistent XLA compilation cache
+    # directory. TPU compiles of large models take tens of seconds (minutes
+    # through a remote tunnel); with this set, every process restart after
+    # the first reuses the compiled executables (jax_compilation_cache_dir).
+    compilation_cache_dir: Optional[str] = None
     # [TRAINING_OPTIONS]
     batch_size: int = 3
     train_steps: int = 5_000_000
@@ -83,6 +88,7 @@ class RunConfig:
             "model_dir",
             "debug_dir",
             "warm_start_path",
+            "compilation_cache_dir",
         )
         _INT_KEYS = (
             "batch_size",

@@ -120,3 +120,29 @@ def test_default_section_keys_allowed(tmp_path):
     cfg = RunConfig.from_ini(str(p))
     assert cfg.train_dataset == "/data/train"
     assert cfg.batch_size == 4
+
+
+def test_compilation_cache_dir_wires_jax_config(tmp_path):
+    """[PATHS] compilation_cache_dir parses and the API entry points point
+    JAX's persistent compilation cache at it (api._enable_compilation_cache
+    — restarted processes then reuse compiled TPU executables)."""
+    p = tmp_path / "train_options.ini"
+    cache = tmp_path / "xla_cache"
+    p.write_text(
+        f"[PATHS]\ncompilation_cache_dir = {cache}\n"
+        "[TRAINING_OPTIONS]\nbatch_size = 4\n"
+    )
+    cfg = RunConfig.from_ini(str(p))
+    assert cfg.compilation_cache_dir == str(cache)
+
+    from ignnition_tpu import api
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        api._enable_compilation_cache(cfg)
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+        # unset leaves the current setting alone
+        api._enable_compilation_cache(RunConfig())
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
