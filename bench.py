@@ -19,8 +19,9 @@ import time
 
 import numpy as np
 
-# persistent compilation cache: repeat runs skip the (minutes-long) remote
-# TPU kernel compiles
+# persistent compilation cache (harmless here, useful elsewhere: the axon
+# relay compiles server-side and writes no entries — measured, the dir
+# stays empty — but on direct-attached TPU hosts repeat runs skip compiles)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ignnition_jax_cache")
 
 

@@ -32,9 +32,12 @@ class RunConfig:
     debug_dir: str = "./debug_model"
     warm_start_path: Optional[str] = None
     # extension over the reference: persistent XLA compilation cache
-    # directory. TPU compiles of large models take tens of seconds (minutes
-    # through a remote tunnel); with this set, every process restart after
-    # the first reuses the compiled executables (jax_compilation_cache_dir).
+    # directory. TPU compiles of large models take tens of seconds; with
+    # this set, every process restart after the first reuses the compiled
+    # executables (jax_compilation_cache_dir). Caveat, measured: on
+    # remote-relay backends that compile server-side (e.g. this
+    # environment's tunnel) the cache is inert — no entries are written;
+    # CPU and direct-attached TPU runtimes persist entries normally.
     compilation_cache_dir: Optional[str] = None
     # [TRAINING_OPTIONS]
     batch_size: int = 3
