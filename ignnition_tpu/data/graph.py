@@ -94,6 +94,11 @@ class BatchMeta:
     # follow ('' = flat concat; build_batch's per-sample count match — the
     # padded shapes alone can't re-derive this, so sharding reads it here)
     extra_layout: Tuple[Tuple[str, str], ...] = ()
+    # FLAT ('' layout) additional input name -> padded row count. Entity-
+    # shaped extras derive their rows from node_pad; flat extras' pad is
+    # otherwise invisible to the meta, so equal-meta batches could carry
+    # different shapes and crash data-parallel stacking (review-found)
+    extra_pad: Tuple[Tuple[str, int], ...] = ()
 
     def nodes(self, entity: str) -> int:
         return dict(self.node_pad)[entity]
@@ -127,7 +132,15 @@ def infer_readout_domains(model_ir) -> Dict[str, Tuple[str, str]]:
         if op.kind == "pooling":
             domains[op.output_name] = ("graph", "")
         elif op.kind == "neural_network":
-            domains[op.output_name] = domains.get(op.inputs[0], ("entity", op.inputs[0]))
+            # the builder evaluates the op on the first NON-graph input's
+            # domain (graph-level operands broadcast over its rows,
+            # builder._readout `target = next(d for d in doms ...)`) — the
+            # inferred domain must match or labels/broadcasts mislay
+            # (review-found: inputs[0] graph-level + a node-level input)
+            doms = [domains.get(n, ("entity", n)) for n in op.inputs]
+            domains[op.output_name] = next(
+                (d for d in doms if d[0] != "graph"), doms[0]
+            )
         elif op.kind == "product":
             d1 = domains.get(op.inputs[0])
             d2 = domains.get(op.inputs[1])
@@ -159,10 +172,15 @@ def interleave_tag(dst: str, si: int, mi: int) -> str:
 
 
 def infer_label_domain(model_ir) -> Tuple[str, str]:
-    """Domain of the predict op's output rows (where labels align)."""
+    """Domain of the predict op's output rows (where labels align).
+
+    Same first-non-graph rule as the builder's predict evaluation: a
+    graph-level input broadcasts over any node/edge-level co-input's rows,
+    so the output lands on the first non-graph domain."""
     domains = infer_readout_domains(model_ir)
     op = model_ir.predict_op()
-    return domains.get(op.inputs[0], ("entity", op.inputs[0]))
+    doms = [domains.get(n, ("entity", n)) for n in op.inputs]
+    return next((d for d in doms if d[0] != "graph"), doms[0])
 
 
 # --------------------------------------------------------------------------
@@ -932,6 +950,14 @@ def build_batch(
     # ---- labels ----
     label_pad = 0
     if training and any(s.label is not None for s in samples):
+        unlabeled = [g for g, s in enumerate(samples) if s.label is None]
+        if unlabeled:
+            raise ValueError(
+                f"samples {unlabeled} in this batch have no label while "
+                f"others do; training batches must be uniformly labeled "
+                f"(filter unlabeled samples out, or build with "
+                f"training=False for prediction)"
+            )
         domain = infer_label_domain(model_ir)
         _, norm_key, _ = model_ir.output_info()
         label_name = model_ir.output_info()[0]
@@ -949,7 +975,15 @@ def build_batch(
             label = np.zeros(num_graphs, dtype=np.float32)
             lmask = np.ones(num_graphs, dtype=np.float32)
             for g, s in enumerate(samples):
-                label[g] = float(np.asarray(s.label).reshape(-1)[0])
+                v = np.asarray(s.label).reshape(-1)
+                if v.size != 1:
+                    raise ValueError(
+                        f"graph-level labels must be one scalar per graph "
+                        f"(sample {g} has {v.size} values for the pooled "
+                        f"prediction); for per-node targets predict on the "
+                        f"entity domain instead"
+                    )
+                label[g] = float(v[0])
             label_pad = num_graphs
         else:  # edge domain
             adj = domain[1]
@@ -997,6 +1031,7 @@ def build_batch(
 
     # ---- additional readout inputs ----
     extra_layout: Dict[str, str] = {}
+    extra_pad_map: Dict[str, int] = {}
     for name in model_ir.additional_inputs():
         vals = [
             np.asarray(s.extras[name]).reshape(len(s.extras[name]), -1)
@@ -1045,6 +1080,17 @@ def build_batch(
         else:
             flat = np.concatenate(vals, axis=0)
             pad_n = padding.pad_size(flat.shape[0])
+            if target is not None:
+                t = dict(getattr(target, "extra_pad", ())).get(name)
+                if t is not None:
+                    if flat.shape[0] > t:
+                        raise ValueError(
+                            f"additional input '{name}' does not fit the "
+                            f"target meta: {flat.shape[0]} rows exceed the "
+                            f"target's {t}"
+                        )
+                    pad_n = t
+            extra_pad_map[name] = pad_n
             buf = np.zeros((pad_n,) + flat.shape[1:], dtype=flat.dtype)
             buf[: flat.shape[0]] = flat
         arrays[name] = np.squeeze(buf, axis=-1) if buf.shape[-1] == 1 else buf
@@ -1059,6 +1105,7 @@ def build_batch(
         bwd_len=tuple(sorted(bwd_len_map.items())),
         inc_blocks=tuple(sorted(inc_blocks_meta.items())),
         extra_layout=tuple(sorted(extra_layout.items())),
+        extra_pad=tuple(sorted(extra_pad_map.items())),
     )
     return arrays, meta
 
@@ -1068,8 +1115,14 @@ def build_batch(
 # --------------------------------------------------------------------------
 
 
-def merge_metas(metas: Sequence[BatchMeta]) -> BatchMeta:
-    """Elementwise max of batch metas (num_graphs must already agree)."""
+def merge_metas(metas: Sequence[BatchMeta], model_ir=None) -> BatchMeta:
+    """Elementwise max of batch metas (num_graphs must already agree).
+
+    Pass `model_ir` when the model has interleave passes: their combined
+    sequence length is the SUM of the merged per-adjacency max_lens — which
+    can exceed the elementwise max of the per-batch sums (batches with
+    swapped long/short blocks), and repad_to_meta rebuilds the permutation
+    arrays at that sum (review-found inconsistency)."""
     ng = {m.num_graphs for m in metas}
     if len(ng) != 1:
         raise ValueError(f"cannot merge metas with different num_graphs: {ng}")
@@ -1109,16 +1162,26 @@ def merge_metas(metas: Sequence[BatchMeta]) -> BatchMeta:
             f"to different entity layouts: {sorted(layouts)}"
         )
 
+    max_len = _max("max_len")
+    ilv = dict(_max("interleave_len"))
+    if model_ir is not None and ilv:
+        ml = dict(max_len)
+        for _si, _stage, _mi, mp in _interleave_passes(model_ir):
+            tag = interleave_tag(mp.destination, _si, _mi)
+            if tag in ilv:
+                ilv[tag] = int(sum(ml[s.adj_name] for s in mp.sources))
+
     return BatchMeta(
         num_graphs=next(iter(ng)),
         node_pad=_max("node_pad"),
         edge_pad=_max("edge_pad"),
-        max_len=_max("max_len"),
-        interleave_len=_max("interleave_len"),
+        max_len=max_len,
+        interleave_len=tuple(sorted(ilv.items())),
         label_pad=max(m.label_pad for m in metas),
         bwd_len=tuple(sorted(bwd.items())),
         inc_blocks=tuple(sorted(ib.items())),
         extra_layout=metas[0].extra_layout,
+        extra_pad=_max("extra_pad"),
     )
 
 
@@ -1159,6 +1222,13 @@ def repad_to_meta(
             out[f.name] = pad_rows(out[f.name], n)
 
     adj_info = {a.name: a for a in model_ir.adjacency_info()}
+    # loop-invariant IR walks and target-meta dict views, hoisted: repad
+    # runs per batch on the host data path (multi-worker producers)
+    dense_adjs = dense_agg_adjacencies(model_ir)
+    slot_param_adjs = slot_param_adjacencies(model_ir)
+    inc_blocks_t = dict(target.inc_blocks)
+    max_len_t = dict(target.max_len)
+    bwd_len_t = dict(target.bwd_len)
     for name in edge_pad_t:
         ne = edge_pad_t[name]
         for prefix in ("src_", "dst_", "seq_", "edge_mask_", "params_"):
@@ -1186,7 +1256,7 @@ def repad_to_meta(
                 out.pop(stale, None)
             # blocks only cover REAL rows, which trailing padding growth
             # never touches — keep them iff the target meta kept them
-            if name not in dict(target.inc_blocks):
+            if name not in inc_blocks_t:
                 out.pop(f"inc_blocks_{name}", None)
             for key, value in adjacency_aux_arrays(
                 out[f"src_{name}"],
@@ -1194,28 +1264,50 @@ def repad_to_meta(
                 out[f"edge_mask_{name}"],
                 node_pad_t[a.src],
                 node_pad_t[a.dst],
-                dict(target.max_len)[name],
-                bwd_len=dict(target.bwd_len).get(name, 0),
-                want_dense_inc=name in dense_agg_adjacencies(model_ir)
-                and name not in dict(target.inc_blocks),
+                max_len_t[name],
+                bwd_len=bwd_len_t.get(name, 0),
+                want_dense_inc=name in dense_adjs
+                and name not in inc_blocks_t,
             ).items():
                 out[f"{key}_{name}"] = value
-            if f"params_slice_{name}" in out:
-                # the slot relayout is shaped [max_len, n_dst, P] — rebuild
-                # at the target sizes from the (repadded) edge arrays, like
-                # the slice companions above
-                params = out[f"params_{name}"]
-                emask = out[f"edge_mask_{name}"]
-                real = emask > 0
-                ps = np.zeros(
-                    (dict(target.max_len)[name], node_pad_t[a.dst])
-                    + params.shape[1:],
-                    params.dtype,
-                )
-                ps[out[f"seq_{name}"][real], out[f"dst_{name}"][real]] = (
-                    params[real]
-                )
-                out[f"params_slice_{name}"] = ps
+            if name in slot_param_adjs and f"params_{name}" in out:
+                # the slot relayout is shaped [max_len, n_dst, P]. Presence
+                # must be a pure function of the TARGET meta, not of what
+                # this batch happened to emit (review-found: the cap check
+                # runs on per-batch sizes, so equal-target batches could
+                # disagree and crash np.stack) — re-evaluate build_batch's
+                # eligibility rule at the target sizes, then rebuild or drop
+                from ..frontend.ir import SLOT_PAD_CAP
+
+                slot_count = max_len_t[name] * node_pad_t[a.dst]
+                if slot_param_adjs[name] or slot_count <= SLOT_PAD_CAP * ne:
+                    params = out[f"params_{name}"]
+                    emask = out[f"edge_mask_{name}"]
+                    real = emask > 0
+                    ps = np.zeros(
+                        (max_len_t[name], node_pad_t[a.dst])
+                        + params.shape[1:],
+                        params.dtype,
+                    )
+                    ps[out[f"seq_{name}"][real], out[f"dst_{name}"][real]] = (
+                        params[real]
+                    )
+                    out[f"params_slice_{name}"] = ps
+                else:
+                    out.pop(f"params_slice_{name}", None)
+
+    # additional readout inputs: entity-shaped extras grow with their
+    # entity's node padding (same trailing-zeros convention as features);
+    # flat extras grow to the target's recorded extra_pad (review-found:
+    # they were never repadded, crashing np.stack on differing batches)
+    extra_pad_t = dict(getattr(target, "extra_pad", ()))
+    for name, ent in getattr(target, "extra_layout", ()):
+        if name not in out:
+            continue
+        if ent:
+            out[name] = pad_rows(out[name], node_pad_t[ent])
+        elif name in extra_pad_t:
+            out[name] = pad_rows(out[name], extra_pad_t[name])
 
     if out.get("label") is not None and "label" in out:
         out["label"] = pad_rows(out["label"], target.label_pad)
@@ -1248,14 +1340,16 @@ def repad_to_meta(
             continue
         old = out[key]
         new = np.zeros((old.shape[0], t_new), np.int32)
+        # slot remap depends only on the block offsets, not the graph —
+        # build it once as a lookup vector (was rebuilt per graph)
+        remap = np.zeros(t_old, np.int32)
+        for bi, a in enumerate(adjs):
+            remap[offs_c[bi] : offs_c[bi] + ml_c[a]] = offs_t[bi] + np.arange(
+                ml_c[a], dtype=np.int32
+            )
         for g in range(old.shape[0]):
-            remap = {}
-            for bi, a in enumerate(adjs):
-                for local in range(ml_c[a]):
-                    remap[offs_c[bi] + local] = offs_t[bi] + local
             p = np.full(t_new, -1, np.int32)
-            for t in range(t_old):
-                p[t] = remap[int(old[g, t])]
+            p[:t_old] = remap[old[g]]
             used = set(int(v) for v in p[p >= 0])
             free = [i for i in range(t_new) if i not in used]
             p[p < 0] = np.asarray(free, np.int32)

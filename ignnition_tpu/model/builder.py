@@ -160,14 +160,18 @@ class _MessageDims:
     resolves the same quantities while constructing submodels,
     generate_model.py:245-346)."""
 
-    final_message_dim: Mapping[str, int]  # adj name -> message width
+    # (stage, mp, source) -> message width. Keyed per SOURCE, not per
+    # adjacency: one adjacency may feed several message passings with
+    # different message widths (review-found — adjacency-keyed storage
+    # built the earlier MP's attention kernels at the later MP's width)
+    final_message_dim: Mapping[Tuple[int, int, int], int]
     named_output_dims: Mapping[str, int]  # message-op output_name -> width
     aggregated_dim: Mapping[Tuple[int, int], int]  # (stage, mp) -> update input width
 
 
 def _resolve_dims(model_ir: IR.ModelIR) -> _MessageDims:
     state_dims = model_ir.state_dims()
-    final_message_dim: Dict[str, int] = {}
+    final_message_dim: Dict[Tuple[int, int, int], int] = {}
     named: Dict[str, int] = {}
     aggregated: Dict[Tuple[int, int], int] = {}
 
@@ -175,7 +179,7 @@ def _resolve_dims(model_ir: IR.ModelIR) -> _MessageDims:
         for mi, mp in enumerate(stage.passes):
             dst_dim = state_dims[mp.destination]
             per_source_dims = []
-            for src in mp.sources:
+            for ki, src in enumerate(mp.sources):
                 out_dim = state_dims[src.entity]  # direct assignation default
                 for op in src.ops:
                     if op.kind == "mlp":
@@ -196,7 +200,7 @@ def _resolve_dims(model_ir: IR.ModelIR) -> _MessageDims:
                         out_dim = MLP.output_dim(op.mlp, in_dim)
                         if op.output_name:
                             named[op.output_name] = out_dim
-                final_message_dim[src.adj_name] = out_dim
+                final_message_dim[(si, mi, ki)] = out_dim
                 per_source_dims.append(out_dim)
 
             agg = mp.aggregation
@@ -280,7 +284,7 @@ class GnnModel:
                         params["message"][f"s{si}/m{mi}/src{ki}/op{oi}"] = p
 
                 agg = mp.aggregation
-                msg_dim = self.dims.final_message_dim[mp.sources[0].adj_name]
+                msg_dim = self.dims.final_message_dim[(si, mi, 0)]
                 if agg.kind == "attention":
                     rng, k1, k2, k3 = jax.random.split(rng, 4)
                     from ..nn.layers import glorot_uniform
@@ -361,6 +365,10 @@ class GnnModel:
         """Sum of all layers' l2 kernel penalties (the reference's
         `sum(model.losses)`, generate_model.py:749)."""
         total = jnp.float32(0.0)
+        counted_updates = set()  # ff updates are SHARED per destination —
+        # count each parameter set's penalty once, like Keras model.losses
+        # counts one loss per layer (review-found: per-MP counting doubled
+        # the shared kernels' l2 when two passes update one destination)
         for si, stage in enumerate(self.ir.stages):
             for mi, mp in enumerate(stage.passes):
                 for ki, src in enumerate(mp.sources):
@@ -371,7 +379,9 @@ class GnnModel:
                             )
                 if mp.update.kind == "mlp":
                     key = f"{mp.destination}_ff_update"
-                    total += MLP.l2_loss(mp.update.mlp, params["update"][key])
+                    if key not in counted_updates:
+                        counted_updates.add(key)
+                        total += MLP.l2_loss(mp.update.mlp, params["update"][key])
         for i, op in enumerate(self.ir.readout):
             if op.kind in ("predict", "neural_network"):
                 total += MLP.l2_loss(op.mlp, params["readout"][f"op{i}"])

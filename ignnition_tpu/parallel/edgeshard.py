@@ -316,6 +316,7 @@ def partition_batch(
         interleave_len=meta.interleave_len,
         label_pad=label_pad,
         extra_layout=meta.extra_layout,
+        extra_pad=meta.extra_pad,
     )
     return stacked, local_meta
 

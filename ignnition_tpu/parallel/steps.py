@@ -65,7 +65,7 @@ def stack_batches(
             )
         from ..data.graph import merge_metas, repad_to_meta
 
-        target = merge_metas([m for _, m in batches])
+        target = merge_metas([m for _, m in batches], model_ir)
         batches = [
             (repad_to_meta(arrays, m, target, model_ir), target)
             for arrays, m in batches

@@ -78,6 +78,8 @@ def _meta_to_json(meta: BatchMeta) -> Dict[str, Any]:
         "label_pad": meta.label_pad,
         "bwd_len": list(map(list, meta.bwd_len)),
         "inc_blocks": [[k, list(v)] for k, v in meta.inc_blocks],
+        "extra_layout": list(map(list, meta.extra_layout)),
+        "extra_pad": list(map(list, meta.extra_pad)),
     }
 
 
@@ -94,6 +96,8 @@ def _meta_from_json(d: Mapping[str, Any]) -> BatchMeta:
         inc_blocks=tuple(
             (k, tuple(int(x) for x in v)) for k, v in d.get("inc_blocks", ())
         ),
+        extra_layout=tuple((k, str(v)) for k, v in d.get("extra_layout", ())),
+        extra_pad=pairs(d.get("extra_pad", ())),
     )
 
 

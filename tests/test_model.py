@@ -177,3 +177,100 @@ def test_fast_ordered_path_matches_scatter_path():
         jax.tree_util.tree_leaves(g_fast), jax.tree_util.tree_leaves(g_slow)
     ):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_shared_adjacency_two_widths_builds():
+    """One adjacency feeding two message passings with DIFFERENT message
+    widths (review regression: message dims were keyed per adjacency, so the
+    earlier MP's attention kernels were built at the later MP's width and
+    apply crashed at trace time)."""
+    import copy
+
+    desc = routenet_description(num_iterations=2, hs=HS)
+    for name, units in (("m8", HS), ("m16", 2 * HS)):
+        desc["neural_networks"].append({
+            "nn_name": name, "nn_type": "feed_forward",
+            "nn_architecture": [
+                {"type_layer": "Dense", "units": units, "activation": "relu"}
+            ],
+        })
+    desc["neural_networks"].append({
+        "nn_name": "upd_nn", "nn_type": "feed_forward",
+        "nn_architecture": [
+            {"type_layer": "Dense", "units": HS, "activation": "relu"}
+        ],
+    })
+    stages = desc["message_passing"]["stages"]
+    mp1 = stages[0]["stage_mp"][0]
+    mp1["source_entities"][0]["message"] = [
+        {"type": "neural_network", "nn_name": "m8", "input": ["hs_source"]}
+    ]
+    mp1["aggregation"] = {"type": "attention"}
+    stages[1]["stage_mp"].append({
+        "destination_entity": "path",
+        "source_entities": [{
+            "name": "link", "adj_vector": "adj_links_paths",
+            "message": [{"type": "neural_network", "nn_name": "m16",
+                         "input": ["hs_source"]}],
+        }],
+        "aggregation": {"type": "sum"},
+        "update": {"type": "neural_network", "nn_name": "upd_nn"},
+    })
+    ir = parser.parse_model_description(
+        copy.deepcopy(desc), {"link_capacity": 1, "traffic": 1}
+    )
+    model = build(ir)
+    params = model.init(jax.random.PRNGKey(0))
+    assert params["aggregation"]["s0/m0"]["kernel1"].shape == (HS, HS)
+    spec = SampleSpec.from_ir(ir)
+    s = convert_sample(TINY_SAMPLE, spec)
+    batch, meta = build_batch([s], ir)
+    model.apply(params, batch, meta)  # traced without dim mismatch
+
+
+def test_shared_ff_update_l2_counted_once():
+    """The per-destination feed-forward update is one shared parameter set;
+    its l2 penalty must be counted once, like Keras model.losses counts one
+    loss per layer (review regression: it was added once per message
+    passing)."""
+    import copy
+
+    from ignnition_tpu.nn import mlp as MLP
+
+    desc = routenet_description(num_iterations=1, hs=HS)
+    desc["neural_networks"].append({
+        "nn_name": "ff_upd", "nn_type": "feed_forward",
+        "nn_architecture": [
+            {"type_layer": "Dense", "units": HS, "activation": "relu",
+             "kernel_regularizer": 0.5}
+        ],
+    })
+    stages = desc["message_passing"]["stages"]
+    # both stages update 'path' from the same adjacency with the SAME
+    # shared ff update
+    for st in stages:
+        st["stage_mp"] = [{
+            "destination_entity": "path",
+            "source_entities": [{
+                "name": "link", "adj_vector": "adj_links_paths",
+                "message": [{"type": "direct_assignation"}],
+            }],
+            "aggregation": {"type": "sum"},
+            "update": {"type": "neural_network", "nn_name": "ff_upd"},
+        }]
+    ir = parser.parse_model_description(
+        copy.deepcopy(desc), {"link_capacity": 1, "traffic": 1}
+    )
+    model = build(ir)
+    params = model.init(jax.random.PRNGKey(0))
+    upd_spec = ir.stages[0].passes[0].update.mlp
+    expected = MLP.l2_loss(upd_spec, params["update"]["path_ff_update"])
+    for op in ir.readout:
+        if op.kind in ("predict", "neural_network"):
+            i = ir.readout.index(op)
+            expected = expected + MLP.l2_loss(
+                op.mlp, params["readout"][f"op{i}"]
+            )
+    np.testing.assert_allclose(
+        float(model.regularization_loss(params)), float(expected), rtol=1e-6
+    )

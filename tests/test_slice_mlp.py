@@ -272,3 +272,66 @@ def test_edge_params_chain_rides_slot_paths():
     for a, b in zip(on_g, off_g):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-5, atol=1e-6)
+
+
+def test_params_slice_presence_consistent_across_stacked_batches():
+    """params_slice presence must be a pure function of the TARGET meta
+    (review regression: the slot cap was evaluated at per-batch sizes, so
+    two batches repadded to one target could disagree on the key and crash
+    np.stack in stack_batches)."""
+    from ignnition_tpu.frontend.ir import SLOT_PAD_CAP
+    from ignnition_tpu.parallel.steps import stack_batches
+
+    desc = _mlp_desc(inputs=("hs_source", "hs_dest"), iters=1)
+    # capped slot consumer: sum aggregation reading edge_params
+    for st in desc["message_passing"]["stages"]:
+        for mp in st["stage_mp"]:
+            mp["aggregation"] = {"type": "sum"}
+            mp["update"] = {"type": "recurrent_neural_network",
+                            "nn_name": "state_update"}
+            for se in mp["source_entities"]:
+                se["message"][0]["input"] = [
+                    "hs_source", "hs_dest", "edge_params"]
+    ir = parser.parse_model_description(copy.deepcopy(desc), {
+        "link_capacity": 1, "traffic": 1,
+        "adj_links_paths": 2, "adj_paths_links": 2,
+    })
+    spec = SampleSpec.from_ir(ir)
+    r = np.random.RandomState(3)
+
+    def mk(degrees):
+        """degrees[p] = in-degree of path p (links drawn round-robin)."""
+        n_link, n_path = 40, len(degrees)
+        entities = {f"l{i}": "link" for i in range(n_link)}
+        entities.update({f"p{i}": "path" for i in range(n_path)})
+        adj, inv = {}, {}
+        for p, deg in enumerate(degrees):
+            links = [(p * 7 + k) % n_link for k in range(deg)]
+            adj[f"p{p}"] = [[f"l{i}", r.rand(2).tolist()] for i in links]
+            for i in links:
+                inv.setdefault(f"l{i}", []).append(
+                    [f"p{p}", r.rand(2).tolist()])
+        sample = {"entities": entities,
+                  "link_capacity": r.rand(n_link).tolist(),
+                  "traffic": r.rand(n_path).tolist(),
+                  "delay": r.rand(n_path).tolist(),
+                  "adj_links_paths": adj, "adj_paths_links": inv}
+        return convert_sample(sample, spec)
+
+    # batch A: small uniform in-degrees -> slot-eligible at its own sizes;
+    # batch B: one highly-skewed destination -> over the cap at its sizes
+    bA = build_batch([mk([2] * 8)], ir)
+    bB = build_batch([mk([33, 1, 1, 1])], ir)
+    has_A = "params_slice_adj_links_paths" in bA[0]
+    has_B = "params_slice_adj_links_paths" in bB[0]
+    assert has_A and not has_B  # the divergence under test
+
+    arrays, meta = stack_batches([bA, bB], ir)  # must not raise
+    slot = dict(meta.max_len)["adj_links_paths"] * dict(meta.node_pad)["path"]
+    eligible = slot <= SLOT_PAD_CAP * dict(meta.edge_pad)["adj_links_paths"]
+    assert ("params_slice_adj_links_paths" in arrays) == eligible
+    # both stacked shards run
+    model = build(ir)
+    params = model.init(jax.random.PRNGKey(0))
+    for d in range(2):
+        model.apply(params, {k: v[d] for k, v in arrays.items()}, meta)
