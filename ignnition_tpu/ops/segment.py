@@ -264,7 +264,14 @@ def graph_pool(
                 jnp.where(m >= g, m - jax.lax.stop_gradient(m), 0.0) * w,
                 axis_name,
             )
-        return jnp.where(jnp.isfinite(m), m, 0.0)
+        # empty segments: truly row-less ones come back -inf (isfinite
+        # guard), but a segment whose rows are ALL masked maxes the finite
+        # finfo.min fill (review-found: -3.4e38 leaked into the readout) —
+        # zero both via the (global) real-row count
+        cnt = _maybe_psum(
+            jax.ops.segment_sum(node_mask, graph_ids, num_graphs), axis_name
+        )
+        return jnp.where(jnp.isfinite(m) & (cnt[:, None] > 0), m, 0.0)
     raise ValueError(f"unknown pooling kind '{kind}'")
 
 
@@ -420,19 +427,32 @@ def _gss_bwd(res, ct):
 gather_state_slices.defvjp(_gss_fwd, _gss_bwd)
 
 
+def _csr_sum_or_fallback(site, m, ids, row_ptr, num, emask):
+    """sorted_segment_sum_csr with segment_sum's loud-fallback contract
+    (review-found: the direct paths called the kernel bare, so a Mosaic
+    lowering failure hard-crashed instead of warning and degrading).
+
+    The kernel's real-edge CSR bounds exclude padding edges; the fallback
+    must re-apply the edge mask before a plain sorted segment sum."""
+    if _csr_kernel_eligible(m, row_ptr):
+        try:
+            from .pallas.segment_kernels import sorted_segment_sum_csr
+
+            return sorted_segment_sum_csr(m, ids, row_ptr, num)
+        except Exception as e:
+            if _PALLAS_MODE == "always":
+                raise
+            _warn_fallback(site, e)
+    m = m * emask[:, None].astype(m.dtype)
+    return segment_sum(m, ids, num, indices_are_sorted=True, row_ptr=row_ptr)
+
+
 def _dss_impl(
     src_states, src_idx, dst_idx, emask, row_ptr, num_dst
 ):
     m = src_states[src_idx]
-    if _csr_kernel_eligible(m, row_ptr):
-        # padding edges fall outside the kernel's real-edge CSR bounds —
-        # no mask multiply (saves a full [E, D] HBM round trip)
-        from .pallas.segment_kernels import sorted_segment_sum_csr
-
-        return sorted_segment_sum_csr(m, dst_idx, row_ptr, num_dst)
-    m = m * emask[:, None].astype(src_states.dtype)
-    return segment_sum(
-        m, dst_idx, num_dst, indices_are_sorted=True, row_ptr=row_ptr
+    return _csr_sum_or_fallback(
+        "direct_segment_sum", m, dst_idx, row_ptr, num_dst, emask
     )
 
 
@@ -487,20 +507,9 @@ def _dss_bwd(num_dst, num_src, res, ct):
     proto, dst_in_src_order, emask_src_order, src_sorted, src_row_ptr = res
     dtype = proto.dtype
     ct_edges = ct[dst_in_src_order]
-    if _csr_kernel_eligible(ct_edges, src_row_ptr):
-        from .pallas.segment_kernels import sorted_segment_sum_csr
-
-        ct_src = sorted_segment_sum_csr(
-            ct_edges, src_sorted, src_row_ptr, num_src
-        )
-        return (ct_src.astype(dtype),) + (None,) * 8
-    ct_edges = ct_edges * emask_src_order[:, None].astype(ct.dtype)
-    ct_src = segment_sum(
-        ct_edges,
-        src_sorted,
-        num_src,
-        indices_are_sorted=True,
-        row_ptr=src_row_ptr,
+    ct_src = _csr_sum_or_fallback(
+        "direct_segment_sum_bwd", ct_edges, src_sorted, src_row_ptr,
+        num_src, emask_src_order,
     )
     return (ct_src.astype(dtype),) + (None,) * 8
 
@@ -1120,7 +1129,12 @@ def sorted_segment_softmax(
     scores = scores.reshape(-1)
     stab = jnp.max(jnp.where(mask > 0, scores, -jnp.inf))
     stab = jnp.where(jnp.isfinite(stab), stab, 0.0)
-    exp = jnp.where(mask > 0, jnp.exp(scores - stab), 0.0)
+    # double-where: exp must never see masked scores — a padding score
+    # ~88 nats above the real max overflows exp to inf and the where-VJP's
+    # 0*inf poisons the whole score gradient with NaN (review-found, with
+    # a reproducing case; segment_softmax already guards this way)
+    safe = jnp.where(mask > 0, scores, stab)
+    exp = jnp.where(mask > 0, jnp.exp(safe - stab), 0.0)
     denom = segment_sum(
         exp[:, None], dst_idx, num_segments, indices_are_sorted=True, row_ptr=row_ptr
     )[:, 0]
@@ -1149,7 +1163,10 @@ def sorted_softmax_aggregate(
     scores = scores.reshape(-1)
     stab = jnp.max(jnp.where(mask > 0, scores, -jnp.inf))
     stab = jnp.where(jnp.isfinite(stab), stab, 0.0)
-    exp = jnp.where(mask > 0, jnp.exp(scores - stab), 0.0)
+    # double-where against masked-score exp overflow (see
+    # sorted_segment_softmax)
+    safe = jnp.where(mask > 0, scores, stab)
+    exp = jnp.where(mask > 0, jnp.exp(safe - stab), 0.0)
     num = segment_sum(
         messages * exp[:, None].astype(messages.dtype),
         dst_idx,

@@ -348,10 +348,13 @@ def make_edgeshard_train_step(
     label_dom = infer_label_domain(model.ir)
     reduction = loss_reduction(loss_fn)
 
-    def local_loss(params, stacked_local):
+    def local_loss(params, stacked_local, key):
         batch = {k: v[0, 0] for k, v in stacked_local.items()}
+        # one replicated dropout key for every shard (see steps.py: the key
+        # must not vary across model shards; mask patterns repeat per block)
         preds = model.apply(
-            params, batch, local_meta, training=True, node_axis=model_axis
+            params, batch, local_meta, training=True, node_axis=model_axis,
+            rng=key,
         )
         if getattr(loss_fn, "takes_axis_names", False):
             # hinge-family: the all-binary label predicate must span the
@@ -386,9 +389,9 @@ def make_edgeshard_train_step(
         scale = 1.0 if reduction == "sum" else 1.0 / n_data
         return loss * scale + reg / n_data, loss
 
-    def step(params, opt_state, stacked):
+    def step(params, opt_state, stacked, key):
         (_, loss), grads = jax.value_and_grad(local_loss, has_aux=True)(
-            params, stacked
+            params, stacked, key
         )
         if data_axis:
             # also marks the loss replicated over the data axis
@@ -402,7 +405,10 @@ def make_edgeshard_train_step(
 
     cache: Dict[Tuple, Callable] = {}
 
-    def train_step(params, opt_state, stacked_batch):
+    def train_step(params, opt_state, stacked_batch, rng=None):
+        # rng: per-step dropout key (callers without dropout may omit it)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
         stacked_batch = {
             k: v for k, v in stacked_batch.items()
             if not k.startswith("edge_origin_")  # host-side reassembly data
@@ -416,7 +422,7 @@ def make_edgeshard_train_step(
                 shard_map(
                     step,
                     mesh=mesh,
-                    in_specs=(P(), P(), in_specs),
+                    in_specs=(P(), P(), in_specs, P()),
                     out_specs=(P(), P(), P()),
                 )
             )
@@ -431,7 +437,8 @@ def make_edgeshard_train_step(
             stacked_batch = _globalize(stacked_batch, mesh, specs)
             params = _globalize_replicated(params, mesh)
             opt_state = _globalize_replicated(opt_state, mesh)
-        return cache[key](params, opt_state, stacked_batch)
+            rng = _globalize_replicated(rng, mesh)
+        return cache[key](params, opt_state, stacked_batch, rng)
 
     return train_step
 

@@ -127,11 +127,16 @@ def make_parallel_train_step(
     label_dom = infer_label_domain(model.ir)
     reduction = loss_reduction(loss_fn)
 
-    def local_loss(params, stacked_local):
+    def local_loss(params, stacked_local, key):
         # leading data dim is 1 on each shard
         batch = {k: v[0] for k, v in stacked_local.items()}
+        # one REPLICATED dropout key: v1 recomputes node-level ops on every
+        # model shard and those replicas must stay bit-identical, so the key
+        # must not vary across shards (mask patterns therefore repeat per
+        # shard block — valid dropout, just correlated draws)
         preds = model.apply(
-            params, batch, meta, training=True, edge_axis=use_model_axis
+            params, batch, meta, training=True, edge_axis=use_model_axis,
+            rng=key,
         )
         if getattr(loss_fn, "takes_axis_names", False):
             # hinge-family: the all-binary label predicate must span the
@@ -167,9 +172,9 @@ def make_parallel_train_step(
         scale = 1.0 if reduction == "sum" else 1.0 / n_data
         return loss * scale + reg / n_data, loss
 
-    def step(params, opt_state, stacked):
+    def step(params, opt_state, stacked, key):
         (_, loss), grads = jax.value_and_grad(local_loss, has_aux=True)(
-            params, stacked
+            params, stacked, key
         )
         if reduction == "sum":
             loss = jax.lax.psum(loss, data_axis)
@@ -187,14 +192,19 @@ def make_parallel_train_step(
         sharded = shard_map(
             step,
             mesh=mesh,
-            in_specs=(P(), P(), in_batch_specs),
+            in_specs=(P(), P(), in_batch_specs, P()),
             out_specs=(P(), P(), P()),
         )
         return jax.jit(sharded)
 
     cache: Dict[Tuple, Callable] = {}
 
-    def train_step(params, opt_state, stacked_batch):
+    def train_step(params, opt_state, stacked_batch, rng=None):
+        # rng: per-step dropout key (review-found: the sharded paths used
+        # to drop it, crashing dropout models at trace time). Callers
+        # without dropout may omit it.
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
         key = tuple(sorted((k, np.shape(v)) for k, v in stacked_batch.items()))
         if key not in cache:
             cache[key] = build(stacked_batch)
@@ -212,7 +222,8 @@ def make_parallel_train_step(
             )
             params = _globalize_replicated(params, mesh)
             opt_state = _globalize_replicated(opt_state, mesh)
-        return cache[key](params, opt_state, stacked_batch)
+            rng = _globalize_replicated(rng, mesh)
+        return cache[key](params, opt_state, stacked_batch, rng)
 
     return train_step
 

@@ -275,15 +275,32 @@ class Trainer:
                 yield group
 
         q: queue.Queue = queue.Queue(maxsize=prefetch)
+        # consumers may abandon this generator early (evaluate() stops after
+        # num_batches); without a stop signal the producer threads block on
+        # q.put forever, leaking a thread + `prefetch` built batches per
+        # abandoned call (review-found — periodic in-training evals
+        # accumulated them without bound). Same pattern as _device_prefetch.
+        stop = threading.Event()
+
+        def put_guarded(target_q, item) -> bool:
+            while not stop.is_set():
+                try:
+                    target_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    pass
+            return False
+
         if workers <= 1:
 
             def producer():
                 try:
                     for g in groups():
-                        q.put(make(g))
+                        if not put_guarded(q, make(g)):
+                            return
                 except BaseException as e:  # surface errors to the consumer
-                    q.put(e)
-                q.put(None)
+                    put_guarded(q, e)
+                put_guarded(q, None)
 
             threading.Thread(target=producer, daemon=True).start()
             sentinels_expected = 1
@@ -293,37 +310,47 @@ class Trainer:
             def reader():
                 try:
                     for g in groups():
-                        gq.put(g)
+                        if not put_guarded(gq, g):
+                            return
                 except BaseException as e:
-                    q.put(e)
+                    put_guarded(q, e)
                 for _ in range(workers):
-                    gq.put(None)
+                    put_guarded(gq, None)
 
             def builder():
                 try:
                     while True:
-                        g = gq.get()
+                        try:
+                            g = gq.get(timeout=0.2)
+                        except queue.Empty:
+                            if stop.is_set():
+                                return
+                            continue
                         if g is None:
                             break
-                        q.put(make(g))
+                        if not put_guarded(q, make(g)):
+                            return
                 except BaseException as e:
-                    q.put(e)
-                q.put(None)
+                    put_guarded(q, e)
+                put_guarded(q, None)
 
             threading.Thread(target=reader, daemon=True).start()
             for _ in range(workers):
                 threading.Thread(target=builder, daemon=True).start()
             sentinels_expected = workers
 
-        done = 0
-        while done < sentinels_expected:
-            item = q.get()
-            if item is None:
-                done += 1
-                continue
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            done = 0
+            while done < sentinels_expected:
+                item = q.get()
+                if item is None:
+                    done += 1
+                    continue
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
     @staticmethod
     def _device_prefetch(batch_iter, size: int = 2):
@@ -418,8 +445,11 @@ class Trainer:
         micro = -(-batch_size // k)  # even split
         log.info(
             "auto batch strategy: ~%d edges/graph -> %d-way gradient "
-            "accumulation over %d-graph microbatches (effective batch %d)",
-            int(per_graph), k, micro, batch_size,
+            "accumulation over %d-graph microbatches (effective batch "
+            "%d%s)",
+            int(per_graph), k, micro, k * micro,
+            "" if k * micro == batch_size
+            else f", rounded up from the requested {batch_size}",
         )
         return k, micro
 
@@ -499,6 +529,14 @@ class Trainer:
                 accumulate_steps, batch_size = self._auto_accumulate(
                     data_dir, batch_size
                 )
+        elif mesh is not None and accumulate_steps > 1:
+            # review-found: this used to be silently ignored, training with
+            # an effective batch accumulate_steps-x smaller than requested
+            raise ValueError(
+                "accumulate_steps > 1 is not supported together with a "
+                "mesh (the mesh's data axis owns batching) — raise "
+                "batch_size or the data-axis size instead"
+            )
         rng = rng if rng is not None else jax.random.PRNGKey(42)
         manager = None
         if checkpoint_dir:
@@ -592,13 +630,16 @@ class Trainer:
             # handles it); single-device batches stage ahead onto the chip
             batch_iter = self._device_prefetch(batch_iter, device_prefetch)
 
+        trace_active = False
         for arrays, meta in batch_iter:
             if state.step >= max_steps:
                 break
             if profile_dir and state.step == profile_steps[0]:
                 jax.profiler.start_trace(profile_dir)
-            if profile_dir and state.step == profile_steps[1]:
+                trace_active = True
+            if profile_dir and trace_active and state.step >= profile_steps[1]:
                 jax.profiler.stop_trace()
+                trace_active = False
             if mesh is not None:
                 if meta not in step_cache:
                     if dest_shard:
@@ -614,8 +655,9 @@ class Trainer:
                         step_cache[meta] = make_parallel_train_step(
                             self.model, self.optimizer, self.loss_fn, meta, mesh
                         )
+                rng, key = jax.random.split(rng)
                 params, opt_state, loss = step_cache[meta](
-                    state.params, state.opt_state, arrays
+                    state.params, state.opt_state, arrays, key
                 )
                 logs = {"loss": loss, "reg": 0.0, "total": loss}
             else:
@@ -663,6 +705,11 @@ class Trainer:
                 log.info("eval @ step %d: %s", state.step, results)
                 last_eval = now
 
+        if trace_active:
+            # the loop ended (max_steps / dataset end) before reaching
+            # profile_steps[1] — close the trace so it is usable and the
+            # profiler stops collecting (review-found dangling trace)
+            jax.profiler.stop_trace()
         if manager is not None:
             save_checkpoint(manager, state)
             manager.wait_until_finished()
@@ -776,33 +823,74 @@ class Trainer:
         each merged batch over the model axis (parallel/edgeshard.py), and
         stack to [n_data, n_model, ...]. Shape-defining partition dims
         (halo heights, local edge pads) grow monotonically via `pad_to` so
-        a stream of batches converges to ONE jitted program."""
+        a stream of batches converges to ONE jitted program.
+
+        With cache=True the per-item partition is memoized on the cached
+        batch object + the current pad_to (review-found: the O(E*n_model)
+        host partition used to re-run every epoch, defeating the cache) —
+        once pad_to stabilizes, steady-state epochs reuse the partitioned
+        arrays at zero host cost (at the price of holding the partitioned
+        copies alongside the cached batches)."""
+        from ..data.graph import merge_metas, repad_to_meta
         from ..parallel import partition_batch
         from ..parallel.edgeshard import partition_dims
 
         n_model = mesh.shape["model"]
+        n_procs = jax.process_count()
+        n_data = mesh.shape["data"]
+        if n_data % n_procs != 0:
+            raise ValueError(
+                f"mesh data axis ({n_data}) must be a multiple of the "
+                f"process count ({n_procs})"
+            )
+        n_local = n_data // n_procs
+        seed = None if n_procs == 1 else 1_000_003 * (jax.process_index() + 1)
         pad_to: Dict[str, Dict[str, int]] = {"halo": {}, "edges": {}}
+        memo: Dict[int, Tuple[Any, Tuple]] = {}
 
-        for stacked, meta in self._sharded_batch_iter(
-            data_dir, batch_size, mesh, shuffle, workers=workers, cache=cache,
-            sample_transform=sample_transform,
+        def pad_key():
+            return (
+                tuple(sorted(pad_to["halo"].items())),
+                tuple(sorted(pad_to["edges"].items())),
+            )
+
+        def partition_item(arrays, meta):
+            if cache:
+                hit = memo.get(id(arrays))
+                if hit is not None and hit[0] == pad_key():
+                    return hit[1]
+            part = partition_batch(arrays, meta, self.ir, n_model, pad_to=pad_to)
+            if cache:
+                memo[id(arrays)] = (pad_key(), part)
+            return part
+
+        group: list = []
+        for item in self.batches(
+            data_dir, batch_size, shuffle=shuffle, repeat=True, seed=seed,
+            workers=workers, cache=cache, sample_transform=sample_transform,
         ):
-            n_data = next(iter(stacked.values())).shape[0]
-            while True:
-                parts = [
-                    partition_batch(
-                        {k: v[i] for k, v in stacked.items()},
-                        meta, self.ir, n_model, pad_to=pad_to,
-                    )
-                    for i in range(n_data)
+            group.append(item)
+            if len(group) < n_local:
+                continue
+            items, group = group, []
+            if len({m for _, m in items}) > 1:
+                # rare with bucketed padding: grow to a common meta first
+                # (these fresh arrays skip the memo; same content as the
+                # previous stack_batches-then-unstack route)
+                target = merge_metas([m for _, m in items], self.ir)
+                items = [
+                    (repad_to_meta(a, m, target, self.ir), target)
+                    for a, m in items
                 ]
+            while True:
+                parts = [partition_item(a, m) for a, m in items]
                 dims = [partition_dims(p[0]) for p in parts]
                 grown = False
                 for d in dims:
-                    for group in ("halo", "edges"):
-                        for adj, v in d[group].items():
-                            if v > pad_to[group].get(adj, 0):
-                                pad_to[group][adj] = v
+                    for grp in ("halo", "edges"):
+                        for adj, v in d[grp].items():
+                            if v > pad_to[grp].get(adj, 0):
+                                pad_to[grp][adj] = v
                                 grown = True
                 if not grown or all(d == dims[0] for d in dims):
                     break  # stable (or uniform) — no repartition needed
@@ -893,7 +981,6 @@ class Trainer:
         """Yield per-sample prediction arrays (denormalized when a function is
         provided — reference predict path, framework_operations.py:209-213)."""
         params = getattr(state_or_params, "params", state_or_params)
-        spec = SampleSpec.from_ir(self.ir, training=False)
         for arrays, meta in self.batches(
             data_dir, batch_size, shuffle=False, repeat=False, training=False
         ):

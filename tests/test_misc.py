@@ -395,3 +395,149 @@ def test_batchnorm_trains_but_moving_stats_frozen():
     assert np.abs(np.asarray(bn["beta"])).max() > 0
     assert np.asarray(bn["moving_mean"]).max() == 0  # stop_gradient'ed
     assert np.asarray(bn["moving_variance"]).max() == 0
+
+
+def test_sorted_softmax_grads_finite_with_rogue_masked_score():
+    """Review regression: exp was evaluated on UNmasked scores, so a
+    padding-edge score ~88 nats above the real max overflowed to inf and
+    the where-VJP's 0*inf turned the whole score gradient NaN. The
+    double-where guard keeps gradients finite and values unchanged."""
+    from ignnition_tpu.ops import segment as seg
+
+    dst = jnp.asarray([0, 0, 1], jnp.int32)
+    mask = jnp.asarray([1.0, 1.0, 0.0])
+    row_ptr = jnp.asarray([0, 2, 3], jnp.int32)
+
+    def f(scores):
+        return jnp.sum(
+            seg.sorted_segment_softmax(scores, dst, 2, mask, row_ptr)
+        )
+
+    g = jax.grad(f)(jnp.asarray([0.0, 1.0, 200.0]))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert abs(float(g[2])) == 0.0  # masked edge gets no gradient
+
+    def f2(scores):
+        msgs = jnp.ones((3, 4))
+        return jnp.sum(
+            seg.sorted_softmax_aggregate(msgs, scores, dst, 2, mask, row_ptr)
+        )
+
+    g2 = jax.grad(f2)(jnp.asarray([0.0, 1.0, 200.0]))
+    assert np.all(np.isfinite(np.asarray(g2)))
+
+
+def test_graph_pool_max_fully_masked_segment_is_zero():
+    """Review regression: a graph whose pooled entity has zero REAL rows
+    (all masked) maxed the finite finfo.min fill to -3.4e38 instead of the
+    documented 0 for empty segments."""
+    from ignnition_tpu.ops import segment as seg
+
+    x = jnp.asarray([[1.0, 2.0], [3.0, 4.0]])
+    gid = jnp.asarray([0, 0], jnp.int32)  # graph 1 has no rows at all
+    mask = jnp.asarray([0.0, 0.0])  # and graph 0's rows are all masked
+    out = seg.graph_pool(x, gid, 2, mask, kind="max")
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_sharded_training_supports_dropout():
+    """Review regression: the sharded train steps dropped the rng, so any
+    model with a Dropout layer crashed at trace time under a mesh."""
+    from jax.sharding import Mesh
+
+    from ignnition_tpu.data.graph import PaddingConfig
+    from ignnition_tpu.training.trainer import Trainer
+
+    desc = routenet_description(num_iterations=1, hs=8)
+    for nn in desc["neural_networks"]:
+        if nn["nn_name"] == "readout_model":
+            nn["nn_architecture"].insert(
+                1, {"type_layer": "Dropout", "rate": 0.3}
+            )
+    ir = parser.parse_model_description(
+        copy.deepcopy(desc), {"link_capacity": 1, "traffic": 1}
+    )
+    model = build(ir)
+    spec = SampleSpec.from_ir(ir)
+    s = convert_sample(TINY_SAMPLE, spec)
+    batch, meta = build_batch([s], ir)
+
+    from ignnition_tpu.parallel import (
+        make_edgeshard_train_step, make_parallel_train_step, partition_batch,
+        stack_batches,
+    )
+    import optax
+
+    opt = optax.sgd(1e-2)
+    params = model.init(jax.random.PRNGKey(0))
+    loss_fn = get_loss(ir.learning.loss)
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    with Mesh(devs, ("data", "model")):
+        mesh = Mesh(devs, ("data", "model"))
+        # v1 replicated + edge sharding
+        step = make_parallel_train_step(model, opt, loss_fn, meta, mesh)
+        stacked, _ = stack_batches([(batch, meta), (batch, meta)], ir)
+        p1, _, loss1 = step(params, opt.init(params), stacked,
+                            jax.random.PRNGKey(7))
+        assert np.isfinite(float(loss1))
+        # v2 destination sharding
+        part, lmeta = partition_batch(batch, meta, ir, 2)
+        stacked2 = {k: np.stack([v, v], 0) for k, v in part.items()}
+        step2 = make_edgeshard_train_step(model, opt, loss_fn, lmeta, mesh)
+        p2, _, loss2 = step2(params, opt.init(params), stacked2,
+                             jax.random.PRNGKey(7))
+        assert np.isfinite(float(loss2))
+
+
+def test_abandoned_batches_generator_releases_threads():
+    """Review regression: producer threads blocked forever on q.put when a
+    consumer abandoned batches() early (evaluate() always does), leaking a
+    thread + prefetched batches per call."""
+    import threading
+    import time
+
+    from ignnition_tpu.data.synthetic import write_dataset
+    from ignnition_tpu.training.trainer import Trainer
+
+    import tempfile
+
+    ir = parser.parse_model_description(
+        copy.deepcopy(routenet_description(num_iterations=1, hs=8)),
+        {"link_capacity": 1, "traffic": 1},
+    )
+    trainer = Trainer(build(ir))
+    with tempfile.TemporaryDirectory() as d:
+        write_dataset(d, 2, 10, seed=0, n_links=6, n_paths=8)
+        before = threading.active_count()
+        for _ in range(3):
+            it = trainer.batches(d, 2, repeat=True, prefetch=2)
+            next(it)
+            it.close()  # abandon early
+        deadline = time.time() + 10
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.1)
+        assert threading.active_count() <= before, (
+            f"{threading.active_count() - before} producer threads leaked"
+        )
+
+
+def test_accumulate_steps_with_mesh_raises():
+    """Review regression: an explicit accumulate_steps>1 was silently
+    ignored under a mesh (effective batch shrank with no warning)."""
+    from jax.sharding import Mesh
+
+    from ignnition_tpu.training.trainer import Trainer, TrainState
+
+    ir = parser.parse_model_description(
+        copy.deepcopy(routenet_description(num_iterations=1, hs=8)),
+        {"link_capacity": 1, "traffic": 1},
+    )
+    trainer = Trainer(build(ir))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    devs = np.array(jax.devices()[:2]).reshape(2, 1)
+    with pytest.raises(ValueError, match="accumulate_steps"):
+        trainer.train(
+            state, "/nonexistent", max_steps=1,
+            mesh=Mesh(devs, ("data", "model")), accumulate_steps=4,
+        )
