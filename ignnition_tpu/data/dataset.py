@@ -56,8 +56,15 @@ def infer_dimensions(sample: Mapping[str, Any]) -> Dict[str, int]:
             else:
                 dims[k] = 1
         elif v:  # entities map or an adjacency dict
-            first = next(iter(v.values()))
-            if first and isinstance(first[0], list) and not isinstance(first[0], str):
+            # first NON-empty source list decides (review-found: a leading
+            # destination with no sources used to infer width 0 and
+            # silently drop every other destination's edge params)
+            first = next((x for x in v.values() if x), None)
+            if (
+                first is not None
+                and isinstance(first[0], list)
+                and not isinstance(first[0], str)
+            ):
                 # element [src_node, param_vector]
                 dims[k] = len(first[0][1])
             else:
@@ -66,14 +73,7 @@ def infer_dimensions(sample: Mapping[str, Any]) -> Dict[str, int]:
 
 
 def _read_archive(path: str) -> List[dict]:
-    try:
-        with tarfile.open(path, "r:gz") as tar:
-            member = tar.extractfile("data.json")
-            if member is None:
-                raise DatasetError(f"the file data.json was not found in {path}")
-            return json.load(member)
-    except tarfile.TarError as e:
-        raise DatasetError(f"could not read archive {path}: {e}") from e
+    return json.loads(_read_archive_bytes(path))
 
 
 # --------------------------------------------------------------------------
@@ -203,6 +203,12 @@ def convert_sample(raw: Mapping[str, Any], spec: SampleSpec) -> GraphSample:
             seq.extend(range(len(sources)))
             if sources and isinstance(sources[0], list):
                 for s in sources:
+                    if entities.get(s[0]) != src_entity:
+                        raise DatasetError(
+                            f"adjacency '{adj_name}' should have sources of entity "
+                            f"'{src_entity}' but node '{s[0]}' has type "
+                            f"'{entities.get(s[0])}'"
+                        )
                     src_idx.append(node_index[s[0]])
                     dst_idx.append(node_index[destination])
                     if has_params:
@@ -367,10 +373,12 @@ def iter_samples(
                         rng.shuffle(raw_samples)
                     for raw in raw_samples:
                         yield convert_sample(raw, spec)
-            except DatasetError as e:
+            except Exception as e:
                 import logging
 
-                logging.getLogger("ignnition_tpu").error("skipping %s: %s", archive, e)
+                logging.getLogger("ignnition_tpu").error(
+                    "skipping %s: %r", archive, e
+                )
         if not repeat:
             return
 
@@ -432,8 +440,8 @@ def _iter_samples_parallel(
                 if shuffle:
                     wrng.shuffle(samples)
                 out_q.put(samples)
-            except DatasetError as e:
-                logging.getLogger("ignnition_tpu").error("skipping %s: %s", a, e)
+            except Exception as e:
+                logging.getLogger("ignnition_tpu").error("skipping %s: %r", a, e)
             except BaseException as e:
                 out_q.put(e)
                 break

@@ -73,6 +73,19 @@ def _validate_semantics(data: Mapping[str, Any]) -> None:
                                     f"nor the output_name of a previous operation"
                                 )
                     if "output_name" in op:
+                        if op["type"] == "direct_assignation":
+                            # the reference runtime executes only
+                            # feed_forward ops (g_m.py:440-475), so an
+                            # output_name here is dead there too; we used
+                            # to register it as produced and crash later
+                            # with a raw KeyError when consumed
+                            raise ModelDescriptionError(
+                                "'output_name' is not supported on "
+                                "direct_assignation message operations (the "
+                                "message IS the source hidden state — use "
+                                "'hs_source' as the input of the consuming "
+                                "operation instead)"
+                            )
                         produced.add(op["output_name"])
             upd = mp["update"]
             if upd.get("nn_name") and upd["nn_name"] not in nn_names:

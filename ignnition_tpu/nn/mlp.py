@@ -30,14 +30,29 @@ def init(
     in_dim: int,
     last_units: Optional[int] = None,
 ) -> Tuple[Dict[str, Any], int]:
-    """Initialize parameters. Returns (params, output_dim)."""
+    """Initialize parameters. Returns (params, output_dim).
+
+    `last_units` overrides the LAST Dense layer's width (the reference
+    forces update/readout networks to the destination state dim,
+    a_c.py:918-975). Targeting the last *Dense* — not the literally-last
+    layer — keeps the override effective when the network ends in a
+    width-preserving layer (Activation/Dropout/...); review-found: the
+    old final-layer-only check silently produced a wrong-width state."""
     params = []
     dim = in_dim
-    n = len(spec.layers)
+    last_dense = max(
+        (j for j, l in enumerate(spec.layers) if l.kind == "Dense"),
+        default=None,
+    )
+    if last_units is not None and last_dense is None:
+        raise ValueError(
+            f"network '{spec.name}' must contain a Dense layer: its output "
+            f"is required to have width {last_units}"
+        )
     for j, layer in enumerate(spec.layers):
         if layer.kind == "Dense":
             units = layer.units
-            if j == n - 1 and last_units is not None:
+            if j == last_dense and last_units is not None:
                 units = last_units
             if units is None:
                 raise ValueError(
@@ -303,11 +318,14 @@ def l2_loss(spec: MLPSpec, params: Dict[str, Any]) -> jnp.ndarray:
 
 def output_dim(spec: MLPSpec, in_dim: int, last_units: Optional[int] = None) -> int:
     dim = in_dim
-    n = len(spec.layers)
+    last_dense = max(
+        (j for j, l in enumerate(spec.layers) if l.kind == "Dense"),
+        default=None,
+    )
     for j, layer in enumerate(spec.layers):
         if layer.kind == "Dense":
             units = layer.units
-            if j == n - 1 and last_units is not None:
+            if j == last_dense and last_units is not None:
                 units = last_units
             dim = int(units)
         elif layer.kind in CUSTOM_LAYERS and layer.units is not None:

@@ -93,9 +93,15 @@ def _bfs_positions(indptr, indices, n: int) -> np.ndarray:
     visited = np.zeros(n, bool)
     pos = np.empty(n, np.int64)
     counter = 0
+    # seeds come in ascending-degree order; a pointer over the pre-sorted
+    # list replaces a full argmin per component (review-found: quadratic
+    # on graphs with many isolated nodes). Stable sort == argmin tie rule.
+    seed_order = np.argsort(deg, kind="stable")
+    seed_ptr = 0
     while counter < n:
-        masked = np.where(visited, np.iinfo(np.int64).max, deg)
-        seed = int(np.argmin(masked))
+        while visited[seed_order[seed_ptr]]:
+            seed_ptr += 1
+        seed = int(seed_order[seed_ptr])
         frontier = np.asarray([seed], np.int64)
         visited[seed] = True
         while frontier.size:
@@ -159,15 +165,10 @@ def _refine_blocks(
                     g2 = counts[cand2, b1] - cur[cand2]
                     o1 = cand1[np.argsort(-g1, kind="stable")]
                     o2 = cand2[np.argsort(-g2, kind="stable")]
-                    k = min(o1.size, o2.size)
-                    tot = (counts[o1[:k], b2] - cur[o1[:k]]) + (
-                        counts[o2[:k], b1] - cur[o2[:k]]
-                    )
-                    # keep the prefix of pairs with positive combined gain
-                    # (gains are sorted desc, so the prefix is optimal)
-                    keep = int(np.searchsorted(-tot, 0))
-                    if keep == 0:
-                        continue
+                    # every candidate's own gain is >= 1 (strict filter
+                    # above), so every swapped pair has positive combined
+                    # gain — swap all size-balanced pairs
+                    keep = min(o1.size, o2.size)
                     blk[o1[:keep]] = b2
                     blk[o2[:keep]] = b1
                     cur[o1[:keep]] = counts[o1[:keep], b2]
@@ -195,7 +196,11 @@ def boundary_edge_count(
     }
 
     def _b(ent):
-        rows = (node_pad or {}).get(ent, int(sample.num_nodes[ent]))
+        # same max(real, padded) floor as _membership: a stale node_pad
+        # below the real count must not produce out-of-range block ids
+        rows = max(
+            int(sample.num_nodes[ent]), (node_pad or {}).get(ent, 0)
+        )
         return -(-rows // n_model)
 
     out = {}
@@ -312,6 +317,22 @@ def _rerank(coord: np.ndarray) -> np.ndarray:
     return out / max(coord.shape[0], 1)
 
 
+_warned_ambiguous = set()
+
+
+def _log_ambiguous_extra_once(name, matches):
+    if name not in _warned_ambiguous:
+        _warned_ambiguous.add(name)
+        import logging
+
+        logging.getLogger("ignnition_tpu").warning(
+            "additional input '%s' matches the node counts of several "
+            "entities (%s) in a sample — locality renumbering skipped for "
+            "such samples (correctness over locality)",
+            name, ", ".join(matches),
+        )
+
+
 def reorder_sample(sample, model_ir, orders=None, n_model=None):
     """Renumber a GraphSample's nodes by per-entity `orders` (computed here
     via `locality_order` when not given). Returns ``(new_sample, orders)``.
@@ -329,6 +350,27 @@ def reorder_sample(sample, model_ir, orders=None, n_model=None):
 
     if orders is None:
         orders = locality_order(sample, model_ir, n_model=n_model)
+
+    # additional readout inputs follow their entity's rows by COUNT match
+    # (build_batch meta.extra_layout). If a sample's extra matches the
+    # counts of SEVERAL entities, this per-sample view cannot know which
+    # one build_batch will resolve for the whole batch (review-found:
+    # guessing 'first declared' here could permute the rows by the wrong
+    # entity's order) — leave such samples unreordered; a skipped
+    # renumbering only costs locality, never correctness.
+    for name, vals in sample.extras.items():
+        rows = np.asarray(vals).shape[0]
+        matches = [
+            ent for ent in orders if rows == sample.num_nodes.get(ent, -1)
+        ]
+        if len(matches) > 1:
+            _log_ambiguous_extra_once(name, matches)
+            identity = {
+                ent: np.arange(len(o), dtype=np.int64)
+                for ent, o in orders.items()
+            }
+            return sample, identity
+
     inv = {
         ent: np.argsort(o, kind="stable").astype(np.int64)
         for ent, o in orders.items()
@@ -366,8 +408,8 @@ def reorder_sample(sample, model_ir, orders=None, n_model=None):
     extras = {}
     for name, vals in sample.extras.items():
         vals = np.asarray(vals)
-        # entity-shaped extras follow their entity's rows — same row-count
-        # match build_batch uses for meta.extra_layout (first match wins)
+        # entity-shaped extras follow their entity's rows — the ambiguity
+        # guard above ensures at most one entity matches this count
         matches = [
             ent
             for ent in orders

@@ -130,3 +130,62 @@ def test_parallel_readers_missing_dir_raises(tmp_path):
     spec = ds.SampleSpec.from_ir(ir)
     with pytest.raises(ds.DatasetError):
         list(ds.iter_samples(str(tmp_path / "nope"), spec, readers=2))
+
+
+# --------------------------------------------------------------------------
+# Round-4.2 review regressions
+# --------------------------------------------------------------------------
+
+
+def test_infer_dimensions_skips_empty_first_destination():
+    """Review regression: a leading destination with no sources used to
+    infer edge-param width 0 and silently drop every other destination's
+    edge parameters."""
+    sample = {
+        "entities": {"l0": "link", "l1": "link", "p0": "path"},
+        "adj": {"p0": [], "l0": [["p0", [0.5, 0.2]]]},
+    }
+    assert ds.infer_dimensions(sample)["adj"] == 2
+
+
+def test_edge_params_branch_validates_source_entity():
+    """Review regression: the edge-params branch skipped the source-entity
+    check, so a wrong-entity source silently wired the wrong node's state
+    (per-entity indices alias across entities)."""
+    import copy
+
+    ir = _ir()
+    spec = ds.SampleSpec.from_ir(ir)
+    bad = copy.deepcopy(TINY_SAMPLE)
+    # rewrite one adjacency into [src, params] form with a wrong-entity src
+    dst, srcs = next(iter(bad["adj_links_paths"].items()))
+    bad["adj_links_paths"][dst] = [["p0" if s.startswith("l") else s, [1.0]]
+                                   for s in srcs]
+    with pytest.raises(ds.DatasetError, match="sources of entity"):
+        ds.convert_sample(bad, spec)
+
+
+def test_iter_samples_skips_malformed_archive(tmp_path):
+    """Review regression: the documented skip-bad-archive resilience only
+    caught DatasetError, but malformed samples raise plain
+    ValueError/KeyError (e.g. a feature list of the wrong length) — the
+    whole iterator died instead of skipping (reference skips broadly,
+    generator_std_to_framework.py:226-230)."""
+    import copy
+    import json
+    import tarfile
+    from io import BytesIO
+
+    write_dataset(str(tmp_path), 1, 3, seed=0, n_links=6, n_paths=8)
+    bad = copy.deepcopy(TINY_SAMPLE)
+    bad["link_capacity"] = bad["link_capacity"][:-1]  # ragged feature
+    payload = json.dumps([bad]).encode()
+    with tarfile.open(tmp_path / "aaa_bad.tar.gz", "w:gz") as tar:
+        info = tarfile.TarInfo("data.json")
+        info.size = len(payload)
+        tar.addfile(info, BytesIO(payload))
+
+    ir = _ir()
+    spec = ds.SampleSpec.from_ir(ir)
+    got = list(ds.iter_samples(str(tmp_path), spec))
+    assert len(got) == 3  # the good archive's samples; the bad one skipped

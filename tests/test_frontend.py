@@ -83,3 +83,21 @@ def test_exactly_one_predict():
 def test_additional_inputs_empty_for_routenet():
     ir = parser.parse_model_description(routenet_description())
     assert ir.additional_inputs() == ()
+
+
+def test_direct_assignation_output_name_is_friendly_error():
+    """Review regression: an output_name on a direct_assignation op used to
+    pass validation (registered as produced) and crash in the builder with
+    a raw KeyError when consumed; the reference runtime never executes it
+    either (g_m.py:440-475 runs only feed_forward ops)."""
+    desc = routenet_description()
+    mp = desc["message_passing"]["stages"][0]["stage_mp"][0]
+    mp["source_entities"][0]["message"] = [
+        {"type": "direct_assignation", "output_name": "m0"},
+    ]
+    with pytest.raises(
+        parser.ModelDescriptionError, match="direct_assignation"
+    ):
+        parser.parse_model_description(
+            desc, {"link_capacity": 1, "traffic": 1}
+        )

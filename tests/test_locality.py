@@ -233,3 +233,43 @@ def test_reorder_threads_extras_and_edge_labels():
         lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6),
         g0, g1,
     )
+
+
+def test_ambiguous_extra_skips_reordering():
+    """Review regression: a sample whose additional readout input matches
+    the node counts of SEVERAL entities cannot know which one build_batch
+    will resolve batch-wide — such samples must pass through unreordered
+    (identity orders) instead of guessing and permuting the rows by the
+    wrong entity's order."""
+    import copy
+
+    from ignnition_tpu.parallel.locality import reorder_sample
+
+    desc = routenet_description(num_iterations=1, hs=8)
+    desc["readout"][0]["input"] = ["path", "extra_in"]
+    ir = parser.parse_model_description(
+        copy.deepcopy(desc),
+        {"link_capacity": 1, "traffic": 1, "extra_in": 1},
+    )
+    rng = np.random.default_rng(0)
+    # n_links == n_paths -> the extra's row count matches BOTH entities
+    raw = make_routenet_sample(rng, n_links=9, n_paths=9)
+    raw["extra_in"] = rng.uniform(0, 1, 9).tolist()
+    spec = SampleSpec.from_ir(ir)
+    s = convert_sample(raw, spec)
+    out, orders = reorder_sample(s, ir, n_model=2)
+    for ent, o in orders.items():
+        np.testing.assert_array_equal(o, np.arange(len(o)))
+    np.testing.assert_array_equal(out.extras["extra_in"], s.extras["extra_in"])
+    np.testing.assert_array_equal(
+        out.features["traffic"], s.features["traffic"]
+    )
+
+    # unambiguous case still reorders
+    raw2 = make_routenet_sample(rng, n_links=7, n_paths=9)
+    raw2["extra_in"] = rng.uniform(0, 1, 9).tolist()
+    s2 = convert_sample(raw2, spec)
+    out2, orders2 = reorder_sample(s2, ir, n_model=2)
+    np.testing.assert_array_equal(
+        out2.extras["extra_in"], np.asarray(s2.extras["extra_in"])[orders2["path"]]
+    )

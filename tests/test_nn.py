@@ -230,3 +230,35 @@ def test_alpha_dropout_layer():
     dropped_value = a * alpha_p + (-a * alpha_p * rate)
     frac = np.mean(np.isclose(y, dropped_value, atol=1e-5))
     assert abs(frac - rate) < 0.02, frac
+
+
+def test_last_units_targets_last_dense_layer():
+    """Review regression: the last_units override only applied when the
+    FINAL layer was Dense — a network ending in Activation silently
+    produced a wrong-width output."""
+    import jax
+
+    from ignnition_tpu.frontend import ir as IR
+    from ignnition_tpu.nn import mlp as MLP
+
+    spec = IR.MLPSpec(
+        name="t",
+        layers=(
+            IR.LayerSpec(kind="Dense", name="d0", units=16, activation="relu"),
+            IR.LayerSpec(kind="Dense", name="d1", units=4, activation=None),
+            IR.LayerSpec(kind="Activation", name="a", activation="tanh"),
+        ),
+    )
+    params, out = MLP.init(jax.random.PRNGKey(0), spec, 8, last_units=32)
+    assert out == 32
+    assert params["layers"][1]["kernel"].shape == (16, 32)
+    assert MLP.output_dim(spec, 8, last_units=32) == 32
+
+    no_dense = IR.MLPSpec(
+        name="t2",
+        layers=(IR.LayerSpec(kind="Activation", name="a", activation="relu"),),
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="Dense"):
+        MLP.init(jax.random.PRNGKey(0), no_dense, 8, last_units=32)
