@@ -27,7 +27,6 @@ the same output contract as the reference migration CLI
 
 from __future__ import annotations
 
-import configparser
 import json
 import os
 import random
@@ -422,14 +421,26 @@ def iter_kdn_samples(
             ):
                 continue
             with tarfile.open(os.path.join(root, fname), "r:gz") as tar:
-                first = tar.next()
-                base = first.name.split("/")[0]
+                # member names may carry a './' prefix (tar -czf ./dir) and
+                # an empty archive has no members (review-found: the first
+                # member's raw prefix silently made every read miss, and
+                # tar.next() could be None) — index normalized names once
+                member_names = {
+                    n.lstrip("./"): n for n in tar.getnames()
+                }
+                bases = {
+                    n.split("/")[0] for n in member_names if "/" in n
+                }
+                if not member_names:
+                    continue
+                base = sorted(bases)[0] if bases else ""
 
                 def read(name):
-                    try:
-                        member = tar.extractfile(f"{base}/{name}")
-                    except KeyError:
+                    key = f"{base}/{name}" if base else name
+                    real = member_names.get(key)
+                    if real is None:
                         return ""  # optional member (flowSimulationResults)
+                    member = tar.extractfile(real)
                     return member.read().decode() if member else ""
 
                 sim_time, max_lambda = _parse_params(read("params.ini"))
@@ -471,13 +482,15 @@ def sample_to_graph_json(sample: KdnSample) -> dict:
     entities: Dict[str, str] = {}
     link_by_edge: Dict[Tuple[int, int], str] = {}
     link_capacity: List[float] = []
-    for idx, (u, v) in enumerate(
-        (u, v) for u, v, _k in g.edges(keys=True)
-    ):
+    for idx, (u, v, k) in enumerate(g.edges(keys=True)):
         name = f"l{idx}"
         entities[name] = "link"
-        link_by_edge[(u, v)] = name
-        link_capacity.append(float(g[u][v][0]["bandwidth"]))
+        # parallel links: each entity carries ITS OWN edge's bandwidth
+        # (review-found: key-0's was copied onto every parallel link) and
+        # routing maps the node pair to the FIRST parallel link,
+        # deterministically (routes name node pairs, not edge keys)
+        link_by_edge.setdefault((u, v), name)
+        link_capacity.append(float(g[u][v][k]["bandwidth"]))
 
     traffic: List[float] = []
     delay: List[float] = []

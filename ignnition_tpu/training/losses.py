@@ -46,8 +46,14 @@ def huber(labels, preds, mask, delta: float = 1.0):
 
 
 def log_cosh(labels, preds, mask):
-    err = preds - labels
-    return _masked_mean(err + jnp.log1p(jnp.exp(-2.0 * err)) - jnp.log(2.0), mask)
+    # stable form |e| + log1p(exp(-2|e|)) - log 2: the naive
+    # err + log1p(exp(-2 err)) overflows for err < ~-44 in f32, turning
+    # the loss inf and every gradient NaN (review-found, with repro);
+    # mathematically identical since log cosh is even
+    err = jnp.abs(preds - labels)
+    return _masked_mean(
+        err + jnp.log1p(jnp.exp(-2.0 * err)) - jnp.log(2.0), mask
+    )
 
 
 def binary_crossentropy(labels, preds, mask):
@@ -57,8 +63,12 @@ def binary_crossentropy(labels, preds, mask):
 
 
 def poisson(labels, preds, mask):
-    # keras: mean(preds - labels * log(preds + eps))
-    return _masked_mean(preds - labels * jnp.log(preds + 1e-7), mask)
+    # keras: mean(preds - labels * log(preds + eps)). Padding rows carry
+    # unconstrained model outputs; a negative one made log() NaN and
+    # NaN * mask(0) poisoned the whole masked mean (review-found) —
+    # neutralize masked rows BEFORE the log; real rows are unchanged
+    safe = jnp.where(mask > 0, preds, 1.0)
+    return _masked_mean(safe - labels * jnp.log(safe + 1e-7), mask)
 
 
 def kl_divergence(labels, preds, mask):

@@ -96,74 +96,172 @@ def build_schedule(spec: ScheduleSpec) -> optax.Schedule:
     raise ValueError(f"unknown learning-rate schedule '{kind}'")
 
 
+_KNOWN_OPT_KW = {
+    "Adam": {"beta_1", "beta_2", "epsilon", "amsgrad"},
+    "AdamW": {"beta_1", "beta_2", "epsilon", "weight_decay"},
+    "SGD": {"momentum", "nesterov"},
+    "RMSprop": {"rho", "epsilon", "momentum", "centered"},
+    "Adagrad": {"initial_accumulator_value", "epsilon"},
+    "Adadelta": {"rho", "epsilon"},
+    "Adamax": {"beta_1", "beta_2", "epsilon"},
+    "Nadam": {"beta_1", "beta_2", "epsilon"},
+}
+# keras base-optimizer kwargs honored for every kind (clipping is chained
+# BEFORE the update, exactly keras's order); 'name' is cosmetic
+_COMMON_OPT_KW = {
+    "learning_rate", "clipnorm", "clipvalue", "global_clipnorm", "name",
+}
+
+
+def _clip_per_leaf_norm(max_norm: float) -> optax.GradientTransformation:
+    """keras `clipnorm`: clip each VARIABLE's gradient to max L2 norm
+    (optax.clip_by_global_norm is keras's `global_clipnorm`)."""
+    import jax
+
+    def update(grads, state, params=None):
+        def clip(g):
+            n = jnp.sqrt(jnp.sum(jnp.square(g)))
+            return g * jnp.minimum(1.0, max_norm / jnp.maximum(n, 1e-30))
+
+        return jax.tree.map(clip, grads), state
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update)
+
+
 def build_optimizer(spec: OptimizerSpec) -> optax.GradientTransformation:
     p = {k: v for k, v in spec.params.items()}
+    kind = spec.kind
+    known = _KNOWN_OPT_KW.get(kind, set()) | _COMMON_OPT_KW
+    unknown = set(p) - known
+    if unknown:
+        # review-found: these were silently dropped before — the reference's
+        # reflective tf.keras construction would have applied them, so a
+        # migrated description trained with silently different semantics
+        raise ValueError(
+            f"unsupported {kind} option(s) {sorted(unknown)}; supported: "
+            f"{sorted(known - {'name'})}"
+        )
+    clips = []
+    if "clipvalue" in p:
+        v = float(p.pop("clipvalue"))
+        clips.append(optax.clip(v))
+    if "clipnorm" in p:
+        clips.append(_clip_per_leaf_norm(float(p.pop("clipnorm"))))
+    if "global_clipnorm" in p:
+        clips.append(optax.clip_by_global_norm(float(p.pop("global_clipnorm"))))
     lr: Any
     if spec.schedule is not None:
         lr = build_schedule(spec.schedule)
     else:
         lr = float(p.pop("learning_rate", 0.001))
 
+    def _finish(tx):
+        return optax.chain(*clips, tx) if clips else tx
+
     kind = spec.kind
     if kind == "Adam":
-        return optax.adam(
+        # amsgrad rides a keras-exact implementation: optax.amsgrad maxes
+        # the bias-CORRECTED second moment while keras maxes the raw one
+        # (trajectories diverge ~2e-3 within 12 steps, caught by the
+        # keras-parity test)
+        fn = (
+            _keras_adam_amsgrad
+            if _to_bool(p.get("amsgrad", False))
+            else optax.adam
+        )
+        return _finish(fn(
             lr,
             b1=float(p.get("beta_1", 0.9)),
             b2=float(p.get("beta_2", 0.999)),
             eps=float(p.get("epsilon", 1e-7)),
-        )
+        ))
     if kind == "AdamW":
-        return optax.adamw(
+        return _finish(optax.adamw(
             lr,
             b1=float(p.get("beta_1", 0.9)),
             b2=float(p.get("beta_2", 0.999)),
             eps=float(p.get("epsilon", 1e-7)),
             weight_decay=float(p.get("weight_decay", 0.004)),
-        )
+        ))
     if kind == "SGD":
         momentum = float(p.get("momentum", 0.0))
-        return optax.sgd(
+        return _finish(optax.sgd(
             lr,
             momentum=momentum if momentum > 0 else None,
             nesterov=_to_bool(p.get("nesterov", False)),
-        )
+        ))
     if kind == "RMSprop":
-        return optax.rmsprop(
+        return _finish(optax.rmsprop(
             lr,
             decay=float(p.get("rho", 0.9)),
             eps=float(p.get("epsilon", 1e-7)),
             momentum=float(p.get("momentum", 0.0)),
             centered=_to_bool(p.get("centered", False)),
-        )
+            # optax's default eps_in_sqrt=True (divide by sqrt(v + eps))
+            # IS the keras semantics on this stack: keras 3's rmsprop.py
+            # adds epsilon to the velocity BEFORE the sqrt (line 141-145),
+            # as did legacy TF — a review suggested eps_in_sqrt=False
+            # "for keras parity" and the trajectory test correctly
+            # rejected it (test_optimizer_trajectory_matches_keras)
+        ))
     if kind == "Adagrad":
-        return optax.adagrad(
+        return _finish(optax.adagrad(
             lr,
             initial_accumulator_value=float(p.get("initial_accumulator_value", 0.1)),
             eps=float(p.get("epsilon", 1e-7)),
-        )
+        ))
     if kind == "Adadelta":
-        return optax.adadelta(
+        return _finish(optax.adadelta(
             lr, rho=float(p.get("rho", 0.95)), eps=float(p.get("epsilon", 1e-7))
-        )
+        ))
     if kind == "Adamax":
-        return optax.adamax(
+        return _finish(optax.adamax(
             lr,
             b1=float(p.get("beta_1", 0.9)),
             b2=float(p.get("beta_2", 0.999)),
             eps=float(p.get("epsilon", 1e-7)),
-        )
+        ))
     if kind == "Nadam":
         # optax.nadam implements a different Nadam variant (trajectories
         # diverge ~3e-2 within 12 steps); this is keras 3's exact update
         # (keras/src/optimizers/nadam.py): momentum-schedule products
         # u_t = b1 * (1 - 0.5 * 0.96^t)
-        return _keras_nadam(
+        return _finish(_keras_nadam(
             lr,
             b1=float(p.get("beta_1", 0.9)),
             b2=float(p.get("beta_2", 0.999)),
             eps=float(p.get("epsilon", 1e-7)),
-        )
+        ))
     raise ValueError(f"unknown optimizer '{kind}'")
+
+
+def _keras_adam_amsgrad(lr, b1: float, b2: float, eps: float):
+    """Keras-semantics AMSGrad Adam (keras/src/optimizers/adam.py): the
+    raw second moment is maxed BEFORE bias correction, and the correction
+    rides the alpha = lr * sqrt(1-b2^t)/(1-b1^t) scaling with epsilon
+    OUTSIDE the corrected sqrt."""
+    import jax
+
+    def init(params):
+        z = jax.tree.map(jnp.zeros_like, params)
+        return {"m": z, "v": z, "vhat": z, "t": jnp.zeros((), jnp.int32)}
+
+    def update(grads, state, params=None):
+        t = state["t"] + 1
+        tf_ = t.astype(jnp.float32)
+        step_lr = lr(state["t"]) if callable(lr) else lr
+        alpha = step_lr * jnp.sqrt(1.0 - b2**tf_) / (1.0 - b1**tf_)
+        m = jax.tree.map(lambda m_, g: b1 * m_ + (1 - b1) * g, state["m"], grads)
+        v = jax.tree.map(
+            lambda v_, g: b2 * v_ + (1 - b2) * g * g, state["v"], grads
+        )
+        vhat = jax.tree.map(jnp.maximum, state["vhat"], v)
+        upd = jax.tree.map(
+            lambda m_, vh: -alpha * m_ / (jnp.sqrt(vh) + eps), m, vhat
+        )
+        return upd, {"m": m, "v": v, "vhat": vhat, "t": t}
+
+    return optax.GradientTransformation(init, update)
 
 
 def _keras_nadam(lr, b1: float, b2: float, eps: float):

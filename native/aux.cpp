@@ -123,15 +123,12 @@ long ign_adjacency_aux(const int32_t* src, const int32_t* dst,
   // ---- row_ptr (CSR over real edges) + lens ----
   scratch.assign(static_cast<size_t>(n_dst_pad) + 1, 0);
   for (long i = 0; i < e_real; ++i) scratch[static_cast<size_t>(dst[i]) + 1]++;
+  row_ptr[0] = 0;
   for (long d = 0; d < n_dst_pad; ++d) {
     lens[d] = static_cast<float>(scratch[d + 1]);
     scratch[d + 1] += scratch[d];
-    row_ptr[d] = static_cast<int32_t>(scratch[d]);
-  }
-  row_ptr[0] = 0;
-  row_ptr[n_dst_pad] = static_cast<int32_t>(e_real);
-  for (long d = 0; d < n_dst_pad; ++d)
     row_ptr[d + 1] = static_cast<int32_t>(scratch[d + 1]);
+  }
 
   // ---- stable source sort of ALL edges ----
   counting_argsort(src, e_pad, n_src_pad, src_perm, scratch);

@@ -22,6 +22,7 @@
 #include <cstring>
 #include <cmath>
 #include <cstdlib>
+#include <charconv>
 #include <memory>
 #include <string>
 #include <unordered_map>
@@ -158,11 +159,13 @@ struct Parser {
   }
 
   bool parse_number(Value& out) {
-    char* np = nullptr;
+    // std::from_chars: locale-INDEPENDENT (review-found: strtod honors
+    // LC_NUMERIC, so a comma-decimal locale silently merged array
+    // elements like [1,5] into 1.5) and never reads past `end`
     out.kind = Value::Num;
-    out.num = std::strtod(p, &np);
-    if (np == p) return fail("bad number");
-    p = np;
+    auto res = std::from_chars(p, end, out.num);
+    if (res.ec != std::errc() || res.ptr == p) return fail("bad number");
+    p = res.ptr;
     return true;
   }
 
@@ -175,10 +178,10 @@ struct Parser {
     if (p < end && (*p == '-' || (*p >= '0' && *p <= '9'))) {
       out.kind = Value::NumArr;
       while (true) {
-        char* np = nullptr;
-        double d = std::strtod(p, &np);
-        if (np == p) return fail("bad number");
-        p = np;
+        double d = 0.0;
+        auto res = std::from_chars(p, end, d);
+        if (res.ec != std::errc() || res.ptr == p) return fail("bad number");
+        p = res.ptr;
         out.nums.push_back(d);
         skip_ws();
         if (p >= end) return fail("unterminated array");
@@ -412,6 +415,14 @@ long ign_adjacency(void* handle, long i, const char* name,
       if (sv->kind == Value::Arr) {  // [src, params]
         if (sv->arr.empty() || sv->arr[0]->kind != Value::Str) return -1;
         src_name = &sv->arr[0]->str;
+        // source-entity check, same as the plain-string branch below
+        // (review-found: a wrong-entity source has a VALID index within
+        // its own entity's numbering, so skipping the check silently
+        // wires the wrong node; -1 routes to the python path's friendly
+        // DatasetError)
+        auto peit = si.node_entity.find(*src_name);
+        if (peit == si.node_entity.end() || peit->second != src_entity)
+          return -1;
         if (param_dim > 0) {
           if (sv->arr.size() < 2) return -1;
           const Value* pv = sv->arr[1].get();

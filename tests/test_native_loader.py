@@ -109,3 +109,42 @@ def test_native_preserves_adjacency_insertion_order(tmp_path):
         np.testing.assert_array_equal(adj.src_idx, badj.src_idx)
         np.testing.assert_array_equal(adj.dst_idx, badj.dst_idx)
         np.testing.assert_allclose(a.label, b.label)
+
+
+def test_native_params_branch_rejects_wrong_entity(tmp_path):
+    """Review regression: the native [src, params] branch skipped the
+    source-entity check and silently emitted a wrong-entity node's index;
+    now it returns -1 so the python path raises the friendly DatasetError
+    — and both paths agree."""
+    import copy
+    import json
+    import tarfile
+    from io import BytesIO
+
+    desc = routenet_description()
+    ir = parser.parse_model_description(
+        copy.deepcopy(desc),
+        {"link_capacity": 1, "traffic": 1,
+         "adj_links_paths": 1, "adj_paths_links": 1},
+    )
+    spec = SampleSpec.from_ir(ir)
+    sample = {
+        "entities": {"l0": "link", "l1": "link", "p0": "path"},
+        "link_capacity": [1.0, 2.0],
+        "traffic": [0.5],
+        "delay": [0.1],
+        # wrong-entity source in [src, params] form: p0 is a path
+        "adj_links_paths": {"p0": [["p0", [1.0]]]},
+        "adj_paths_links": {"l0": [["p0", [1.0]]]},
+    }
+    payload = json.dumps([sample]).encode()
+    path = tmp_path / "bad.tar.gz"
+    with tarfile.open(path, "w:gz") as tar:
+        info = tarfile.TarInfo("data.json")
+        info.size = len(payload)
+        tar.addfile(info, BytesIO(payload))
+
+    # the skip-and-log resilience swallows the archive in both modes —
+    # the point is NEITHER path yields a silently-corrupt sample
+    assert list(ds.iter_samples(str(tmp_path), spec, use_native="auto")) == []
+    assert list(ds.iter_samples(str(tmp_path), spec, use_native="never")) == []
