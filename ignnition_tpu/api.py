@@ -102,7 +102,18 @@ class Runner:
                 "outputs and eval statistics use normalized values"
             )
             return None
-        return normalizations().get(denorm)
+        fn = normalizations().get(denorm)
+        if fn is None:
+            # review-found: a declared-but-unregistered name used to fall
+            # through silently, emitting normalized values with NO signal
+            log.warning(
+                "label_denormalization '%s' is declared in the model "
+                "description but no function with that name is registered "
+                "(ig.register_normalization) — outputs and eval statistics "
+                "use normalized values",
+                denorm,
+            )
+        return fn
 
     def train_and_evaluate(self, run_dir: Optional[str] = None) -> TrainState:
         """Train with periodic eval/checkpointing (reference
@@ -261,12 +272,17 @@ class Runner:
 # --------------------------------------------------------------------------
 
 
-def train_and_evaluate(model: Model, **runner_kw) -> TrainState:
+def train_and_evaluate(
+    model: Model, run_dir: Optional[str] = None, **runner_kw
+) -> TrainState:
+    """run_dir: pass a previous run's experiment directory to RESUME it
+    (review-found: this knob used to be reachable only through the Runner
+    method, not the reference-style module verb)."""
     log.info(
         "starting the training and evaluation process\n"
         + "-" * 75
     )
-    return Runner(model, **runner_kw).train_and_evaluate()
+    return Runner(model, **runner_kw).train_and_evaluate(run_dir)
 
 
 def predict(model: Model, state: Optional[TrainState] = None, **runner_kw):

@@ -56,7 +56,9 @@ def build_graph(model_ir) -> Tuple[Dict[str, str], List[Tuple[str, str]]]:
             dst = mp.destination
             chain_outs = []
             for src in mp.sources:
-                broot = f"{sroot}/{src.entity}s_to_{dst}s"
+                # adjacency name disambiguates two sources of the SAME
+                # entity (review-found: their chains silently merged)
+                broot = f"{sroot}/{src.entity}s_to_{dst}s[{src.adj_name}]"
                 prev = producer[src.entity]
                 ep = None
                 if src.edge_param_dim:
@@ -161,8 +163,14 @@ def build_graph(model_ir) -> Tuple[Dict[str, str], List[Tuple[str, str]]]:
 
 def to_dot(nodes: Dict[str, str], edges: List[Tuple[str, str]]) -> str:
     """DOT source with one cluster per top-level scope."""
+    def esc(text):
+        # DOT double-quoted strings: escape backslashes and quotes
+        # (review-found: a quoted entity/nn name produced unparseable DOT
+        # while the SVG emitter escaped correctly)
+        return str(text).replace("\\", "\\\\").replace('"', '\\"')
+
     def nid(name):
-        return '"' + name + '"'
+        return '"' + esc(name) + '"'
 
     scopes: Dict[str, List[str]] = {}
     for name in nodes:
@@ -176,11 +184,13 @@ def to_dot(nodes: Dict[str, str], edges: List[Tuple[str, str]]) -> str:
     ]
     for si, (scope, members) in enumerate(sorted(scopes.items())):
         out.append(f"  subgraph cluster_{si} {{")
-        out.append(f'    label="{scope}"; color="#99aacc"; fontname="Helvetica";')
+        out.append(
+            f'    label="{esc(scope)}"; color="#99aacc"; fontname="Helvetica";'
+        )
         for m in members:
             label = m.split("/", 1)[1] if "/" in m else m
             out.append(
-                f'    {nid(m)} [label="{label}\\n{nodes[m]}"];'
+                f'    {nid(m)} [label="{esc(label)}\\n{esc(nodes[m])}"];'
             )
         out.append("  }")
     for s, d in edges:

@@ -99,6 +99,13 @@ def segment_sum(
     mode). The Pallas path requires `indices_are_sorted=True`
     (destination-ordered COO, which the dataset layer guarantees) and 2-D
     `data`.
+
+    dtype note: the Pallas kernels accumulate in f32 and RETURN f32 even
+    for bf16 inputs, while the XLA fallback preserves the input dtype — on
+    TPU the downstream consumers therefore see (slightly more precise) f32
+    sums. A known, deliberate platform difference: the f32 return is the
+    kernel's accumulator (no extra pass), and rounding it to bf16 would
+    only discard precision to match the fallback.
     """
     if use_pallas == "default" or use_pallas == "auto":
         use_pallas = _PALLAS_MODE

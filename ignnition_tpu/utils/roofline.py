@@ -119,14 +119,18 @@ class StepCost:
 
 def _mlp_dims(mlp, in_dim, last_units=None):
     """[(in, out)] per Dense layer of an MLPSpec (point-wise kinds keep
-    width)."""
+    width). last_units overrides the LAST Dense layer, matching nn/mlp.py's
+    actual parameter shapes."""
     dims = []
     d = in_dim
     layers = mlp.layers
+    last_dense = max(
+        (j for j, l in enumerate(layers) if l.kind == "Dense"), default=None
+    )
     for j, l in enumerate(layers):
         if l.kind == "Dense":
             u = l.units
-            if j == len(layers) - 1 and last_units is not None:
+            if j == last_dense and last_units is not None:
                 u = last_units
             dims.append((d, int(u)))
             d = int(u)
@@ -167,22 +171,32 @@ def _param_count(model_ir) -> float:
 def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
     """Itemized mandatory bytes/FLOPs of one training step (conventions in
     the module docstring)."""
-    from ..frontend.ir import is_source_local
+    from ..data.graph import (
+        _DENSE_INC_MAX_ENTRIES, _DENSE_INC_MIN_EDGES, dense_agg_adjacencies,
+    )
+    from ..frontend.ir import is_slot_eligible, is_source_local
 
     c = StepCost()
     state = model_ir.state_dims()
     iters = model_ir.num_iterations
     b = dtype_bytes
-    adj_by_name = {a.name: a for a in model_ir.adjacency_info()}
+    dense_adjs = dense_agg_adjacencies(model_ir)
 
     for stage in model_ir.stages:
         for mp in stage.passes:
             d_dst = state[mp.destination]
             n_d = meta.nodes(mp.destination)
-            seq_agg = mp.aggregation.kind in ("ordered", "interleave")
+            # concat is a sequence aggregation too (builder._SEQUENCE_AGGS:
+            # the RNN runs over per-slot sequences) — review-found omission
+            # that undercounted its RNN elements ~in-degree-fold
+            seq_agg = mp.aggregation.kind in ("ordered", "interleave", "concat")
+            concat2 = (
+                mp.aggregation.kind == "concat"
+                and mp.aggregation.concat_axis == 2
+            )
             total_msg_elems = 0.0  # per-iteration RNN elements (ordered)
+            final_dims = []  # per-source final message widths
             for src in mp.sources:
-                a = adj_by_name[src.adj_name]
                 E = meta.edges(src.adj_name)
                 d_src = state[src.entity]
                 n_s = meta.nodes(src.entity)
@@ -192,24 +206,28 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                 cur = d_src
                 rows = n_s if local else E
                 chain_in = d_src
+                named_dims: Dict[str, int] = {}
                 # slot-eligible per-edge chains (model/builder._slot_messages,
                 # shared predicate frontend.ir.is_slot_eligible) evaluate
                 # over the in-degree-sliced layout: ONE slice-map gather
                 # (+ its sorted-segment-sum transpose) replaces the per-edge
                 # input gathers, so their mandatory row movement is 2E per
                 # iteration total, not per input stream
-                from ..frontend.ir import is_slot_eligible
-
                 slot_ok = is_slot_eligible(src.ops)
                 for op in src.ops:
                     if op.kind == "mlp":
                         chain_in = sum(
                             state.get(mp.destination) if x == "hs_dest"
                             else (src.edge_param_dim or 0) if x == "edge_params"
-                            else state.get(src.entity, cur)
+                            else d_src if x == "hs_source"
+                            # a previous op's named output (review-found:
+                            # this used to charge the source STATE width)
+                            else named_dims.get(x, d_src)
                             for x in op.inputs
                         ) or cur
                         dims, cur = _mlp_dims(op.mlp, chain_in)
+                        if op.output_name:
+                            named_dims[op.output_name] = cur
                         for (i, o) in dims:
                             c.add_flops("message_mlp", 3 * 2 * rows * i * o * iters)
                         # interior activations cross HBM (1 fwd + 2 bwd)
@@ -224,6 +242,7 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                     else:
                         c.gather_rows += 2 * E * iters
                 msg_dim = cur
+                final_dims.append(cur)
 
                 if seq_agg:
                     # sequence consumption is inherently edge-slot-rate even
@@ -231,7 +250,14 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                     # bwd cotangent
                     c.add_bytes("seq_stream", 3 * E * msg_dim * b * iters)
                     c.gather_rows += 2 * E * iters
-                    total_msg_elems += E
+                    if concat2:
+                        # axis-2 concat shares one slot grid across sources
+                        # (features widen, slots do not) — counting each
+                        # source's E would OVERcount RNN elements and break
+                        # the lower-bound property
+                        total_msg_elems = max(total_msg_elems, E)
+                    else:
+                        total_msg_elems += E
                 elif local:
                     # commutative aggregation streaming from the node-rate
                     # message table: table read fwd + cotangent bwd
@@ -253,7 +279,7 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                     # edge count below which the matrix is never emitted
                     # (graph.py _DENSE_INC_MIN_EDGES)
                     dense_ok = (
-                        src.adj_name in dense_agg_adjacencies(model_ir)
+                        src.adj_name in dense_adjs
                         and E >= _DENSE_INC_MIN_EDGES
                         and (
                             src.adj_name in dict(meta.inc_blocks)
@@ -262,6 +288,13 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                     )
                     if not dense_ok:
                         c.gather_rows += 2 * E * iters
+                    elif mp.aggregation.kind == "attention":
+                        # the flash lowering's calibrated per-entry constant
+                        # ALREADY includes the one incidence-matrix read per
+                        # pass (dense_attn_entry_passes below) — adding the
+                        # bytes item too double-charged the matrix
+                        # (review-found)
+                        pass
                     else:
                         # the dense lowering's mandatory traffic is the
                         # incidence matrix itself, read once per direction
@@ -295,13 +328,8 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                     # dense_attn_ps_per_entry; the one incidence-matrix
                     # read per pass is INSIDE that calibrated constant,
                     # so no separate bytes item is added)
-                    from ..data.graph import (
-                        _DENSE_INC_MAX_ENTRIES, _DENSE_INC_MIN_EDGES,
-                        dense_agg_adjacencies,
-                    )
-
                     if (
-                        src.adj_name in dense_agg_adjacencies(model_ir)
+                        src.adj_name in dense_adjs
                         and E >= _DENSE_INC_MIN_EDGES
                     ):
                         blk = dict(meta.inc_blocks).get(src.adj_name)
@@ -321,7 +349,10 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                 c.add_flops("rnn_update", 3 * per_elem * d_dst * d_dst
                             * elems * iters)
             else:
-                msg_dim = max(state[s.entity] for s in mp.sources)
+                # the update consumes the AGGREGATED message, whose width is
+                # the message chains' final output (review-found: the source
+                # STATE dims were used, undercounting wide message MLPs)
+                msg_dim = max(final_dims) if final_dims else d_dst
                 dims, _ = _mlp_dims(mp.update.mlp, msg_dim + d_dst,
                                     last_units=d_dst)
                 for (i, o) in dims:

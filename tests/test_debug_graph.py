@@ -54,11 +54,11 @@ def test_graph_nodes_and_edges_routenet():
     )
     assert "readout/delay_prediction" in nodes
     # stage2 reads the stage1-UPDATED path state, not the initial one
-    assert ("message_passing/stage1/path_state",
-            "message_passing/stage2/links_to_paths/message/direct_assignation_0"
-            ) not in edges  # direction check: stage2 is paths_to_links
-    srcs = [s for s, d in edges
-            if d == "message_passing/stage2/paths_to_links/message/direct_assignation_0"]
+    # block names carry the adjacency so two sources of one entity never
+    # merge (round-4.2 review fix)
+    dst2 = ("message_passing/stage2/paths_to_links[adj_paths_links]"
+            "/message/direct_assignation_0")
+    srcs = [s for s, d in edges if d == dst2]
     assert srcs == ["message_passing/stage1/path_state"]
     # every edge endpoint is a known node
     for s, d in edges:
@@ -111,3 +111,29 @@ def test_tensorboard_graph_event_loads(tmp_path):
     by_name = {n.name: n for n in graph_defs[0].node}
     for s, d in edges:
         assert s in by_name[d].input
+
+
+def test_same_entity_two_adjacencies_get_distinct_chains():
+    """Review regression: two sources of the SAME entity in one message
+    passing (two adjacencies) used to share a node-name root, silently
+    merging their chains in every debug artifact."""
+    import copy
+
+    from helpers import routenet_description
+
+    desc = routenet_description(num_iterations=1, hs=8)
+    mp = desc["message_passing"]["stages"][0]["stage_mp"][0]
+    mp["source_entities"].append(dict(
+        copy.deepcopy(mp["source_entities"][0]), adj_vector="adj_links_paths2"
+    ))
+    ir = parser.parse_model_description(
+        copy.deepcopy(desc),
+        {"link_capacity": 1, "traffic": 1,
+         "adj_links_paths": 0, "adj_links_paths2": 0},
+    )
+    from ignnition_tpu.debuggraph import build_graph
+
+    nodes, edges = build_graph(ir)
+    chains = [n for n in nodes if "/message/direct_assignation_0" in n
+              and "stage1" in n]
+    assert len(chains) == 2, chains
