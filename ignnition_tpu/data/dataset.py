@@ -31,6 +31,20 @@ class DatasetError(ValueError):
     """User-facing dataset format error."""
 
 
+# Exception classes a malformed/truncated archive can legitimately raise.
+# skip-and-log catches exactly these (advisor-found, r4: a bare
+# `except Exception` also swallowed programming errors — KeyError/TypeError
+# in convert paths — silently shrinking the training set).
+_ARCHIVE_ERRORS = (
+    DatasetError,
+    OSError,  # includes gzip truncation (EOFError is not an OSError — listed)
+    EOFError,
+    json.JSONDecodeError,
+    tarfile.TarError,
+    UnicodeDecodeError,
+)
+
+
 # --------------------------------------------------------------------------
 # Dimension inference (reference framework_operations.py:50-91)
 # --------------------------------------------------------------------------
@@ -159,7 +173,21 @@ def convert_sample(raw: Mapping[str, Any], spec: SampleSpec) -> GraphSample:
     Reproduces the reference generator semantics
     (generator_std_to_framework.py:97-224): destination-ordered edges, per-dst
     sequence positions, tiled interleave patterns.
-    """
+
+    Malformed sample CONTENT (ragged feature lists, unknown node names,
+    wrong-typed values) is reported as DatasetError so the archive-level
+    skip-and-log catches it; exceptions raised anywhere else propagate
+    (advisor-found, r4: a blanket `except Exception` at the archive level
+    also swallowed programming errors in the pipeline machinery)."""
+    try:
+        return _convert_sample_impl(raw, spec)
+    except DatasetError:
+        raise
+    except (ValueError, KeyError, TypeError, IndexError) as e:
+        raise DatasetError(f"malformed sample: {e!r}") from e
+
+
+def _convert_sample_impl(raw: Mapping[str, Any], spec: SampleSpec) -> GraphSample:
     if "entities" not in raw:
         raise DatasetError("sample is missing the 'entities' map")
     entities = raw["entities"]
@@ -373,7 +401,7 @@ def iter_samples(
                         rng.shuffle(raw_samples)
                     for raw in raw_samples:
                         yield convert_sample(raw, spec)
-            except Exception as e:
+            except _ARCHIVE_ERRORS as e:
                 import logging
 
                 logging.getLogger("ignnition_tpu").error(
@@ -440,7 +468,7 @@ def _iter_samples_parallel(
                 if shuffle:
                     wrng.shuffle(samples)
                 out_q.put(samples)
-            except Exception as e:
+            except _ARCHIVE_ERRORS as e:
                 logging.getLogger("ignnition_tpu").error("skipping %s: %r", a, e)
             except BaseException as e:
                 out_q.put(e)

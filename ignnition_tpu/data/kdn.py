@@ -425,8 +425,12 @@ def iter_kdn_samples(
                 # an empty archive has no members (review-found: the first
                 # member's raw prefix silently made every read miss, and
                 # tar.next() could be None) — index normalized names once
+                # strip only a literal './' prefix — lstrip("./") would eat
+                # ALL leading '.'/'/' chars and over-strip names like
+                # '.hidden' or '../dir' (advisor-found, r4)
                 member_names = {
-                    n.lstrip("./"): n for n in tar.getnames()
+                    (n[2:] if n.startswith("./") else n): n
+                    for n in tar.getnames()
                 }
                 bases = {
                     n.split("/")[0] for n in member_names if "/" in n

@@ -393,6 +393,30 @@ class ModelIR:
         op = self.predict_op()
         return op.label, op.label_normalization, op.label_denormalization
 
+    def stochastic_layer_kinds(self) -> Tuple[str, ...]:
+        """Layer kinds in this model that draw randomness during training
+        (Dropout family / GaussianNoise). Parallel step builders use this to
+        warn when a caller omits the per-step rng — a constant default key
+        would silently degrade dropout to a static mask."""
+        stochastic = {"Dropout", "AlphaDropout", "GaussianNoise"}
+        found = []
+
+        def scan_mlp(mlp):
+            if mlp is None:
+                return
+            for layer in mlp.layers:
+                if layer.kind in stochastic:
+                    found.append(layer.kind)
+
+        for mp in self.all_passes():
+            for src in mp.sources:
+                for op in src.ops:
+                    scan_mlp(op.mlp)
+            scan_mlp(mp.update.mlp)
+        for op in self.readout:
+            scan_mlp(op.mlp)
+        return tuple(sorted(set(found)))
+
     def additional_inputs(self) -> Tuple[str, ...]:
         """Readout inputs that are neither an entity's states nor a produced
         output (reference get_additional_input_names, j_o.py:458-475). These

@@ -408,6 +408,9 @@ def make_edgeshard_train_step(
     def train_step(params, opt_state, stacked_batch, rng=None):
         # rng: per-step dropout key (callers without dropout may omit it)
         if rng is None:
+            from .steps import _warn_constant_rng
+
+            _warn_constant_rng(model)
             rng = jax.random.PRNGKey(0)
         stacked_batch = {
             k: v for k, v in stacked_batch.items()

@@ -36,6 +36,28 @@ from ..training.losses import loss_reduction
 # --------------------------------------------------------------------------
 
 
+_warned_constant_rng: set = set()
+
+
+def _warn_constant_rng(model) -> None:
+    """Warn (once per model IR) when a stochastic model's train step is
+    called without an rng: the PRNGKey(0) fallback reuses one dropout mask
+    every step, silently degrading dropout to static masking
+    (advisor-found, r4)."""
+    kinds = model.ir.stochastic_layer_kinds()
+    if kinds and id(model.ir) not in _warned_constant_rng:
+        _warned_constant_rng.add(id(model.ir))
+        import warnings
+
+        warnings.warn(
+            f"model contains stochastic layers {list(kinds)} but no rng was "
+            f"passed to train_step; falling back to a CONSTANT PRNGKey(0) — "
+            f"every step reuses the same dropout mask. Pass a fresh per-step "
+            f"rng.",
+            stacklevel=3,
+        )
+
+
 def edge_array_keys(model_ir) -> set:
     """Batch keys whose leading dimension is the edge axis of an adjacency."""
     keys = set()
@@ -204,6 +226,7 @@ def make_parallel_train_step(
         # to drop it, crashing dropout models at trace time). Callers
         # without dropout may omit it.
         if rng is None:
+            _warn_constant_rng(model)
             rng = jax.random.PRNGKey(0)
         key = tuple(sorted((k, np.shape(v)) for k, v in stacked_batch.items()))
         if key not in cache:

@@ -142,6 +142,14 @@ def build_optimizer(spec: OptimizerSpec) -> optax.GradientTransformation:
             f"{sorted(known - {'name'})}"
         )
     clips = []
+    clip_opts = [k for k in ("clipvalue", "clipnorm", "global_clipnorm") if k in p]
+    if len(clip_opts) > 1:
+        # keras base-optimizer raises here too; chaining them silently would
+        # diverge from the reference's semantics without signal
+        raise ValueError(
+            f"at most one of clipvalue/clipnorm/global_clipnorm may be set; "
+            f"got {clip_opts}"
+        )
     if "clipvalue" in p:
         v = float(p.pop("clipvalue"))
         clips.append(optax.clip(v))

@@ -854,13 +854,19 @@ class Trainer:
                 tuple(sorted(pad_to["edges"].items())),
             )
 
-        def partition_item(arrays, meta):
-            if cache:
+        def partition_item(arrays, meta, memoize=True):
+            # memoize=False for TRANSIENT dicts (the repad_to_meta copies in
+            # the mixed-meta branch): id() of a freed dict can be reused by a
+            # later fresh dict, so memoizing them could silently return a
+            # DIFFERENT batch's partition once pad_key stabilizes
+            # (advisor-found, r4). Only long-lived cached batch objects — whose
+            # ids are pinned by the batch cache — may key the memo.
+            if cache and memoize:
                 hit = memo.get(id(arrays))
                 if hit is not None and hit[0] == pad_key():
                     return hit[1]
             part = partition_batch(arrays, meta, self.ir, n_model, pad_to=pad_to)
-            if cache:
+            if cache and memoize:
                 memo[id(arrays)] = (pad_key(), part)
             return part
 
@@ -873,17 +879,20 @@ class Trainer:
             if len(group) < n_local:
                 continue
             items, group = group, []
+            memoize = True
             if len({m for _, m in items}) > 1:
                 # rare with bucketed padding: grow to a common meta first
-                # (these fresh arrays skip the memo; same content as the
-                # previous stack_batches-then-unstack route)
+                # (these fresh arrays are transient — they MUST NOT enter the
+                # id-keyed memo; same content as the previous
+                # stack_batches-then-unstack route)
                 target = merge_metas([m for _, m in items], self.ir)
                 items = [
                     (repad_to_meta(a, m, target, self.ir), target)
                     for a, m in items
                 ]
+                memoize = False
             while True:
-                parts = [partition_item(a, m) for a, m in items]
+                parts = [partition_item(a, m, memoize) for a, m in items]
                 dims = [partition_dims(p[0]) for p in parts]
                 grown = False
                 for d in dims:

@@ -189,3 +189,20 @@ def test_iter_samples_skips_malformed_archive(tmp_path):
     spec = ds.SampleSpec.from_ir(ir)
     got = list(ds.iter_samples(str(tmp_path), spec))
     assert len(got) == 3  # the good archive's samples; the bad one skipped
+
+
+def test_iter_samples_propagates_programming_errors(tmp_path, monkeypatch):
+    """Advisor-found (r4): the archive skip-and-log used a blanket
+    `except Exception`, so a programming error anywhere in the pipeline
+    silently shrank the training set to zero with only a log line. Data
+    errors skip (previous test); machinery bugs must propagate."""
+    write_dataset(str(tmp_path), 1, 2, seed=0, n_links=6, n_paths=8)
+    ir = _ir()
+    spec = ds.SampleSpec.from_ir(ir)
+
+    def boom(raw, spec):
+        raise AttributeError("machinery bug, not a data problem")
+
+    monkeypatch.setattr(ds, "convert_sample", boom)
+    with pytest.raises(AttributeError, match="machinery bug"):
+        list(ds.iter_samples(str(tmp_path), spec, use_native="never"))

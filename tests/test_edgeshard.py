@@ -549,3 +549,74 @@ def test_trainer_locality_reorder_is_exact(tmp_path):
         ),
         p_on, p_off,
     )
+
+
+def test_destshard_memo_ignores_transient_repadded_dicts(tmp_path, monkeypatch):
+    """Regression (advisor-found, r4): the cache=True partition memo is keyed
+    by id(arrays); the mixed-meta branch repads items into TRANSIENT dicts
+    whose ids the allocator can recycle — a later group with a recycled id and
+    a stable pad_key would silently receive a DIFFERENT batch's partition.
+
+    Reproduced deterministically by forcing repad_to_meta to hand out dicts
+    from a fixed 2-object pool (ids recycle every group). With the fix the
+    mixed-meta path never consults the memo, so the second group's stacked
+    arrays must reflect its own (different) feature values."""
+    import json as _json
+    import tarfile
+    from io import BytesIO
+
+    import ignnition_tpu.data.graph as graph_mod
+    from ignnition_tpu.training.trainer import Trainer
+
+    rng = np.random.default_rng(11)
+    small = make_routenet_sample(rng, 14, 10, 4)
+    large = make_routenet_sample(rng, 40, 30, 6)
+    small2 = copy.deepcopy(small)
+    small2["traffic"] = [t + 1.0 for t in small["traffic"]]
+    large2 = copy.deepcopy(large)
+    large2["traffic"] = [t + 1.0 for t in large["traffic"]]
+    d = tmp_path / "ds"
+    d.mkdir()
+    payload = _json.dumps([small, large, small2, large2]).encode()
+    with tarfile.open(d / "sample_0.tar.gz", "w:gz") as tar:
+        info = tarfile.TarInfo("data.json")
+        info.size = len(payload)
+        tar.addfile(info, BytesIO(payload))
+
+    real_repad = graph_mod.repad_to_meta
+    pool = [{}, {}]
+    calls = {"n": 0}
+
+    def recycling_repad(arrays, meta, target, ir):
+        out = real_repad(arrays, meta, target, ir)
+        slot = pool[calls["n"] % 2]
+        calls["n"] += 1
+        slot.clear()
+        slot.update(out)
+        return slot
+
+    monkeypatch.setattr(graph_mod, "repad_to_meta", recycling_repad)
+
+    ir = parser.parse_model_description(
+        routenet_description(num_iterations=2, hs=8),
+        {"link_capacity": 1, "traffic": 1},
+    )
+    model = build(ir)
+    tr = Trainer(model, padding=PAD)
+    mesh = make_mesh(data=2, model=2)
+    it = tr._destshard_batch_iter(
+        str(d), batch_size=1, mesh=mesh, shuffle=False, cache=True
+    )
+    out1, _ = next(it)
+    out1 = {k: np.array(v) for k, v in out1.items()}
+    out2, _ = next(it)
+    # the mixed-meta repad branch must actually have run
+    assert calls["n"] >= 4
+    differs = any(
+        out1[k].shape != np.shape(out2[k]) or not np.allclose(out1[k], np.array(out2[k]))
+        for k in out1
+    )
+    assert differs, (
+        "second group returned the first group's partition — transient "
+        "repadded dicts leaked into the id-keyed memo"
+    )

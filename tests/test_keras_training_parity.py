@@ -287,3 +287,15 @@ def test_logcosh_stable_and_poisson_mask_safe():
     assert np.isfinite(float(val)) and np.all(np.isfinite(np.asarray(grad)))
     kval = float(tf.keras.losses.Poisson()([1.0, 2.0], [0.5, 1.5]))
     np.testing.assert_allclose(float(val), kval, rtol=1e-5)
+
+
+def test_multiple_clip_options_raise():
+    """keras base-optimizer raises when more than one of
+    clipvalue/clipnorm/global_clipnorm is set; silently chaining them would
+    diverge from reference semantics (advisor-found, r4)."""
+    with pytest.raises(ValueError, match="at most one of"):
+        build_optimizer(OptimizerSpec(
+            kind="Adam",
+            params={"learning_rate": 0.01, "clipvalue": 0.5, "clipnorm": 1.0},
+            schedule=None,
+        ))

@@ -541,3 +541,63 @@ def test_accumulate_steps_with_mesh_raises():
             state, "/nonexistent", max_steps=1,
             mesh=Mesh(devs, ("data", "model")), accumulate_steps=4,
         )
+
+
+def test_omitted_rng_with_dropout_warns():
+    """Advisor-found (r4): omitting rng in the sharded train steps silently
+    fell back to a CONSTANT PRNGKey(0) — dropout degraded to a static mask.
+    A stochastic model must warn; a deterministic one must not."""
+    import warnings as _warnings
+
+    from jax.sharding import Mesh
+
+    desc = routenet_description(num_iterations=1, hs=8)
+    for nn in desc["neural_networks"]:
+        if nn["nn_name"] == "readout_model":
+            nn["nn_architecture"].insert(
+                1, {"type_layer": "Dropout", "rate": 0.3}
+            )
+    ir = parser.parse_model_description(
+        copy.deepcopy(desc), {"link_capacity": 1, "traffic": 1}
+    )
+    assert ir.stochastic_layer_kinds() == ("Dropout",)
+
+    plain = parser.parse_model_description(
+        copy.deepcopy(routenet_description(num_iterations=1, hs=8)),
+        {"link_capacity": 1, "traffic": 1},
+    )
+    assert plain.stochastic_layer_kinds() == ()
+
+    model = build(ir)
+    spec = SampleSpec.from_ir(ir)
+    s = convert_sample(TINY_SAMPLE, spec)
+    batch, meta = build_batch([s], ir)
+
+    from ignnition_tpu.parallel import make_parallel_train_step, stack_batches
+    from ignnition_tpu.training import get_loss
+    import optax
+
+    opt = optax.sgd(1e-2)
+    params = model.init(jax.random.PRNGKey(0))
+    loss_fn = get_loss(ir.learning.loss)
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    step = make_parallel_train_step(model, opt, loss_fn, meta, mesh)
+    stacked, _ = stack_batches([(batch, meta), (batch, meta)], ir)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        step(params, opt.init(params), stacked)  # rng omitted
+    assert any("CONSTANT PRNGKey(0)" in str(w.message) for w in caught)
+
+    # deterministic model: no warning
+    from ignnition_tpu.parallel.steps import _warn_constant_rng
+
+    class _M:
+        pass
+
+    m = _M()
+    m.ir = plain
+    with _warnings.catch_warnings(record=True) as caught2:
+        _warnings.simplefilter("always")
+        _warn_constant_rng(m)
+    assert not caught2
