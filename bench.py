@@ -269,6 +269,11 @@ def detail_cases(iters):
         # large-graph behavior round-over-round (VERDICT r3 #4). Target:
         # >=85% of flagship's per-edge throughput
         "flagship_x4": lambda: build_case(n_links=8192, n_paths=65536),
+        # 8x: 2.1M real edges per direction-pair step on ONE graph — the
+        # largest tracked single-graph point (r5, VERDICT r4 #5); the
+        # measured capacity curve continues in tools/exp_capacity.py and
+        # docs/scaling.md 'Single-chip capacity'
+        "flagship_x8": lambda: build_case(n_links=16384, n_paths=131072),
     }
 
 
@@ -374,6 +379,7 @@ def _roofline_fields(make_step, dt):
             "apsol_ms": rep["apsol_ms"],
             "apsol_pct": rep["apsol_pct"],
             "gather_ns": round(hw.gather_ns_per_row, 2),
+            "rnn_scan_ms": rep.get("rnn_scan_ms", 0.0),
         }
     except Exception as e:  # the throughput number must never be lost to this
         return {"roofline_error": f"{type(e).__name__}: {e}"}
@@ -403,7 +409,12 @@ def run_details(iters=20, on_case=None, flagship_case=None):
             on_case(name, detail[name])
 
     # serving: forward-only predict at flagship shapes (PERF.md 'Serving');
-    # reuses the flagship case main() already built when available
+    # reuses the flagship case main() already built when available.
+    # VERDICT r4 #8: alongside the absolute (which rides the tunnel's 2x
+    # run-to-run dispatch drift), report the drift-immune IN-PROCESS ratio
+    # exported-artifact step / direct apply — both timed the same way in
+    # the same session — and run the ATTENTION model through the export
+    # path too, so the flash custom-call serialization stays covered.
     try:
         if flagship_case is None:
             flagship_case = build_case()
@@ -412,16 +423,222 @@ def run_details(iters=20, on_case=None, flagship_case=None):
             make_step.model, make_step.meta, params,
             jax.device_put(arrays), iters=max(iters, 50),
         )
-        detail["serving_bf16"] = {
+        row = {
             "value": round(edges / dt / 1e6, 3),
             "unit": "Medges/s/chip",
             "ms_per_step": round(dt * 1e3, 3),
         }
+        try:
+            ratio, dt_art = _artifact_ratio(
+                make_step, params, arrays, dt, iters=max(iters, 50)
+            )
+            row["artifact_ms"] = round(dt_art * 1e3, 3)
+            row["artifact_vs_direct"] = round(ratio, 3)
+        except Exception as e:
+            row["artifact_error"] = f"{type(e).__name__}: {e}"
+        detail["serving_bf16"] = row
     except Exception as e:
         detail["serving_bf16"] = {"error": f"{type(e).__name__}: {e}"}
     print(f"# detail serving_bf16: {detail['serving_bf16']}", flush=True)
     if on_case is not None:
         on_case("serving_bf16", detail["serving_bf16"])
+
+    # attention-model serving: export + reload + numerical check + timing
+    try:
+        make_step, params, _, arrays, edges = detail_cases(iters)[
+            "attention"
+        ]()
+        dt = _time_forward(
+            make_step.model, make_step.meta, params,
+            jax.device_put(arrays), iters=max(iters, 30),
+        )
+        row = {
+            "value": round(edges / dt / 1e6, 3),
+            "unit": "Medges/s/chip",
+            "ms_per_step": round(dt * 1e3, 3),
+        }
+        try:
+            ratio, dt_art = _artifact_ratio(
+                make_step, params, arrays, dt, iters=max(iters, 30)
+            )
+            row["artifact_ms"] = round(dt_art * 1e3, 3)
+            row["artifact_vs_direct"] = round(ratio, 3)
+        except Exception as e:
+            row["artifact_error"] = f"{type(e).__name__}: {e}"
+        detail["serving_attention_bf16"] = row
+    except Exception as e:
+        detail["serving_attention_bf16"] = {"error": f"{type(e).__name__}: {e}"}
+    print(f"# detail serving_attention_bf16: "
+          f"{detail['serving_attention_bf16']}", flush=True)
+    if on_case is not None:
+        on_case("serving_attention_bf16", detail["serving_attention_bf16"])
+    return detail
+
+
+def _artifact_ratio(make_step, params, arrays, dt_direct, iters=50):
+    """Export the model to a serving artifact, reload it, verify the
+    artifact's predictions against direct apply, and time the artifact's
+    step with the SAME fetch-based clock. Returns (artifact/direct ratio,
+    artifact dt). In-process, so tunnel dispatch drift cancels out of the
+    ratio (VERDICT r4 #8)."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from ignnition_tpu.serving import export_serving, load_serving
+
+    out = tempfile.mkdtemp(prefix="ignnition_bench_serving_")
+    try:
+        export_serving(
+            make_step.model, params, make_step.meta, arrays, out,
+            compute_dtype=jnp.bfloat16,
+        )
+        sm = load_serving(out)
+        inputs = {
+            k: v for k, v in arrays.items()
+            if k in sm.manifest["inputs"]
+        }
+        inputs = jax.device_put(inputs)
+        p = jax.device_put(sm.params)
+
+        def fetch(o):
+            return float(jnp.sum(jnp.asarray(o, jnp.float32)))
+
+        # exactness: artifact == direct apply (bf16 tolerance)
+        direct = make_step.model.apply(
+            params, inputs, make_step.meta, compute_dtype=jnp.bfloat16
+        )
+        art = sm._exported.call(p, inputs)
+        np.testing.assert_allclose(
+            np.asarray(art, np.float32), np.asarray(direct, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+        fetch(sm._exported.call(p, inputs))  # warm
+        t0 = time.time()
+        fetch(sm._exported.call(p, inputs))
+        base = time.time() - t0
+        t0 = time.time()
+        o = None
+        for _ in range(iters):
+            o = sm._exported.call(p, inputs)
+        fetch(o)
+        dt_art = max(time.time() - t0 - base, 1e-9) / (iters - 1)
+        return dt_art / dt_direct, dt_art
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# sustained end-to-end training (VERDICT r4 #3): the number a user
+# experiences — steps/s through Trainer.train with the real input pipeline
+# — tracked round-over-round next to the device-resident step families
+# --------------------------------------------------------------------------
+
+
+def _training_dataset():
+    """Flagship-scale streaming dataset (8 graphs of 2048 links / 16384
+    paths in reference-format tar.gz archives), cached in /tmp. Returns
+    (dir, real_edges_per_graph_mean)."""
+    import json as _json
+
+    d = "/tmp/ignnition_bench_train_ds"
+    marker = os.path.join(d, ".meta.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return d, _json.load(f)["edges_per_graph"]
+    from ignnition_tpu.data.synthetic import make_routenet_sample, write_dataset
+
+    write_dataset(
+        d, num_archives=4, samples_per_archive=2, seed=0,
+        n_links=2048, n_paths=16384, max_path_len=8,
+    )
+    # count real (unpadded) edges the same way the samples were drawn
+    rng = np.random.default_rng(0)
+    edges = 0.0
+    n = 0
+    for _ in range(8):
+        s = make_routenet_sample(rng, 2048, 16384, 8)
+        per_graph = 2 * sum(
+            len(v) for v in s["adj_links_paths"].values()
+        )
+        edges += per_graph
+        n += 1
+    edges_per_graph = edges / n
+    with open(marker, "w") as f:
+        _json.dump({"edges_per_graph": edges_per_graph}, f)
+    return d, edges_per_graph
+
+
+def run_training_families(on_case=None, iterations=8):
+    """Two tracked rows: train_stream (real input pipeline, workers=2,
+    accumulate='auto') and train_cached_device (epoch-one device cache,
+    steady state pays zero host/transfer cost). Timing: two-point
+    differencing — the same Trainer runs max_steps=K1 then (fresh state)
+    max_steps=K2; (K2-K1)/(t2-t1) cancels compile, cache-build and
+    auto-accumulate costs, leaving the sustained per-step rate. Fetch-based
+    (a param leaf is pulled after each call)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+    from ignnition_tpu.model import build
+    from ignnition_tpu.training import Trainer
+
+    detail = {}
+    d, edges_per_graph = _training_dataset()
+    model_ir = _flagship(num_iterations=iterations, hs=32)
+    edges_per_step = iterations * edges_per_graph  # batch_size=1
+
+    def sustained(cache, k1, k2, workers):
+        trainer = Trainer(build(model_ir), compute_dtype=jnp.bfloat16)
+        kw = dict(
+            batch_size=1, shuffle=True, log_every=0,
+            accumulate_steps="auto", input_workers=workers,
+            cache_batches=cache,
+        )
+
+        def run(k):
+            state = trainer.init_state(jax.random.PRNGKey(0))
+            t0 = time.time()
+            state = trainer.train(state, d, max_steps=k, **kw)
+            np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+            return time.time() - t0
+
+        run(2)  # compile + warm every jit path
+        t1 = run(k1)
+        t2 = run(k2)
+        dt = max(t2 - t1, 1e-9) / (k2 - k1)
+        # one periodic-eval probe (the trainer's eval_secs path calls this
+        # same evaluate; cache=True mirrors in-training throttled evals)
+        te0 = time.time()
+        trainer.evaluate(
+            trainer.init_state(jax.random.PRNGKey(0)), d,
+            num_batches=2, batch_size=1, cache=True,
+        )
+        eval_ms = (time.time() - te0) * 1e3
+        return dt, eval_ms
+
+    for name, cache, k1, k2, workers in (
+        ("train_stream", False, 6, 18, 2),
+        ("train_cached_device", "device", 20, 80, 2),
+    ):
+        try:
+            dt, eval_ms = sustained(cache, k1, k2, workers)
+            detail[name] = {
+                "value": round(edges_per_step / dt / 1e6, 3),
+                "unit": "Medges/s/chip",
+                "steps_per_s": round(1.0 / dt, 3),
+                "ms_per_step": round(dt * 1e3, 3),
+                "eval_probe_ms": round(eval_ms, 1),
+            }
+        except Exception as e:
+            detail[name] = {"error": f"{type(e).__name__}: {e}"}
+        print(f"# detail {name}: {detail[name]}", flush=True)
+        if on_case is not None:
+            on_case(name, detail[name])
     return detail
 
 
@@ -490,6 +707,13 @@ def main():
             ),
             flagship_case=(make_step, params, opt_state, arrays,
                            edges_per_step),
+        )
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        # sustained end-to-end training rows (input pipeline engaged)
+        run_training_families(
+            on_case=lambda name, row: (
+                detail.__setitem__(name, row), flush_detail()
+            )
         )
 
 

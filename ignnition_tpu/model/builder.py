@@ -76,6 +76,27 @@ _HALO_OVERLAP = __import__("os").environ.get(
 _SLICE_MLP = __import__("os").environ.get(
     "IGNNITION_TPU_SLICE_MLP", "1"
 ) != "0"
+# run the slot-MLP tail on the [L, n_dst, H] tensor directly instead of a
+# [L*n_dst, H] flatten + reshape: the flattened dot's output layout
+# ({0,1}, batch-in-lanes) forces XLA to COPY the full [L*N, D] tensor to
+# the {1,0} layout the recurrent scan slices (r5 profile: 1.44 ms/step of
+# rnn.py-tagged layout copies in the mlp_message family). Exact for every
+# stock layer (all are last-axis or elementwise — BatchNormalization uses
+# frozen moving stats); custom registry layers may assume 2D, so those
+# chains keep the flatten. 0 disables for A/B.
+_SLOT_3D = __import__("os").environ.get(
+    "IGNNITION_TPU_SLOT_3D", "1"
+) != "0"
+# run the slot-MLP tail per time slice INSIDE the ordered update's scan
+# body instead of on the whole [L, n_dst, H] tensor: the whole-tensor
+# tail's batch-in-lanes dot layout forces XLA to copy the full tensor into
+# the scan's slicing layout every iteration (r5 mlp_message profile:
+# 1.4 ms/step); in-body tails fuse with the gate matmuls and their interior
+# activations drop out of the AD residual stack via the body's remat.
+# 0 disables for A/B (then _SLOT_3D applies).
+_SCAN_TAIL = __import__("os").environ.get(
+    "IGNNITION_TPU_SCAN_TAIL", "1"
+) != "0"
 # slot-rate per-edge MLP messages for SUM aggregations: the same slice map
 # lays the edges out as [max_in_degree, n_dst] slots, pre[t, d] =
 # (src_tbl @ Ksrc)[slice_src[t, d]] + (dst @ Kdst)[d], and a masked dense
@@ -812,6 +833,9 @@ class GnnModel:
                     # per-edge formulation above is unused here and DCE'd by
                     # XLA). capped=False: the [L, n_dst] layout is inherent
                     # to the scan, so slot padding costs nothing extra.
+                    # return_tail: the MLP tail runs per-slice INSIDE the
+                    # scan body — the scan consumes the gather-produced
+                    # pre-activations directly (see _slot_messages doc).
                     slice_xs = self._slot_messages(
                         mp.sources[0],
                         per_source[0],
@@ -823,8 +847,13 @@ class GnnModel:
                         n_dst,
                         enabled=_SLICE_MLP,
                         capped=False,
+                        return_tail=_SCAN_TAIL,
                     )
                 if slice_xs is not None:
+                    if isinstance(slice_xs, tuple):
+                        slice_xs, tail_fn = slice_xs
+                    else:
+                        tail_fn = None
                     a0 = per_source[0]["adj"]
                     node_mask = batch[f"node_mask_{dst}"]
                     up = params["update"][f"{dst}_update"]
@@ -834,6 +863,7 @@ class GnnModel:
                         slice_xs,
                         batch[f"lens_{a0}"].astype(jnp.int32),
                         dst_states,
+                        step_fn=tail_fn,
                     )
                     new_states[dst] = new_state * node_mask[:, None].astype(
                         new_state.dtype
@@ -1297,7 +1327,7 @@ class GnnModel:
 
     def _slot_messages(
         self, srcspec, s, pkey, dst_states, new_states, batch, meta, n_dst,
-        want_prefix=False, enabled=True, capped=True,
+        want_prefix=False, enabled=True, capped=True, return_tail=False,
     ):
         """[L, n_dst, D] slot-rate message tensor over the in-degree-sliced
         layout, or None when ineligible. Two producers:
@@ -1312,7 +1342,17 @@ class GnnModel:
         capped=False skips the slot-padding cap — for ordered updates the
         [L, n_dst] layout is inherent to the scan, so there is no padding
         penalty to avoid. Invalid slots carry garbage-but-finite rows —
-        every consumer masks by the in-degree (t < lens) before reducing."""
+        every consumer masks by the in-degree (t < lens) before reducing.
+
+        return_tail=True returns (xs, tail_fn) instead of the finished slot
+        tensor: xs is the gather-produced input ([L, n_dst, H] first-layer
+        pre-activations for MLP chains; the message table slices for
+        source-local chains) and tail_fn the per-slice remainder of the MLP
+        (None when xs is already the message). The ordered update runs the
+        tail INSIDE the scan body (rnn.masked_update_stacked step_fn) so
+        the scan consumes gathers directly — the whole-tensor tail's
+        batch-in-lanes layout forced a measured 1.4 ms/step full-tensor
+        copy into the scan (r5 mlp_message profile)."""
         a0 = s["adj"]
         if (
             not enabled
@@ -1334,7 +1374,8 @@ class GnnModel:
             )
 
         if s["table"] is not None:
-            return slice_gather(s["table"])
+            out = slice_gather(s["table"])
+            return (out, None) if return_tail else out
         if not _SPLIT_FIRST or pkey is None:
             return None
         ops = srcspec.ops
@@ -1371,6 +1412,23 @@ class GnnModel:
             else:
                 pre = pre + part
         L_, N_, H1 = pre.shape
+        from ..nn.layers import SUPPORTED_LAYERS
+
+        if return_tail:
+            if want_prefix:
+                tail = lambda x: MLP.prefix_from_first_preact(op.mlp, pkey, x)
+            else:
+                tail = lambda x: MLP.apply_from_first_preact(op.mlp, pkey, x)
+            return pre, tail
+        if _SLOT_3D and all(
+            l.kind in SUPPORTED_LAYERS for l in op.mlp.layers
+        ):
+            # last-axis/elementwise layers apply to [L, N, H] unchanged; the
+            # 3D dot's output layout matches the scan's slicing, killing the
+            # full-tensor layout copy the 2D flatten forced (see _SLOT_3D)
+            if want_prefix:
+                return MLP.prefix_from_first_preact(op.mlp, pkey, pre)
+            return MLP.apply_from_first_preact(op.mlp, pkey, pre)
         flat = pre.reshape(L_ * N_, H1)
         if want_prefix:
             slots = MLP.prefix_from_first_preact(op.mlp, pkey, flat)

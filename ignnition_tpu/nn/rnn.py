@@ -207,6 +207,7 @@ def masked_update_stacked(
     xs: jnp.ndarray,  # [max_len, num_dst, dim] time-major slices
     lengths: jnp.ndarray,  # [num_dst]
     init_state: jnp.ndarray,  # [num_dst, units]
+    step_fn=None,  # optional per-slice transform applied inside the body
 ) -> jnp.ndarray:
     """Masked recurrent scan over time-major input slices.
 
@@ -214,6 +215,17 @@ def masked_update_stacked(
     stacks every gate tensor per time step ([L, N, 3*units] x several) into
     HBM on the forward and reads them back on the backward — recomputing the
     two small gate matmuls is far cheaper than that traffic.
+
+    step_fn (r5): an optional [num_dst, dim] -> [num_dst, dim'] transform
+    run on each time slice INSIDE the (rematerialized) body — the slot-MLP
+    tail rides this so the scan consumes gather-produced pre-activations
+    directly. Rationale: a tail matmul applied to the whole [L*N, H] (or
+    [L, N, H]) tensor is emitted by XLA in a batch-in-lanes layout that
+    forces a full-tensor layout COPY into the scan (measured 1.4 ms/step in
+    the mlp_message family); per-slice tails inside the body fuse with the
+    gate matmuls, and remat also drops the tail's interior activations from
+    the residual stack. Exact: same math per real slot, masked slots are
+    ignored by the length mask.
 
     An opt-in fused Pallas kernel (ops/pallas/rnn_kernels.py, env
     IGNNITION_TPU_FUSED_RNN) can run the whole GRU scan in one pass per
@@ -225,7 +237,7 @@ def masked_update_stacked(
     if spec.cell_type == "GRU":
         from ..ops.pallas import rnn_kernels as _rk
 
-        if _rk.scan_eligible(
+        if step_fn is None and _rk.scan_eligible(
             xs.shape[0], xs.shape[1], xs.shape[2], init_state.shape[1]
         ):
             return _rk.masked_gru_scan(
@@ -235,6 +247,8 @@ def masked_update_stacked(
         @jax.checkpoint
         def body(h, xt):
             x, t = xt
+            if step_fn is not None:
+                x = step_fn(x)
             valid = t < lengths
             h_new = _gru_step(params, x, h)
             h = jnp.where(valid[:, None], h_new, h)
@@ -247,6 +261,8 @@ def masked_update_stacked(
     def body(carry, xt):
         h, c = carry
         x, t = xt
+        if step_fn is not None:
+            x = step_fn(x)
         valid = t < lengths
         h_new, c_new = _lstm_step(params, x, (h, c))
         h = jnp.where(valid[:, None], h_new, h)

@@ -150,6 +150,14 @@ def export_serving(
     kw = {}
     if platforms is not None:
         kw["platforms"] = tuple(platforms)
+    # the Pallas lowerings (segment kernels, flash-GAT) serialize as Mosaic
+    # custom calls; jax.export's safety check rejects unknown custom calls
+    # unless the target is explicitly allowed. These are OUR kernels, and
+    # the artifact is platform-tagged, so allowing them is sound.
+    kw["disabled_checks"] = [
+        jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call"),
+        jax_export.DisabledSafetyCheck.custom_call("Sharding"),
+    ]
     exported = jax_export.export(jax.jit(fwd), **kw)(*specs)
     blob = exported.serialize()
 

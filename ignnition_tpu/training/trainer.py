@@ -94,6 +94,14 @@ class Trainer:
         cuts the per-array H2D dispatch cost for streaming batches)."""
         key = (meta, layout)
         if key not in self._train_steps:
+            # single-chip capacity check (r5): warn BEFORE the first compile
+            # when the estimated footprint (params + batch + AD residuals)
+            # likely exceeds this chip's HBM, pointing at dest_shard
+            # (utils/memory.py; validated against the measured OOM boundary,
+            # docs/scaling.md 'Single-chip capacity')
+            from ..utils.memory import maybe_warn_capacity
+
+            maybe_warn_capacity(self.ir, meta, log=log)
 
             @jax.jit
             def step(params, opt_state, batch, rng):

@@ -37,6 +37,16 @@ MANDATORY work of one full training step (forward + backward + optimizer):
     (2.4/2.2/2.2 ns/row at d=8/32/128 f32) — pure descriptor cost that no
     alternative issue path undercuts.
 
+  * rnn scan floor (r5) — scanned (sequence) recurrent updates are charged
+    a CALIBRATED per-scan cost (HardwareSpec.rnn_scan_ps_per_elem /
+    rnn_scan_us_per_step, from tools/exp_rnn_floor.py) instead of the
+    FLOPs+seq_stream items: the masked lax.scan's measured isolated cost is
+    the best achievable on this hardware (the fused Pallas scan kernel wins
+    in isolation but is a measured net loss in-model — PERF.md), and its
+    per-step state round trips are invisible to the two-resource model.
+    Additive in apsol: the scan is a strict data dependence behind the same
+    iteration's gathers.
+
 The bound is deliberately UNACHIEVABLE-optimistic (perfect fusion, zero
 re-materialization, no padding): achieved % of it is a conservative
 statement of headroom. Padded sizes from BatchMeta are used as stand-ins
@@ -77,6 +87,26 @@ class HardwareSpec:
     dense_attn_ps_per_entry: float = float(
         os.environ.get("IGNNITION_TPU_DENSE_ATTN_PS", 4.55)
     )
+    # measured floor of the masked recurrent time scan (tools/exp_rnn_floor
+    # .py, v5e, min-of-trials, fwd+bwd chained in-jit): each sequential
+    # step costs max(per-step floor, per-element rate * rows * width) —
+    # per-element 31.4-39.4 ps/elem across probed (L, N) at D=32 (take the
+    # min: a floor must sit at or below every measurement), per-step floor
+    # 4.1-4.7 us at overhead-bound shapes (N<=4096). Covers the gate
+    # FLOPs, the [L, N, D] input stream (fwd read + remat re-read + ct
+    # write) and the per-step state round trips — so scanned recurrent
+    # updates charge THIS instead of the rnn_update FLOPs + seq_stream
+    # bytes items (same no-double-charge convention as dense_attn). The
+    # fused Pallas scan kernel is faster in isolation but a measured net
+    # loss in-model (PERF.md 'Failed experiments'), so the lax.scan path's
+    # isolated cost is the best ACHIEVABLE per-scan cost, the same
+    # best-available-lowering convention as the gather floor.
+    rnn_scan_ps_per_elem: float = float(
+        os.environ.get("IGNNITION_TPU_RNN_SCAN_PS", 31.4)
+    )
+    rnn_scan_us_per_step: float = float(
+        os.environ.get("IGNNITION_TPU_RNN_SCAN_US", 4.1)
+    )
 
 
 @dataclass
@@ -88,6 +118,11 @@ class StepCost:
     # iteration: one forward, one backward recompute) — charged at the
     # calibrated HardwareSpec.dense_attn_ps_per_entry
     dense_attn_entry_passes: float = 0.0
+    # masked recurrent time scans: (steps_per_iter, elems_per_iter, width,
+    # iters, gate_scale) per scanned update — charged per iteration at
+    # max(steps * us_per_step, elems * width * ps_per_elem) with the
+    # calibrated HardwareSpec constants (gate_scale 1.0 GRU, 4/3 LSTM)
+    rnn_scans: list = field(default_factory=list)
 
     def add_bytes(self, item: str, n: float):
         self.bytes_by[item] = self.bytes_by.get(item, 0.0) + float(n)
@@ -245,10 +280,18 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                 final_dims.append(cur)
 
                 if seq_agg:
-                    # sequence consumption is inherently edge-slot-rate even
-                    # for source-local messages: fwd read + bwd residual +
-                    # bwd cotangent
-                    c.add_bytes("seq_stream", 3 * E * msg_dim * b * iters)
+                    if mp.update.kind == "recurrent":
+                        # the calibrated rnn_scan term (below) ALREADY
+                        # includes the [L, N, D] input stream (fwd read +
+                        # remat re-read + cotangent write) — charging
+                        # seq_stream too would double-count it (r5; same
+                        # convention as dense_attn's incidence read)
+                        pass
+                    else:
+                        # sequence consumption is inherently edge-slot-rate
+                        # even for source-local messages: fwd read + bwd
+                        # residual + bwd cotangent
+                        c.add_bytes("seq_stream", 3 * E * msg_dim * b * iters)
                     c.gather_rows += 2 * E * iters
                     if concat2:
                         # axis-2 concat shares one slot grid across sources
@@ -343,11 +386,30 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                                 * iters)
 
             # update
-            if mp.update.kind == "recurrent":
+            if mp.update.kind == "recurrent" and seq_agg:
+                # scanned (sequence) recurrent update: charged via the
+                # calibrated scan floor (bound_seconds), NOT the FLOPs
+                # model — the scan's gate FLOPs, input stream and per-step
+                # state round trips are all inside the measured constant.
+                # L: the sequential chain length per iteration. max over
+                # sources keeps the bound a LOWER bound for concat/
+                # interleave merges (whose combined sequence is up to the
+                # SUM of the per-source lengths).
+                L = max(
+                    (meta.maxlen(src.adj_name) for src in mp.sources
+                     if dict(meta.max_len).get(src.adj_name)),
+                    default=1,
+                )
+                gate_scale = (
+                    1.0 if mp.update.rnn.cell_type == "GRU" else 4.0 / 3.0
+                )
+                c.rnn_scans.append(
+                    (L, total_msg_elems, d_dst, iters, gate_scale)
+                )
+            elif mp.update.kind == "recurrent":
                 per_elem = (12 if mp.update.rnn.cell_type == "GRU" else 16)
-                elems = total_msg_elems if seq_agg else n_d
                 c.add_flops("rnn_update", 3 * per_elem * d_dst * d_dst
-                            * elems * iters)
+                            * n_d * iters)
             else:
                 # the update consumes the AGGREGATED message, whose width is
                 # the message chains' final output (review-found: the source
@@ -396,9 +458,21 @@ def roofline_report(model_ir, meta, measured_ms: float,
     dense_attn_ms = (
         c.dense_attn_entry_passes * hw.dense_attn_ps_per_entry * 1e-12 * 1e3
     )
+    # calibrated masked-scan floor: per iteration each scan costs
+    # max(sequential-step floor, per-element rate) — additive because the
+    # scan is a strict data dependence behind the slice gathers of the same
+    # iteration (and its traffic/FLOPs were removed from the byte/FLOP
+    # items above)
+    rnn_scan_ms = sum(
+        iters * max(
+            L * hw.rnn_scan_us_per_step * 1e-3,
+            elems * width * gate_scale * hw.rnn_scan_ps_per_elem * 1e-9,
+        )
+        for (L, elems, width, iters, gate_scale) in c.rnn_scans
+    )
     apsol = max(
         bounds["sol_ms"], bounds["gather_floor_ms_informational"]
-    ) + dense_attn_ms
+    ) + dense_attn_ms + rnn_scan_ms
     return {
         "hw": hw.name,
         "bytes_mb": round(c.total_bytes / 1e6, 2),
@@ -418,6 +492,7 @@ def roofline_report(model_ir, meta, measured_ms: float,
             bounds["gather_floor_ms_informational"], 3
         ),
         "dense_attn_ms": round(dense_attn_ms, 3),
+        "rnn_scan_ms": round(rnn_scan_ms, 3),
         "bytes_items_mb": {k: round(v / 1e6, 2)
                            for k, v in sorted(c.bytes_by.items())},
         "flops_items_g": {k: round(v / 1e9, 2)

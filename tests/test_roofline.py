@@ -38,9 +38,11 @@ def test_itemization_sums_and_bounds():
     assert c.total_bytes == pytest.approx(sum(c.bytes_by.values()))
     assert c.total_flops == pytest.approx(sum(c.flops_by.values()))
     assert c.total_bytes > 0 and c.total_flops > 0 and c.gather_rows > 0
-    # ordered stage1 forces a sequence stream; direct sum stage2 streams
-    # node tables
-    assert "seq_stream" in c.bytes_by
+    # ordered stage1's recurrent scan is charged via the calibrated scan
+    # floor (r5) — its input stream/FLOPs must NOT also appear as byte/FLOP
+    # items; direct sum stage2 streams node tables
+    assert c.rnn_scans and all(len(t) == 5 for t in c.rnn_scans)
+    assert "seq_stream" not in c.bytes_by
     assert "node_tables" in c.bytes_by
     b = c.bound_seconds(HardwareSpec())
     assert b["sol_ms"] == pytest.approx(
@@ -54,9 +56,10 @@ def test_iterations_scale_iteration_rate_items():
     ir2, meta2 = _meta(d2)
     ir4, meta4 = _meta(d4)
     c2, c4 = train_step_cost(ir2, meta2), train_step_cost(ir4, meta4)
-    assert c4.bytes_by["seq_stream"] == pytest.approx(
-        2 * c2.bytes_by["seq_stream"]
-    )
+    # the scan term scales with iterations (same L/elems, 2x iters)
+    (l2, e2, w2, i2, g2), = [t for t in c2.rnn_scans]
+    (l4, e4, w4, i4, g4), = [t for t in c4.rnn_scans]
+    assert (l4, e4, w4, g4) == (l2, e2, w2, g2) and i4 == 2 * i2
     assert c4.gather_rows == pytest.approx(2 * c2.gather_rows)
     # readout runs once per step regardless of iterations
     assert c4.flops_by["readout"] == pytest.approx(c2.flops_by["readout"])
@@ -93,3 +96,27 @@ def test_report_fields_and_percentages():
         assert k in rep
     assert rep["apsol_ms"] >= rep["sol_ms"]
     assert rep["sol_pct"] == pytest.approx(100 * rep["sol_ms"] / 10.0, rel=1e-3)
+
+
+def test_rnn_scan_floor_term():
+    """r5: scanned recurrent updates are charged the calibrated scan floor
+    (rnn_scan_ms), additive in apsol; the per-iteration charge is
+    max(per-step floor, per-element rate)."""
+    ir, meta = _meta(routenet_description(num_iterations=4, hs=16))
+    rep = roofline_report(ir, meta, measured_ms=10.0)
+    assert rep["rnn_scan_ms"] > 0
+    assert rep["apsol_ms"] == pytest.approx(
+        max(rep["sol_ms"], rep["gather_floor_ms_informational"])
+        + rep["dense_attn_ms"] + rep["rnn_scan_ms"],
+        rel=1e-2,
+    )
+    hw = HardwareSpec()
+    c = train_step_cost(ir, meta)
+    expect = sum(
+        iters * max(
+            L * hw.rnn_scan_us_per_step * 1e-3,
+            e * w * g * hw.rnn_scan_ps_per_elem * 1e-9,
+        )
+        for (L, e, w, iters, g) in c.rnn_scans
+    )
+    assert rep["rnn_scan_ms"] == pytest.approx(expect, rel=1e-2)

@@ -66,42 +66,44 @@ def build_scan_train(cell, L, N, D, Din):
         out = rnn.masked_update_stacked(spec, p, xs, lengths, h0)
         return jnp.sum(out.astype(jnp.float32))
 
+    M = 20  # repeated train steps INSIDE one jit: tiny kernels (tens of µs)
+    # otherwise measure host dispatch throughput, not device time — the
+    # fwd+bwd repeats chain through h0 <- d(loss)/d(h0)
+
     @jax.jit
     def step(p, xs, h0):
-        # returns d(loss)/d(h0) — same shape as h0, so calls CHAIN through a
-        # data dependency (h0 <- grad): queued dispatches execute
-        # back-to-back on device and per-call tunnel latency amortizes away
-        # (these kernels are tens of µs; un-chained fetch-pair timing was
-        # noise-dominated)
-        l, (gp, gx, gh) = jax.value_and_grad(loss, argnums=(0, 1, 2))(
-            p, xs, h0
-        )
-        return l, gh
+        def body(h, _):
+            l, (gp, gx, gh) = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+                p, xs, h
+            )
+            return gh.astype(h.dtype), l
+        h, ls = jax.lax.scan(body, h0, None, length=M)
+        return jnp.sum(ls)
 
+    step.M = M
     return step, params, xs, h0
 
 
-def time_scan(step, params, xs, h0, trials=5, target_s=0.03):
-    """Chained fetch-based per-call time, min over trials (additive tunnel
-    noise only ever inflates). iters adapts so total device work >= target_s."""
-    l, h = step(params, xs, h0)
-    float(l)  # compile + fetch
+def time_scan(step, params, xs, h0, trials=5, target_s=0.05):
+    """Fetch-based per-train-step time: each jitted call runs step.M chained
+    fwd+bwd repeats on device, so per-call dispatch amortizes over M. Min
+    over trials (additive tunnel noise only ever inflates); outer iters
+    adapt so total device work >= target_s."""
+    float(step(params, xs, h0))  # compile + fetch
 
     def trial(iters):
         t0 = time.time()
-        l, h = step(params, xs, h0)
-        float(l)
+        float(step(params, xs, h0))
         base = time.time() - t0
         t0 = time.time()
-        h = h0
         acc = None
         for _ in range(iters):
-            acc, h = step(params, xs, h)
+            acc = step(params, xs, h0)
         float(acc)
-        return max(time.time() - t0 - base, 1e-9) / (iters - 1)
+        return max(time.time() - t0 - base, 1e-9) / (iters - 1) / step.M
 
-    est = trial(50)
-    iters = int(min(max(target_s / max(est, 1e-7), 50), 2000))
+    est = trial(5) * step.M
+    iters = int(min(max(target_s / max(est, 1e-7), 5), 300))
     return min(trial(iters) for _ in range(trials))
 
 
