@@ -107,6 +107,24 @@ class HardwareSpec:
     rnn_scan_us_per_step: float = float(
         os.environ.get("IGNNITION_TPU_RNN_SCAN_US", 4.1)
     )
+    # measured per-row floor of the sorted (packed Pallas) segment sum.
+    # Every non-dense adjacency pays one segmented per-source reduction of
+    # its E cotangents (or messages) per iteration — a granularity-bound
+    # pass (4-edge packed rows through 8-sublane tiles, the smallest
+    # Mosaic-issuable unit) the byte model cannot see, and the gather
+    # constant does not cover (a separate pass from the perm gather).
+    # Calibration (tools/exp_segsum_floor.py, v5e, min-of-trials, bf16
+    # input / f32 accumulate): 0.79-1.14 ns/row isolated across the
+    # shipped shapes — but the r4 flagship profile shows the IN-MODEL
+    # kernels at 0.42 ns/row effective (their DMA waits overlap adjacent
+    # ops, which an isolated loop cannot reproduce). A floor must sit at
+    # or below every observation, so the default takes the overlapped
+    # figure. Best-available: the packed kernel is 3.0x over XLA scatter,
+    # and the dense-matmul alternative reads an [n_src, L*n_dst] incidence
+    # per iteration — orders of magnitude more traffic at these shapes.
+    segsum_ns_per_row: float = float(
+        os.environ.get("IGNNITION_TPU_SEGSUM_NS", 0.42)
+    )
 
 
 @dataclass
@@ -123,6 +141,10 @@ class StepCost:
     # max(steps * us_per_step, elems * width * ps_per_elem) with the
     # calibrated HardwareSpec constants (gate_scale 1.0 GRU, 4/3 LSTM)
     rnn_scans: list = field(default_factory=list)
+    # rows through sorted segmented reductions (one per non-dense adjacency
+    # per iteration), charged at HardwareSpec.segsum_ns_per_row — part of
+    # the access-pattern floor alongside gather_rows
+    segsum_rows: float = 0.0
 
     def add_bytes(self, item: str, n: float):
         self.bytes_by[item] = self.bytes_by.get(item, 0.0) + float(n)
@@ -236,6 +258,19 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                 d_src = state[src.entity]
                 n_s = meta.nodes(src.entity)
                 local = is_source_local(src.ops)
+                # dense-incidence eligibility (both data-layer gates: entry
+                # cap AND the minimum edge count below which the matrix is
+                # never emitted, graph.py _DENSE_INC_MIN_EDGES) — used by
+                # the local streaming branch below AND the segsum charge
+                dense_ok = (
+                    local
+                    and src.adj_name in dense_adjs
+                    and E >= _DENSE_INC_MIN_EDGES
+                    and (
+                        src.adj_name in dict(meta.inc_blocks)
+                        or n_d * n_s <= _DENSE_INC_MAX_ENTRIES
+                    )
+                )
 
                 # message chain
                 cur = d_src
@@ -313,22 +348,6 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                     # cotangent (bwd): charge the descriptor floor for that
                     # movement, the same best-available-lowering convention
                     # the slot paths set in round 3
-                    from ..data.graph import (
-                        _DENSE_INC_MAX_ENTRIES, _DENSE_INC_MIN_EDGES,
-                        dense_agg_adjacencies,
-                    )
-
-                    # both data-layer gates: the entry cap AND the minimum
-                    # edge count below which the matrix is never emitted
-                    # (graph.py _DENSE_INC_MIN_EDGES)
-                    dense_ok = (
-                        src.adj_name in dense_adjs
-                        and E >= _DENSE_INC_MIN_EDGES
-                        and (
-                            src.adj_name in dict(meta.inc_blocks)
-                            or n_d * n_s <= _DENSE_INC_MAX_ENTRIES
-                        )
-                    )
                     if not dense_ok:
                         c.gather_rows += 2 * E * iters
                     elif mp.aggregation.kind == "attention":
@@ -357,6 +376,15 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                 c.add_bytes("indices", 2 * E * 4 * iters)
                 # aggregation adds
                 c.add_flops("aggregation", 2 * E * msg_dim * iters)
+                # every non-dense adjacency pays ONE sorted segmented
+                # per-source reduction of E rows per iteration (the
+                # aggregation itself for sum-style lowerings; the slice/
+                # windowed transpose's final pass for ordered/slot paths) —
+                # charged at the measured packed-kernel floor (r5,
+                # tools/exp_segsum_floor.py). Dense/flash lowerings fold it
+                # into the incidence matmul / flash constant instead.
+                if seq_agg or not dense_ok:
+                    c.segsum_rows += E * iters
 
                 if mp.aggregation.kind == "attention":
                     # per-node score matmuls + width-1 edge score stream
@@ -470,9 +498,12 @@ def roofline_report(model_ir, meta, measured_ms: float,
         )
         for (L, elems, width, iters, gate_scale) in c.rnn_scans
     )
-    apsol = max(
-        bounds["sol_ms"], bounds["gather_floor_ms_informational"]
-    ) + dense_attn_ms + rnn_scan_ms
+    # access-pattern floor: the descriptor-bound gathers PLUS the
+    # granularity-bound sorted segmented reductions (distinct sequential
+    # passes over the same edge streams)
+    segsum_ms = c.segsum_rows * hw.segsum_ns_per_row * 1e-9 * 1e3
+    ap_floor_ms = bounds["gather_floor_ms_informational"] + segsum_ms
+    apsol = max(bounds["sol_ms"], ap_floor_ms) + dense_attn_ms + rnn_scan_ms
     return {
         "hw": hw.name,
         "bytes_mb": round(c.total_bytes / 1e6, 2),
@@ -493,6 +524,8 @@ def roofline_report(model_ir, meta, measured_ms: float,
         ),
         "dense_attn_ms": round(dense_attn_ms, 3),
         "rnn_scan_ms": round(rnn_scan_ms, 3),
+        "segsum_ms": round(segsum_ms, 3),
+        "segsum_rows_m": round(c.segsum_rows / 1e6, 2),
         "bytes_items_mb": {k: round(v / 1e6, 2)
                            for k, v in sorted(c.bytes_by.items())},
         "flops_items_g": {k: round(v / 1e9, 2)
