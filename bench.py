@@ -541,10 +541,13 @@ def _artifact_ratio(make_step, params, arrays, dt_direct, iters=50):
 def _training_dataset():
     """Flagship-scale streaming dataset (8 graphs of 2048 links / 16384
     paths in reference-format tar.gz archives), cached in /tmp. Returns
-    (dir, real_edges_per_graph_mean)."""
+    (dir, real_edges_per_graph_mean). BENCH_TRAIN_LINKS/PATHS shrink it
+    for smoke tests."""
     import json as _json
 
-    d = "/tmp/ignnition_bench_train_ds"
+    n_links = int(os.environ.get("BENCH_TRAIN_LINKS", 2048))
+    n_paths = int(os.environ.get("BENCH_TRAIN_PATHS", 16384))
+    d = f"/tmp/ignnition_bench_train_ds_{n_links}x{n_paths}"
     marker = os.path.join(d, ".meta.json")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -553,14 +556,14 @@ def _training_dataset():
 
     write_dataset(
         d, num_archives=4, samples_per_archive=2, seed=0,
-        n_links=2048, n_paths=16384, max_path_len=8,
+        n_links=n_links, n_paths=n_paths, max_path_len=8,
     )
     # count real (unpadded) edges the same way the samples were drawn
     rng = np.random.default_rng(0)
     edges = 0.0
     n = 0
     for _ in range(8):
-        s = make_routenet_sample(rng, 2048, 16384, 8)
+        s = make_routenet_sample(rng, n_links, n_paths, 8)
         per_graph = 2 * sum(
             len(v) for v in s["adj_links_paths"].values()
         )
