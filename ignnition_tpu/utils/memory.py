@@ -131,10 +131,19 @@ def estimate_train_hbm(
 
 
 def recommended_shards(total_bytes: float, hbm_gb: float = None) -> int:
-    """Destination shards (edgeshard v2 'model' axis) needed to fit,
-    leaving ~20% headroom for the allocator. 1 = fits on one chip."""
+    """Destination shards (edgeshard v2 'model' axis) needed to fit.
+    1 = fits on one chip.
+
+    The usable fraction (65%) is CALIBRATED against the measured
+    single-chip boundary (tools/exp_capacity.py, v5e via the remote
+    backend): the largest fitting flagship batch estimated 9.8 GB (x40 =
+    10.5M real edges) and the first failure 10.9 GB — the practical
+    ceiling sits well under the 16 GB nameplate (allocator fragmentation
+    + compiler workspace; on this tunnel backend the failure mode is a
+    remote-compiler crash before a clean device OOM). See
+    docs/scaling.md 'Single-chip capacity'."""
     hbm = (hbm_gb or DEFAULT_HBM_GB) * 1e9
-    usable = 0.8 * hbm
+    usable = 0.65 * hbm
     m = 1
     while total_bytes / m > usable and m < 4096:
         m *= 2
