@@ -114,12 +114,11 @@ class HardwareSpec:
     # Mosaic-issuable unit) the byte model cannot see, and the gather
     # constant does not cover (a separate pass from the perm gather).
     # Calibration (tools/exp_segsum_floor.py, v5e, min-of-trials, bf16
-    # input / f32 accumulate): 0.79-1.14 ns/row isolated across the
-    # shipped shapes — but the r4 flagship profile shows the IN-MODEL
-    # kernels at 0.42 ns/row effective (their DMA waits overlap adjacent
-    # ops, which an isolated loop cannot reproduce). A floor must sit at
-    # or below every observation, so the default takes the overlapped
-    # figure. Best-available: the packed kernel is 3.0x over XLA scatter,
+    # input / f32 accumulate): 0.47-0.73 ns/row isolated across the
+    # shipped shapes (f32 input 1.35-1.61) — and the r4 flagship profile
+    # shows the IN-MODEL kernels at 0.42 ns/row effective (their DMA
+    # waits overlap adjacent ops). A floor must sit at or below every
+    # observation, so the default takes the lowest figure. Best-available: the packed kernel is 3.0x over XLA scatter,
     # and the dense-matmul alternative reads an [n_src, L*n_dst] incidence
     # per iteration — orders of magnitude more traffic at these shapes.
     segsum_ns_per_row: float = float(
@@ -361,13 +360,16 @@ def train_step_cost(model_ir, meta, dtype_bytes: int = 2) -> StepCost:
                         # the dense lowering's mandatory traffic is the
                         # incidence matrix itself, read once per direction
                         # of AD per iteration (M @ s fwd, M^T @ ct bwd) —
-                        # blocks shrink it to the per-graph diagonal
+                        # blocks shrink it to the per-graph diagonal.
+                        # 1 byte/entry: the data layer stores non-attention
+                        # incidence matrices as int8 (r5, convert-on-load
+                        # fused into the matmul — tools/exp_int8_inc.py)
                         blk = dict(meta.inc_blocks).get(src.adj_name)
                         entries = (
                             blk[0] * blk[1] * blk[2] if blk else n_d * n_s
                         )
                         c.add_bytes(
-                            "dense_inc_matrix", entries * b * 2 * iters
+                            "dense_inc_matrix", entries * 1 * 2 * iters
                         )
                 else:
                     pass  # edge stream already counted above

@@ -463,3 +463,44 @@ def test_per_graph_padding_eval_metrics_match_default_layout():
     out_pg = t_pg.evaluate(state, d, num_batches=2, batch_size=4)
     for k in ("label/mean", "mae", "r-squared", "loss"):
         np.testing.assert_allclose(out_def[k], out_pg[k], rtol=1e-4, atol=1e-6)
+
+
+def test_dense_inc_int8_storage_and_fallback():
+    """r5 (VERDICT r4 #6): non-attention incidence matrices store int8
+    (convert-on-load fuses into the matmul; 1.6-1.8x isolated,
+    tools/exp_int8_inc.py); attention-consumed adjacencies stay bf16 (the
+    flash kernel streams the matrix); multiplicities > 127 fall back to
+    bf16 (int8 would overflow)."""
+    import ml_dtypes
+
+    import __graft_entry__ as ge
+    from ignnition_tpu.data.graph import _append_dense_inc
+
+    model_ir = ge._flagship(num_iterations=2, hs=8)
+    arrays, _ = ge._batch(
+        model_ir, n_links=12, n_paths=8, max_path_len=4, n_graphs=1
+    )
+    assert arrays["dense_inc_adj_paths_links"].dtype == np.int8
+    # uniform multi-graph batch: blocks also int8
+    arrays_b, _ = ge._batch(model_ir, n_links=12, n_paths=8, max_path_len=4)
+    assert arrays_b["inc_blocks_adj_paths_links"].dtype == np.int8
+
+    # attention model keeps bf16
+    def mutate(description):
+        description["message_passing"]["stages"][1]["stage_mp"][0][
+            "aggregation"
+        ] = {"type": "attention"}
+
+    ir_a = ge._flagship(num_iterations=2, hs=8, mutate=mutate)
+    arrays_a, _ = ge._batch(
+        ir_a, n_links=12, n_paths=8, max_path_len=4, n_graphs=1
+    )
+    assert arrays_a["dense_inc_adj_paths_links"].dtype == ml_dtypes.bfloat16
+
+    # overflow fallback: one destination with 200 copies of one source
+    out = {}
+    src = np.zeros(200, np.int64)
+    dst = np.zeros(200, np.int64)
+    _append_dense_inc(out, src, dst, 200, 8, 8, True, int8=True)
+    assert out["dense_inc"].dtype == ml_dtypes.bfloat16
+    assert float(out["dense_inc"][0, 0]) == 200.0

@@ -42,9 +42,10 @@ def build(n_dst, n_src, D, store_dtype, M=20):
 
     @jax.jit
     def step(m, s):
-        def body(acc, _):
-            l, gs = jax.value_and_grad(f, argnums=1)(m, s)
-            return gs.astype(s.dtype), l
+        def body(carry, _):
+            # the carry feeds the dot so the loop body is NOT invariant
+            l, gs = jax.value_and_grad(f, argnums=1)(m, carry)
+            return gs.astype(carry.dtype), l
         g, ls = jax.lax.scan(body, s, None, length=M)
         return jnp.sum(ls)
 
