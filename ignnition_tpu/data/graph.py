@@ -242,18 +242,6 @@ def dense_agg_adjacencies(model_ir) -> Set[str]:
     return out
 
 
-def attention_adjacencies(model_ir) -> Set[str]:
-    """Adjacencies consumed by ANY attention aggregation: their dense
-    incidence matrices stay bf16 (the flash kernel streams the matrix
-    in-kernel); everything else stores int8 (see _append_dense_inc)."""
-    out: Set[str] = set()
-    for mp in model_ir.all_passes():
-        if mp.aggregation.kind == "attention":
-            for src in mp.sources:
-                out.add(src.adj_name)
-    return out
-
-
 def slot_param_adjacencies(model_ir) -> Dict[str, bool]:
     """Adjacencies whose per-edge message MLP reads `edge_params` through a
     slot-eligible chain (frontend.ir.is_slot_eligible — the ONE shared
@@ -335,9 +323,9 @@ def _append_dense_inc(
     bf16 fallback above): the matmul paths astype on load and XLA fuses
     the convert into the operand stream — measured 1.6-1.8x on the
     isolated fwd+bwd dense matmul (tools/exp_int8_inc.py), halving the
-    dominant HBM stream of the dense stages. Attention-consumed
-    adjacencies stay bf16 (the flash kernel streams the matrix
-    directly)."""
+    dominant HBM stream of the dense stages. The flash-GAT kernels
+    upcast the int8 tiles in-register (bit-identical, 1.08x isolated),
+    so attention matrices ride the same storage."""
     if not (
         want
         and n_dst_pad * n_src_pad <= _DENSE_INC_MAX_ENTRIES
@@ -789,7 +777,6 @@ def build_batch(
             for a in group:
                 max_len[a] = common
     dense_adjs = dense_agg_adjacencies(model_ir)
-    attn_adjs = attention_adjacencies(model_ir)
     slot_param_adjs = slot_param_adjacencies(model_ir)
     block_adjs = block_sum_adjacencies(model_ir)
     inc_blocks_meta: Dict[str, Tuple[int, int, int]] = {}
@@ -879,11 +866,9 @@ def build_batch(
                 and num_graphs * bd_ * bs_ <= _DENSE_INC_MAX_ENTRIES
                 and len(dst) >= _DENSE_INC_MIN_EDGES
             ):
-                # int8 storage for non-attention consumers (bf16 fallback
-                # on multiplicity overflow) — see _append_dense_inc
-                blk_dtype = (
-                    np.int8 if a.name not in attn_adjs else ml_dtypes.bfloat16
-                )
+                # int8 storage (bf16 fallback on multiplicity overflow) —
+                # see _append_dense_inc
+                blk_dtype = np.int8
                 while True:
                     blocks = np.zeros((num_graphs, bd_ * bs_), blk_dtype)
                     ok = True
@@ -919,7 +904,7 @@ def build_batch(
             ),
             want_dense_inc=a.name in dense_adjs
             and a.name not in inc_blocks_meta,
-            dense_inc_int8=a.name not in attn_adjs,
+            dense_inc_int8=True,
         )
         if target is not None and "out_lens" in aux:
             fixed = dict(target.bwd_len).get(a.name, 0)
@@ -1272,7 +1257,6 @@ def repad_to_meta(
     # loop-invariant IR walks and target-meta dict views, hoisted: repad
     # runs per batch on the host data path (multi-worker producers)
     dense_adjs = dense_agg_adjacencies(model_ir)
-    attn_adjs = attention_adjacencies(model_ir)
     slot_param_adjs = slot_param_adjacencies(model_ir)
     inc_blocks_t = dict(target.inc_blocks)
     max_len_t = dict(target.max_len)
@@ -1316,7 +1300,7 @@ def repad_to_meta(
                 bwd_len=bwd_len_t.get(name, 0),
                 want_dense_inc=name in dense_adjs
                 and name not in inc_blocks_t,
-                dense_inc_int8=name not in attn_adjs,
+                dense_inc_int8=True,
             ).items():
                 out[f"{key}_{name}"] = value
             if name in slot_param_adjs and f"params_{name}" in out:

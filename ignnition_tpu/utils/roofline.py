@@ -83,9 +83,12 @@ class HardwareSpec:
     # VMEM matmul passes); 4.55 ps/entry averaged over the two passes per
     # iteration. A cost the two-resource roofline cannot see (the matrix
     # bytes alone under-count the backward); carried into apsol for
-    # dense-eligible attention
+    # dense-eligible attention. r5: the incidence matrix now stores int8
+    # (upcast in-register; kernel fwd+bwd measured 1.08x at
+    # [2048, 16384]) — the constant scales to 4.55/1.08 = 4.21 so the
+    # floor stays at or below the achievable kernel
     dense_attn_ps_per_entry: float = float(
-        os.environ.get("IGNNITION_TPU_DENSE_ATTN_PS", 4.55)
+        os.environ.get("IGNNITION_TPU_DENSE_ATTN_PS", 4.21)
     )
     # measured floor of the masked recurrent time scan (tools/exp_rnn_floor
     # .py, v5e, min-of-trials, fwd+bwd chained in-jit): each sequential

@@ -466,10 +466,10 @@ def test_per_graph_padding_eval_metrics_match_default_layout():
 
 
 def test_dense_inc_int8_storage_and_fallback():
-    """r5 (VERDICT r4 #6): non-attention incidence matrices store int8
-    (convert-on-load fuses into the matmul; 1.6-1.8x isolated,
-    tools/exp_int8_inc.py); attention-consumed adjacencies stay bf16 (the
-    flash kernel streams the matrix); multiplicities > 127 fall back to
+    """r5 (VERDICT r4 #6): dense incidence matrices store int8
+    (convert-on-load fuses into the matmul operand stream — 1.6-1.8x
+    isolated, tools/exp_int8_inc.py; the flash-GAT kernels upcast int8
+    tiles in-register, bit-identical); multiplicities > 127 fall back to
     bf16 (int8 would overflow)."""
     import ml_dtypes
 
@@ -485,7 +485,8 @@ def test_dense_inc_int8_storage_and_fallback():
     arrays_b, _ = ge._batch(model_ir, n_links=12, n_paths=8, max_path_len=4)
     assert arrays_b["inc_blocks_adj_paths_links"].dtype == np.int8
 
-    # attention model keeps bf16
+    # attention matrices ride the same int8 storage (the flash kernels
+    # upcast the tiles in-register — bit-identical, measured 1.08x)
     def mutate(description):
         description["message_passing"]["stages"][1]["stage_mp"][0][
             "aggregation"
@@ -495,7 +496,7 @@ def test_dense_inc_int8_storage_and_fallback():
     arrays_a, _ = ge._batch(
         ir_a, n_links=12, n_paths=8, max_path_len=4, n_graphs=1
     )
-    assert arrays_a["dense_inc_adj_paths_links"].dtype == ml_dtypes.bfloat16
+    assert arrays_a["dense_inc_adj_paths_links"].dtype == np.int8
 
     # overflow fallback: one destination with 200 copies of one source
     out = {}
