@@ -506,10 +506,14 @@ def _artifact_ratio(make_step, params, arrays, dt_direct, iters=50):
         def fetch(o):
             return float(jnp.sum(jnp.asarray(o, jnp.float32)))
 
-        # exactness: artifact == direct apply (bf16 tolerance)
-        direct = make_step.model.apply(
-            params, inputs, make_step.meta, compute_dtype=jnp.bfloat16
-        )
+        # exactness: artifact == JITTED direct apply (measured bit-exact on
+        # TPU; eager op-by-op execution diverges by ~0.2 at flagship scale
+        # on this backend and is NOT a valid reference)
+        direct = jax.jit(
+            lambda pp, b: make_step.model.apply(
+                pp, b, make_step.meta, compute_dtype=jnp.bfloat16
+            )
+        )(params, inputs)
         art = sm._exported.call(p, inputs)
         np.testing.assert_allclose(
             np.asarray(art, np.float32), np.asarray(direct, np.float32),
@@ -613,6 +617,13 @@ def run_training_families(on_case=None, iterations=8):
         run(2)  # compile + warm every jit path
         t1 = run(k1)
         t2 = run(k2)
+        if t2 - t1 < 0.1 * t2:
+            # the differenced step cost drowned in constant-cost noise
+            # (cache build / archive IO variance) — retry once with 4x the
+            # step counts before reporting
+            t1 = run(4 * k1)
+            t2 = run(4 * k2)
+            k1, k2 = 4 * k1, 4 * k2
         dt = max(t2 - t1, 1e-9) / (k2 - k1)
         # one periodic-eval probe (the trainer's eval_secs path calls this
         # same evaluate; cache=True mirrors in-training throttled evals)
@@ -626,7 +637,10 @@ def run_training_families(on_case=None, iterations=8):
 
     for name, cache, k1, k2, workers in (
         ("train_stream", False, 6, 18, 2),
-        ("train_cached_device", "device", 20, 80, 2),
+        # device-cached steps are ~7 ms: the step window must dwarf the
+        # multi-second cache-build variance that the differencing cancels
+        # only in expectation
+        ("train_cached_device", "device", 100, 900, 2),
     ):
         try:
             dt, eval_ms = sustained(cache, k1, k2, workers)

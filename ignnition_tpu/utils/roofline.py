@@ -100,6 +100,10 @@ class HardwareSpec:
     # write) and the per-step state round trips — so scanned recurrent
     # updates charge THIS instead of the rnn_update FLOPs + seq_stream
     # bytes items (same no-double-charge convention as dense_attn). The
+    # LSTM check (exp_rnn_floor --cell LSTM): 53-84 ps/elem, 5.5-39.6
+    # us/step across the same grid — the 4/3 gate_scale applied to the
+    # GRU constants (41.9 ps/elem) stays below every LSTM measurement,
+    # so the scaled floor is valid. The
     # fused Pallas scan kernel is faster in isolation but a measured net
     # loss in-model (PERF.md 'Failed experiments'), so the lax.scan path's
     # isolated cost is the best ACHIEVABLE per-scan cost, the same
