@@ -254,7 +254,9 @@ def masked_update_stacked(
             h = jnp.where(valid[:, None], h_new, h)
             return h, None
 
-        final, _ = jax.lax.scan(body, init_state, (xs, t_index))
+        final, _ = jax.lax.scan(
+            body, init_state, (xs, t_index), unroll=_scan_unroll()
+        )
         return final
 
     @jax.checkpoint
@@ -270,6 +272,17 @@ def masked_update_stacked(
         return (h, c), None
 
     (final_h, _), _ = jax.lax.scan(
-        body, (init_state, jnp.zeros_like(init_state)), (xs, t_index)
+        body, (init_state, jnp.zeros_like(init_state)), (xs, t_index),
+        unroll=_scan_unroll(),
     )
     return final_h
+
+
+def _scan_unroll() -> int:
+    """Time-axis unroll of the masked update scans (per-step launch
+    overhead amortizes over k cell steps per scan step). Read at trace
+    time; r4.2 measured flat for the direct flagship, re-probed in r5
+    with the in-body tail — default stays 1 unless a probe wins."""
+    import os
+
+    return int(os.environ.get("IGNNITION_TPU_SCAN_UNROLL", "1"))

@@ -335,3 +335,31 @@ def test_params_slice_presence_consistent_across_stacked_batches():
     params = model.init(jax.random.PRNGKey(0))
     for d in range(2):
         model.apply(params, {k: v[d] for k, v in arrays.items()}, meta)
+
+
+@pytest.mark.parametrize("inputs", [("hs_source", "hs_dest"),
+                                    ("hs_dest",)])
+def test_scan_tail_and_slot3d_variants_match(inputs):
+    """r5 lowering variants of the slot-MLP tail — inside the scan body
+    (_SCAN_TAIL), on the 3D tensor (_SLOT_3D), and the legacy 2D flatten —
+    are the same math: identical loss and gradients."""
+    ir, arrays, meta = _batch_of(_mlp_desc(inputs))
+
+    def run(scan_tail, slot_3d):
+        old = B._SCAN_TAIL, B._SLOT_3D
+        B._SCAN_TAIL, B._SLOT_3D = scan_tail, slot_3d
+        try:
+            return _loss_and_grads(ir, arrays, meta, True, True)
+        finally:
+            B._SCAN_TAIL, B._SLOT_3D = old
+
+    l_tail, g_tail = run(True, True)
+    l_3d, g_3d = run(False, True)
+    l_2d, g_2d = run(False, False)
+    np.testing.assert_allclose(l_tail, l_2d, rtol=1e-6)
+    np.testing.assert_allclose(l_3d, l_2d, rtol=1e-6)
+    for a, b, c in zip(g_tail, g_3d, g_2d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(c),
+                                   rtol=1e-5, atol=1e-6)
